@@ -1,13 +1,380 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query below runs an operator from SURVEY.md §2 over the driver
+  * corpus and has a DuckDB-equivalent in [[oracleSql]]. Conventions for
+  * oracle-stable output (SURVEY.md §5.2):
+  *  - deterministic ORDER BY on both sides (non-null keys, then value cols);
+  *  - computed double columns rounded to 6 dp on BOTH sides (aggregation
+  *    order differs between engines at the last ulp);
+  *  - pass-through values left exact;
+  *  - identical expression shapes so IEEE arithmetic matches bit-for-bit
+  *    where no aggregation is involved.
+  * Base tables are clean (FIXTURES.md), so queries inject deterministic
+  * nulls/dirt via the same CASE expression on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: a
+    * representative cleaning pipeline over lineitem (SURVEY.md §7.3). */
+  def entry(spark: SparkSession): DataFrame = {
+    val df = tbl(spark, "/root/testdata/sf0.001", "lineitem")
+    val (out, _) = Pipeline.run(df, PipelineConfig(
+      typeConvert = Some(TypeConvert()),
+      textClean = Some(TextClean(Seq("lowercase", "remove_extra_spaces"))),
+      missingValues = Some(MissingValues("fill_median")),
+      dedup = true,
+      outliers = Some(Outliers("iqr", "cap", 3.0,
+        columns = Seq("l_extendedprice"))),
+      encode = Some(Encode("target", columns = Seq("l_returnflag"))),
+      normalize = Some(Normalize("minmax", columns = Seq("l_quantity")))))
+    out
+  }
+
+  // ---- shared injections (Spark side; SQL twins below) -------------------
+
+  /** customer with deterministic nulls: acctbal null on custkey%7=0,
+    * mktsegment null on custkey%5=0. */
+  private def dirtyCustomer(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey"),
+      when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+        .as("c_acctbal"),
+      when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"))
+
+  private val dirtyCustomerSql =
+    """SELECT c_custkey,
+      | CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+      | CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+      |FROM customer""".stripMargin
+
+  private val modeSegSql =
+    "(SELECT c_mktsegment FROM t WHERE c_mktsegment IS NOT NULL " +
+      "GROUP BY c_mktsegment ORDER BY count(*) DESC, c_mktsegment LIMIT 1)"
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.8 exact dedup: duplicate every row, drop exact duplicates back out.
+    "q_dedup_exact" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      Dedup()(d.unionAll(d)).df.orderBy("doc_id")
+    }),
+
+    // §2.9 drop_rows
+    "q_missing_drop_rows" -> ((s, dir) =>
+      MissingValues("drop_rows")(dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.9 fill_mean (numeric → mean, categorical → mode)
+    "q_missing_fill_mean" -> ((s, dir) => {
+      val out = MissingValues("fill_mean")(dirtyCustomer(s, dir)).df
+      out.select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"),
+        col("c_mktsegment")).orderBy("c_custkey")
+    }),
+
+    // §2.9 fill_median
+    "q_missing_fill_median" -> ((s, dir) => {
+      val out = MissingValues("fill_median")(dirtyCustomer(s, dir)).df
+      out.select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"),
+        col("c_mktsegment")).orderBy("c_custkey")
+    }),
+
+    // §2.10 IQR cap
+    "q_outlier_iqr_cap" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      Outliers("iqr", "cap", 1.5, columns = Seq("l_extendedprice"))(li).df
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_extendedprice"), 6).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    }),
+
+    // §2.10 zscore remove
+    "q_outlier_zscore_remove" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Outliers("zscore", "remove", 2.0,
+        columns = Seq("l_quantity", "l_extendedprice"))(li).df
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // §2.11 auto type detection: stringly columns back to double/bool/timestamp
+    "q_typeconvert_auto" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(StringType).as("l_quantity"),
+        when(col("l_discount") > 0.05, lit("yes")).otherwise(lit("no"))
+          .as("disc_flag"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"))
+      TypeConvert(auto = true)(li).df
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // §2.13 datetime parse + feature extraction
+    "q_datetime_parse" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"))
+      DatetimeParse(extractFeatures = true)(o).df.orderBy("o_orderkey")
+    }),
+
+    // §2.14 label encoding (lexicographic codes)
+    "q_encode_label" -> ((s, dir) =>
+      Encode("label")(tbl(s, dir, "nation").select("n_nationkey", "n_name"))
+        .df.orderBy("n_nationkey")),
+
+    // §2.14 one-hot encoding (incl. null indicator)
+    "q_encode_onehot" -> ((s, dir) =>
+      Encode("onehot")(tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")).df.orderBy("c_custkey")),
+
+    // §2.14 frequency ("target") encoding
+    "q_encode_freq" -> ((s, dir) =>
+      Encode("target")(tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")).df
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")),
+
+    // §2.12 text cleaning chain
+    "q_textclean" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          lit("  Hello, WORLD!!  <b>Tag</b> 123 ")).otherwise(col("text"))
+          .as("text"))
+      TextClean(Seq("lowercase", "remove_html", "remove_numbers",
+        "remove_punctuation", "remove_extra_spaces"))(d).df.orderBy("doc_id")
+    }),
+
+    // §2.15 common-typos dictionary replacement
+    "q_typofix_common" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("Teh best adress to recieve mail"))
+          .when(col("doc_id") % 3 === 1, lit("definately occured untill now"))
+          .otherwise(col("text")).as("text"))
+      TypoFix("common_typos")(d).df.orderBy("doc_id")
+    }),
+
+    // §2.16 min-max scaling
+    "q_normalize_minmax" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      Normalize("minmax", columns = Seq("l_quantity", "l_discount"))(li).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"),
+          round(col("l_discount"), 6).as("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    }),
+
+    // §2.16 standard scaling (population std, sklearn ddof=0)
+    "q_normalize_standard" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_acctbal")
+      Normalize("standard", columns = Seq("c_acctbal"))(c).df
+        .select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.16 row-wise L2 normalization
+    "q_normalize_l2" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Normalize("normalize",
+        columns = Seq("l_quantity", "l_extendedprice"))(li).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"),
+          round(col("l_extendedprice"), 6).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // §2.1 S4 dataset profiler (sentinel-missing heuristics)
+    "q_profile" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 11 === 0, lit("N/A"))
+          .when(col("c_custkey") % 13 === 0, lit(""))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("c_acctbal"),
+        col("c_mktsegment"))
+      Profile.asDataFrame(c).orderBy("column_name")
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
+
+  /** Python string.punctuation with the single quote doubled for SQL. */
+  private val punctSql = TextClean.Punctuation.replace("'", "''")
+
+  private def typoChainSql(inner: String): String =
+    TypoFix.CommonTypos.toSeq.sortBy(_._1).foldLeft(inner) {
+      case (acc, (typo, fix)) =>
+        s"regexp_replace($acc, '(?i)\\b$typo\\b', '$fix', 'g')"
+    }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_exact" ->
+      """SELECT DISTINCT * FROM
+        | (SELECT * FROM documents UNION ALL SELECT * FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_missing_drop_rows" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT * FROM t
+         |WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_fill_mean" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | round(COALESCE(c_acctbal, (SELECT avg(c_acctbal) FROM t)), 6) AS c_acctbal,
+         | COALESCE(c_mktsegment, $modeSegSql) AS c_mktsegment
+         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_fill_median" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | round(COALESCE(c_acctbal, (SELECT quantile_cont(c_acctbal, 0.5) FROM t)), 6) AS c_acctbal,
+         | COALESCE(c_mktsegment, $modeSegSql) AS c_mktsegment
+         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_outlier_iqr_cap" ->
+      """WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |                  quantile_cont(l_extendedprice, 0.75) AS q3
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        | round(CASE WHEN l_extendedprice < q1 - 1.5*(q3-q1) THEN q1 - 1.5*(q3-q1)
+        |            WHEN l_extendedprice > q3 + 1.5*(q3-q1) THEN q3 + 1.5*(q3-q1)
+        |            ELSE l_extendedprice END, 6) AS l_extendedprice
+        |FROM lineitem, b
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "q_outlier_zscore_remove" ->
+      """WITH s AS (SELECT avg(l_quantity) AS mq, stddev_samp(l_quantity) AS sq,
+        |                  avg(l_extendedprice) AS me, stddev_samp(l_extendedprice) AS se
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem, s
+        |WHERE NOT ((l_quantity IS NOT NULL AND (l_quantity < mq - 2.0*sq OR l_quantity > mq + 2.0*sq))
+        |        OR (l_extendedprice IS NOT NULL AND (l_extendedprice < me - 2.0*se OR l_extendedprice > me + 2.0*se)))
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_typeconvert_auto" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS l_quantity,
+        | l_discount > 0.05 AS disc_flag,
+        | CAST(strftime(l_shipdate, '%Y-%m-%d') AS TIMESTAMP) AS ship_str
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_datetime_parse" ->
+      """WITH t AS (SELECT o_orderkey,
+        |  CAST(strftime(o_orderdate, '%Y-%m-%d') AS TIMESTAMP) AS date_str
+        |  FROM orders)
+        |SELECT o_orderkey, date_str,
+        | CAST(year(date_str) AS BIGINT) AS date_str_year,
+        | CAST(month(date_str) AS BIGINT) AS date_str_month,
+        | CAST(day(date_str) AS BIGINT) AS date_str_day,
+        | CAST(hour(date_str) AS BIGINT) AS date_str_hour,
+        | CAST(dayofweek(date_str) + 1 AS BIGINT) AS date_str_dayofweek
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+
+    "q_encode_label" ->
+      """SELECT n_nationkey,
+        | CAST(DENSE_RANK() OVER (ORDER BY n_name) - 1 AS BIGINT) AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q_encode_onehot" ->
+      """SELECT c_custkey,
+        | CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_AUTOMOBILE,
+        | CAST(CASE WHEN c_mktsegment = 'BUILDING'   THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_BUILDING,
+        | CAST(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_FURNITURE,
+        | CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_HOUSEHOLD,
+        | CAST(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_MACHINERY,
+        | CAST(CASE WHEN c_mktsegment IS NULL        THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_nan
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_encode_freq" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag,
+        | CAST(count(*) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+        |   / count(*) OVER () AS l_returnflag_freq_encoded
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_returnflag""".stripMargin,
+
+    "q_textclean" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN '  Hello, WORLD!!  <b>Tag</b> 123 '
+         |       ELSE text END AS text FROM documents)
+         |SELECT doc_id,
+         | NULLIF(trim(regexp_replace(translate(regexp_replace(regexp_replace(
+         |   lower(regexp_replace(text, '^nan$$', '')),
+         |   '<[^>]+>', '', 'g'), '\\d+', '', 'g'),
+         |   '$punctSql', ''), '\\s+', ' ', 'g')), '') AS text
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_typofix_common" -> {
+      val inner = typoChainSql("text")
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'Teh best adress to recieve mail'
+         |       WHEN doc_id % 3 = 1 THEN 'definately occured untill now'
+         |       ELSE text END AS text FROM documents)
+         |SELECT doc_id, $inner AS text
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q_normalize_minmax" ->
+      """WITH s AS (SELECT min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+        |                  min(l_discount) AS dlo, max(l_discount) AS dhi
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        | round((l_quantity - qlo) / (qhi - qlo) * 1.0 + 0.0, 6) AS l_quantity,
+        | round((l_discount - dlo) / (dhi - dlo) * 1.0 + 0.0, 6) AS l_discount
+        |FROM lineitem, s
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""".stripMargin,
+
+    "q_normalize_standard" ->
+      """WITH s AS (SELECT avg(c_acctbal) AS m, stddev_pop(c_acctbal) AS sd
+        |           FROM customer)
+        |SELECT c_custkey, round((c_acctbal - m) / sd, 6) AS c_acctbal
+        |FROM customer, s ORDER BY c_custkey""".stripMargin,
+
+    "q_normalize_l2" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_quantity / sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice), 6) AS l_quantity,
+        | round(l_extendedprice / sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice), 6) AS l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_profile" -> {
+      val sentinels = Profile.Sentinels.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT c_custkey,
+         |  CASE WHEN c_custkey % 11 = 0 THEN 'N/A'
+         |       WHEN c_custkey % 13 = 0 THEN ''
+         |       ELSE c_name END AS c_name,
+         |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+         |  c_mktsegment FROM customer)
+         |SELECT column_name, n_missing FROM (
+         | SELECT 'c_custkey' AS column_name, count(*) FILTER (WHERE c_custkey IS NULL) AS n_missing FROM t
+         | UNION ALL
+         | SELECT 'c_name', count(*) FILTER (WHERE c_name IS NULL OR trim(c_name) = ''
+         |   OR lower(trim(c_name)) IN ($sentinels)) FROM t
+         | UNION ALL
+         | SELECT 'c_acctbal', count(*) FILTER (WHERE c_acctbal IS NULL OR isnan(c_acctbal)) FROM t
+         | UNION ALL
+         | SELECT 'c_mktsegment', count(*) FILTER (WHERE c_mktsegment IS NULL OR trim(c_mktsegment) = ''
+         |   OR lower(trim(c_mktsegment)) IN ($sentinels)) FROM t
+         | UNION ALL
+         | SELECT '__total_rows', count(*) FROM t
+         | UNION ALL
+         | SELECT '__duplicate_rows', count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM t)) FROM t
+         |) ORDER BY column_name""".stripMargin
+    }
+  )
 }

@@ -1,0 +1,25 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Exact duplicate removal (reference U1,
+  * `/root/reference/methods/duplicate.py:17-69`, SURVEY.md §2.8).
+  *
+  * The reference keeps the FIRST occurrence; for exact full-row duplicates
+  * every copy is identical, so Spark's `dropDuplicates` (keeps an arbitrary
+  * copy) is semantically equivalent — and is a plain hash-aggregate
+  * shuffle on all columns, which scales linearly and AQE-coalesces.
+  * Subset dedup (keep one row per key) is order-sensitive; callers that
+  * need "first by key" should use a deterministic tie-break instead
+  * (min of an ordering column) — see graft.extensions.NearDup for the
+  * keyed variants.
+  */
+final case class Dedup(subset: Seq[String] = Nil) extends Op {
+  val name = "duplicates"
+  def apply(df: DataFrame): OpResult = {
+    val out = if (subset.isEmpty) df.dropDuplicates()
+              else df.dropDuplicates(subset)
+    OpResult(out, Seq("dropped exact duplicates"),
+      () => Map("rows_after" -> out.count()))
+  }
+}

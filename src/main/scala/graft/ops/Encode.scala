@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Exprs._
+
+/** Categorical encoding operator — 3 methods
+  * (`/root/reference/methods/encoding.py:22-229`, SURVEY.md §2.14).
+  *
+  *  - label: codes assigned by SORTED UNIQUE VALUE (sklearn LabelEncoder is
+  *    lexicographic, NOT frequency order — `encoding.py:87-120`); nulls
+  *    first become the literal "__MISSING__" (`encoding.py:94-97`).
+  *    Implemented as dense_rank over the distinct values joined back via
+  *    broadcast — the distinct side is small by definition of "categorical",
+  *    so the join never shuffles the fact table.
+  *  - onehot: skips columns with >50 distinct values (`encoding.py:127-134`);
+  *    emits `col_value` 0/1 columns including a `col_nan` null indicator
+  *    (dummy_na=True), drops the original; `dropFirst` drops the first
+  *    sorted value's column (`encoding.py:139-155`).
+  *  - target: despite the reference's name, FREQUENCY encoding
+  *    (`encoding.py:163-192`): value frequency (nulls included as a group)
+  *    as a NEW `<col>_freq_encoded` column; original kept. A pure window
+  *    — `count(*) over (partition by col) / count(*) over ()` — no
+  *    collect, no join.
+  */
+final case class Encode(
+    method: String = "label",
+    columns: Seq[String] = Nil,
+    dropFirst: Boolean = false,
+    maxOnehotCardinality: Int = 50) extends Op {
+
+  val name = s"encoding:$method"
+
+  def apply(df: DataFrame): OpResult = {
+    val targets = if (columns.nonEmpty) columns else colsOfType(df, isString)
+    if (targets.isEmpty) return OpResult(df, Seq("no categorical columns"))
+    val out = method match {
+      case "label" => targets.foldLeft(df)(labelEncode)
+      case "onehot" => oneHot(df, targets)
+      case "target" => targets.foldLeft(df) { (d, c) =>
+        val byVal = Window.partitionBy(col(c))
+        val all = Window.partitionBy()
+        d.withColumn(s"${c}_freq_encoded",
+          count(lit(1)).over(byVal).cast(DoubleType) / count(lit(1)).over(all))
+      }
+      case other => throw new IllegalArgumentException(s"unknown encoding: $other")
+    }
+    OpResult(out, Seq(s"encoded [${targets.mkString(",")}] method=$method"))
+  }
+
+  private def labelEncode(df: DataFrame, c: String): DataFrame = {
+    val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
+    val dict = df.select(filled.as(c)).distinct()
+      .withColumn(s"${c}__code",
+        (dense_rank().over(Window.orderBy(col(c))) - 1).cast(LongType))
+    val joined = df.withColumn("__lbl_key", filled)
+      .join(broadcast(dict.withColumnRenamed(c, "__lbl_key")), Seq("__lbl_key"), "left")
+      .drop("__lbl_key")
+    // in-place replacement, preserving column position (encoding.py:104)
+    joined.select(df.columns.map(n =>
+      if (n == c) col(s"${c}__code").as(c) else col(n)).toSeq: _*)
+  }
+
+  private def oneHot(df: DataFrame, targets: Seq[String]): DataFrame = {
+    // one job collects every target column's distinct values (melt)
+    val pairs = df.select(explode(array(targets.map(c =>
+      struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .distinct().collect()
+    val values: Map[String, Seq[String]] = pairs.groupBy(_.getString(0))
+      .map { case (c, rows) =>
+        c -> rows.map(r => Option(r.getString(1))).collect { case Some(v) => v }
+          .toSeq.sorted }
+    val encodable = targets.filter(c =>
+      values.getOrElse(c, Nil).size <= maxOnehotCardinality)
+    val proj = df.columns.toSeq.flatMap { c =>
+      if (!encodable.contains(c)) Seq(col(c))
+      else {
+        val vs = values(c)
+        val kept = if (dropFirst) vs.drop(1) else vs
+        kept.map(v => when(col(c).cast(StringType) === lit(v), 1L).otherwise(0L)
+          .as(s"${c}_$v")) :+
+          when(col(c).isNull, 1L).otherwise(0L).as(s"${c}_nan")
+      }
+    }
+    df.select(proj: _*)
+  }
+}

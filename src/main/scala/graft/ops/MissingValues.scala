@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Exprs._
+
+/** Missing-value operator — the reference's 9 strategies
+  * (`/root/reference/methods/missingValues.py:12-199`, SURVEY.md §2.9).
+  *
+  * @param strategy  one of drop_rows | drop_rows_threshold | drop_columns |
+  *                  drop_columns_threshold | fill_mean | fill_median |
+  *                  fill_mode | forward_fill | backward_fill
+  * @param threshold fraction for the *_threshold strategies (reference
+  *                  default 0.5, `missingValues.py:78-90`)
+  * @param orderCol  explicit ordering column for forward/backward fill.
+  *                  The reference relies on implicit file order
+  *                  (SURVEY.md §1.1); distributed data has no implicit
+  *                  order, so the caller names one. None → a scan-order
+  *                  `monotonically_increasing_id` is materialized.
+  */
+final case class MissingValues(
+    strategy: String,
+    threshold: Double = 0.5,
+    orderCol: Option[String] = None) extends Op {
+
+  val name = s"missing_values:$strategy"
+
+  def apply(df: DataFrame): OpResult = {
+    val out = strategy match {
+      case "drop_rows" => df.na.drop("any")
+      case "drop_rows_threshold" =>
+        df.na.drop(minNonNulls = (threshold * df.columns.length).toInt)
+      case "drop_columns" =>
+        val bad = Stats.nullCounts(df, df.columns.toSeq).filter(_._2 > 0).keys.toSeq
+        df.drop(bad: _*)
+      case "drop_columns_threshold" =>
+        // keep cols with >= int(threshold * nrows) non-null values
+        val counts = Stats.nullCounts(df, df.columns.toSeq)
+        val n = df.count()
+        val bad = counts.filter { case (_, nulls) =>
+          (n - nulls) < (threshold * n).toLong }.keys.toSeq
+        df.drop(bad: _*)
+      case "fill_mean"   => fillCentral(df, useMean = true)
+      case "fill_median" => fillCentral(df, useMean = false)
+      case "fill_mode"   => fillMode(df)
+      case "forward_fill"  => directionalFill(df, forward = true)
+      case "backward_fill" => directionalFill(df, forward = false)
+      case other => throw new IllegalArgumentException(
+        s"unknown missing_values strategy: $other")
+    }
+    OpResult(out, Seq(s"missing_values strategy=$strategy"))
+  }
+
+  /** fill_mean / fill_median: numeric → mean|median with the reference's
+    * fallback chain mean→median→0 (`missingValues.py:100-107`, `:131-134`);
+    * string → mode, "Unknown" when the column has no non-null value
+    * (`:115-116`). One stats job + one mode job + one projection. */
+  private def fillCentral(df: DataFrame, useMean: Boolean): DataFrame = {
+    val numCols = colsOfType(df, isNumeric)
+    val strCols = colsOfType(df, isString)
+    val stats = Stats.numeric(df, numCols)
+    val modes = Stats.modes(df, strCols)
+    val proj = df.columns.map { c =>
+      val dt = df.schema(c).dataType
+      if (numCols.contains(c)) {
+        val s = stats(c)
+        val v = (if (useMean) s.mean.orElse(s.median) else s.median).getOrElse(0.0)
+        coalesce(col(c), lit(v).cast(dt)).as(c)
+      } else if (strCols.contains(c)) {
+        val v = modes.get(c).map(_.toString).getOrElse("Unknown")
+        coalesce(col(c), lit(v)).as(c)
+      } else col(c)
+    }
+    df.select(proj.toSeq: _*)
+  }
+
+  /** fill_mode: every column → its mode (`missingValues.py:149-157`).
+    * String columns with no mode get "Unknown"; an all-null numeric column
+    * is left null (the reference would corrupt the dtype there). */
+  private def fillMode(df: DataFrame): DataFrame = {
+    val targets = df.columns.filter(c => isAtomic(df.schema(c).dataType)).toSeq
+    val modes = Stats.modes(df, targets)
+    val proj = df.columns.map { c =>
+      val dt = df.schema(c).dataType
+      if (!targets.contains(c)) col(c)
+      else modes.get(c) match {
+        case Some(v: Double) => coalesce(col(c), lit(v).cast(dt)).as(c)
+        case Some(v) => coalesce(col(c).cast(StringType), lit(v.toString)).cast(dt).as(c)
+        case None if dt == StringType => coalesce(col(c), lit("Unknown")).as(c)
+        case None => col(c)
+      }
+    }
+    df.select(proj.toSeq: _*)
+  }
+
+  /** forward_fill / backward_fill over an explicit order (SURVEY §2.5).
+    *
+    * Oracle-exact path: a global running `last(ignoreNulls)` window. The
+    * unpartitioned window is a deliberate trade at test scale; the 100 TB
+    * path is range-partition on `orderCol` + per-partition fill +
+    * a tiny (numPartitions-row) boundary fix-up join — same semantics,
+    * no single-task sort. See graft.plans.PartitionedFill.
+    */
+  private def directionalFill(df: DataFrame, forward: Boolean): DataFrame = {
+    val (ord, added) = orderCol match {
+      case Some(c) => (df, Seq.empty[String])
+      case None => (df.withColumn("__row_id", monotonically_increasing_id()),
+        Seq("__row_id"))
+    }
+    val key = orderCol.getOrElse("__row_id")
+    val base = Window.orderBy(col(key))
+    val proj = ord.columns.filterNot(added.contains).map { c =>
+      if (c == key || !isAtomic(ord.schema(c).dataType)) col(c)
+      else if (forward)
+        last(col(c), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, 0)).as(c)
+      else
+        first(col(c), ignoreNulls = true)
+          .over(base.rowsBetween(0, Window.unboundedFollowing)).as(c)
+    }
+    ord.select(proj.toSeq: _*)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Exprs._
+
+/** Normalization operator — 4 scaling methods
+  * (`/root/reference/methods/normalisation.py:22-208`, SURVEY.md §2.16).
+  *
+  * Semantics pinned to the sklearn scalers the reference delegates to:
+  *  - standard: (x-mean)/stddev_POP (ddof=0, sklearn StandardScaler);
+  *    zero variance → scale 1 (sklearn's `_handle_zeros_in_scale`)
+  *  - minmax:   (x-min)/(max-min)·(b-a)+a; zero range → scale 1
+  *  - robust:   (x-median)/(Q3-Q1); zero IQR → scale 1
+  *  - normalize: ROW-wise L2 across the numeric columns (sklearn
+  *    Normalizer); zero-norm rows left unchanged
+  *
+  * Pre-pass fills nulls with the column median (`normalisation.py:86-94`).
+  * One stats job + one projection, column-count independent.
+  */
+final case class Normalize(
+    method: String = "minmax",
+    featureRange: (Double, Double) = (0.0, 1.0),
+    withMean: Boolean = true,
+    withStd: Boolean = true,
+    columns: Seq[String] = Nil) extends Op {
+
+  val name = s"normalize:$method"
+
+  def apply(df: DataFrame): OpResult = {
+    val cols = if (columns.nonEmpty) columns else colsOfType(df, isNumeric)
+    if (cols.isEmpty) return OpResult(df, Seq("no numeric columns"))
+    val stats = Stats.numeric(df, cols)
+    // median pre-fill (normalisation.py:86-94)
+    def filled(c: String): Column =
+      coalesce(col(c).cast(DoubleType), lit(stats(c).median.getOrElse(0.0)))
+
+    def scaled(c: String): Column = method match {
+      case "standard" =>
+        val m = if (withMean) stats(c).mean.getOrElse(0.0) else 0.0
+        val sd = stats(c).stdPop.filter(_ != 0.0).getOrElse(1.0)
+        if (withStd) (filled(c) - lit(m)) / lit(sd) else filled(c) - lit(m)
+      case "minmax" =>
+        val (a, b) = featureRange
+        val lo = stats(c).min.getOrElse(0.0)
+        val range = (for (mx <- stats(c).max; mn <- stats(c).min) yield mx - mn)
+          .filter(_ != 0.0).getOrElse(1.0)
+        (filled(c) - lit(lo)) / lit(range) * lit(b - a) + lit(a)
+      case "robust" =>
+        val med = stats(c).median.getOrElse(0.0)
+        val iqr = (for (q3 <- stats(c).q3; q1 <- stats(c).q1) yield q3 - q1)
+          .filter(_ != 0.0).getOrElse(1.0)
+        (filled(c) - lit(med)) / lit(iqr)
+      case other => throw new IllegalArgumentException(s"unknown normalize method: $other")
+    }
+
+    val out =
+      if (method == "normalize") {
+        // row-wise L2 over the numeric vector; zero-norm rows unchanged
+        val norm = sqrt(cols.map(c => filled(c) * filled(c)).reduce(_ + _))
+        val proj = df.columns.map { c =>
+          if (cols.contains(c))
+            when(norm =!= 0.0, filled(c) / norm).otherwise(filled(c)).as(c)
+          else col(c)
+        }
+        df.select(proj.toSeq: _*)
+      } else {
+        val proj = df.columns.map(c => if (cols.contains(c)) scaled(c).as(c) else col(c))
+        df.select(proj.toSeq: _*)
+      }
+    OpResult(out, Seq(s"normalized method=$method cols=${cols.mkString(",")}"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Exprs._
+
+/** Statistics passes that parameterize transforms (fit/transform shape,
+  * SURVEY.md §3.1). The reference issues one eager pandas call per column
+  * (`df[col].mean()` etc.); here ALL per-column statistics for an operator
+  * are computed in a single `agg` job and re-injected as literals — the
+  * job count is bounded by the operator, not by the column count, which is
+  * what keeps a 1000-column 100 TB table at O(1) scans per operator.
+  */
+object Stats {
+
+  /** Per-column numeric summary. Population vs sample std both carried:
+    * sklearn scalers use ddof=0, pandas zscore uses ddof=1 (SURVEY §2.4 A5). */
+  final case class Num(
+      mean: Option[Double], median: Option[Double],
+      q1: Option[Double], q3: Option[Double],
+      stdSamp: Option[Double], stdPop: Option[Double],
+      min: Option[Double], max: Option[Double],
+      nNull: Long, n: Long)
+
+  /** ONE aggregation job over all `cols`. */
+  def numeric(df: DataFrame, cols: Seq[String]): Map[String, Num] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap { c =>
+      val d = col(c).cast(DoubleType)
+      Seq(
+        avg(d).as(s"${c}__mean"), pctl(d, 0.5).as(s"${c}__med"),
+        pctl(d, 0.25).as(s"${c}__q1"), pctl(d, 0.75).as(s"${c}__q3"),
+        stddev_samp(d).as(s"${c}__ssd"), stddev_pop(d).as(s"${c}__psd"),
+        min(d).as(s"${c}__min"), max(d).as(s"${c}__max"),
+        count(when(col(c).isNull, 1)).as(s"${c}__nn"),
+        count(lit(1)).as(s"${c}__n"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def get(n: String): Option[Double] = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) None else Some(row.getDouble(i))
+    }
+    cols.map { c =>
+      c -> Num(get(s"${c}__mean"), get(s"${c}__med"), get(s"${c}__q1"),
+        get(s"${c}__q3"), get(s"${c}__ssd"), get(s"${c}__psd"),
+        get(s"${c}__min"), get(s"${c}__max"),
+        row.getLong(row.fieldIndex(s"${c}__nn")),
+        row.getLong(row.fieldIndex(s"${c}__n")))
+    }.toMap
+  }
+
+  /** Median absolute deviation; needs the medians first (two-pass, SURVEY
+    * §2.4 A11). One extra agg job for all columns. */
+  def mad(df: DataFrame, medians: Map[String, Double]): Map[String, Double] = {
+    val cols = medians.keys.toSeq
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c =>
+      pctl(abs(col(c).cast(DoubleType) - lit(medians(c))), 0.5).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.flatMap { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
+    }.toMap
+  }
+
+  /** Per-column mode with the pandas tie-break: highest count, then
+    * SMALLEST value (`Series.mode()` returns sorted, `.iloc[0]` — SURVEY
+    * §2.4 A4). All requested columns of one type family share a single
+    * melt → groupBy → top-1 job: `explode(array(struct(name, value)))`,
+    * so the shuffle count does not grow with the column count.
+    * Tie-break ordering uses the NATIVE type (numeric asc / lexicographic
+    * asc) — two melt jobs at most.
+    */
+  def modes(df: DataFrame, cols: Seq[String]): Map[String, Any] = {
+    val numeric = cols.filter(c => isNumeric(df.schema(c).dataType))
+    val other = cols.filterNot(numeric.contains)
+    meltMode(df, numeric, DoubleType) ++ meltMode(df, other, StringType)
+  }
+
+  private def meltMode(df: DataFrame, cols: Seq[String], vt: DataType): Map[String, Any] = {
+    if (cols.isEmpty) return Map.empty
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast(vt).as("v"))): _*)).as("p"))
+      .select(col("p.c").as("c"), col("p.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("c", "v").count()
+    val w = Window.partitionBy("c").orderBy(desc("count"), asc("v"))
+    pairs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("c", "v").collect()
+      .map(r => r.getString(0) -> r.get(1)).toMap
+  }
+
+  /** Null count per column — one agg job. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.map(c => count(when(col(c).isNull, 1)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map(c => c -> row.getLong(row.fieldIndex(c))).toMap
+  }
+}

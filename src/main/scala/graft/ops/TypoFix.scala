@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.util.Exprs._
+
+/** Typo-fix operator — 3 methods
+  * (`/root/reference/methods/spellingFix.py:52-301`, SURVEY.md §2.15).
+  *
+  *  - common_typos: word-boundary, case-insensitive dictionary replacement
+  *    (`spellingFix.py:109-143`). Pure chained `regexp_replace` — one
+  *    codegen'd projection, embarrassingly parallel.
+  *  - fuzzy_match: the reference does O(distinct²) pairwise
+  *    SequenceMatcher over a column's distinct values and rewrites the
+  *    less-frequent of each similar pair to the more-frequent
+  *    (`spellingFix.py:145-199`). Distinct values + counts are ONE
+  *    aggregation; the pairwise pass runs on the driver over that (bounded,
+  *    guarded) dictionary; the rewrite is a broadcast-join of the
+  *    replacement map — the fact table never shuffles. The 100 TB path for
+  *    unbounded dictionaries is LSH blocking (graft.extensions.NearDup).
+  *  - spell_check: corpus vocabulary = words with frequency > 1 (fallback
+  *    top-50); rare words (len>2) are rewritten to the most similar vocab
+  *    word with ratio ≥ threshold and |Δlen| ≤ 2 (`spellingFix.py:201-268`).
+  *    Vocabulary and rare words come from one explode/groupBy job each;
+  *    the correction map is built on the driver and applied as chained
+  *    word-boundary replacements.
+  */
+final case class TypoFix(
+    method: String = "common_typos",
+    columns: Seq[String] = Nil,
+    customDict: Map[String, String] = Map.empty,
+    similarityThreshold: Double = 0.8,
+    maxDistinct: Int = 10000) extends Op {
+
+  val name = s"typo_fix:$method"
+
+  def apply(df: DataFrame): OpResult = {
+    val targets = if (columns.nonEmpty) columns else colsOfType(df, isString)
+    if (targets.isEmpty) return OpResult(df, Seq("no text columns"))
+    method match {
+      case "common_typos" =>
+        val dict = TypoFix.CommonTypos ++ customDict
+        val proj = df.columns.map { c =>
+          if (!targets.contains(c)) col(c)
+          else dict.toSeq.sortBy(_._1).foldLeft(col(c)) { case (acc, (typo, fix)) =>
+            regexp_replace(acc, s"(?i)\\b$typo\\b", fix) }.as(c)
+        }
+        OpResult(df.select(proj.toSeq: _*), Seq(s"common_typos over ${targets.mkString(",")}"))
+      case "fuzzy_match" => OpResult(targets.foldLeft(df)(fuzzyColumn),
+        Seq(s"fuzzy_match over ${targets.mkString(",")}"))
+      case "spell_check" => OpResult(targets.foldLeft(df)(spellCheckColumn),
+        Seq(s"spell_check over ${targets.mkString(",")}"))
+      case other => throw new IllegalArgumentException(s"unknown typo method: $other")
+    }
+  }
+
+  /** Rewrites similar distinct values to the more frequent spelling. */
+  private def fuzzyColumn(df: DataFrame, c: String): DataFrame = {
+    val counts = df.groupBy(col(c)).count()
+      .where(col(c).isNotNull).limit(maxDistinct + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.length > maxDistinct) return df // guard: not a categorical column
+    val repl = TypoFix.fuzzyReplacements(counts.toSeq, similarityThreshold)
+    applyReplacements(df, c, repl)
+  }
+
+  private def spellCheckColumn(df: DataFrame, c: String): DataFrame = {
+    val words = df.select(explode(split(lower(col(c).cast(StringType)), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").count()
+    val freq = words.orderBy(desc("count"), asc("w")).limit(maxDistinct)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val vocab = {
+      val v = freq.filter(_._2 > 1).map(_._1)
+      if (v.nonEmpty) v else freq.take(50).map(_._1)
+    }
+    val vocabSet = vocab.toSet
+    val corrections = freq.map(_._1)
+      .filter(w => w.length > 2 && !vocabSet.contains(w))
+      .flatMap { w =>
+        vocab.filter(v => math.abs(v.length - w.length) <= 2)
+          .map(v => (v, TypoFix.ratio(w, v)))
+          .filter(_._2 >= similarityThreshold)
+          .sortBy { case (v, r) => (-r, v) }
+          .headOption.map { case (v, _) => w -> v }
+      }.take(500)
+    corrections.foldLeft(df) { case (d, (typo, fix)) =>
+      d.withColumn(c, regexp_replace(col(c),
+        s"(?i)\\b${java.util.regex.Pattern.quote(typo)}\\b", fix))
+    }
+  }
+
+  /** Exact-value rewrite via broadcast map join (no fact-table shuffle). */
+  private def applyReplacements(df: DataFrame, c: String,
+      repl: Map[String, String]): DataFrame = {
+    if (repl.isEmpty) return df
+    val spark = df.sparkSession
+    import spark.implicits._
+    val map = repl.toSeq.toDF("__from", "__to")
+    df.join(broadcast(map), df(c) === col("__from"), "left")
+      .select(df.columns.map(n =>
+        if (n == c) coalesce(col("__to"), col(c)).as(c) else df(n)).toSeq: _*)
+  }
+}
+
+object TypoFix {
+  /** Built-in common-typo dictionary (generic English misspellings; the
+    * reference ships its own 26-entry dict, `spellingFix.py:22-50`). */
+  val CommonTypos: Map[String, String] = Map(
+    "teh" -> "the", "adress" -> "address", "recieve" -> "receive",
+    "seperate" -> "separate", "definately" -> "definitely",
+    "occured" -> "occurred", "untill" -> "until", "wich" -> "which",
+    "recomend" -> "recommend", "becuase" -> "because",
+    "accross" -> "across", "beleive" -> "believe", "concious" -> "conscious",
+    "enviroment" -> "environment", "goverment" -> "government",
+    "publically" -> "publicly", "tommorow" -> "tomorrow")
+
+  /** Pairwise pass over (value, count): for each similar pair, map the
+    * less-frequent value to the more-frequent one (ties: lexicographically
+    * smaller value wins as the target — deterministic). Length-difference
+    * >30% prefilter as in the reference (`spellingFix.py:172`). */
+  def fuzzyReplacements(counts: Seq[(String, Long)], threshold: Double): Map[String, String] = {
+    val repl = scala.collection.mutable.Map[String, String]()
+    val vs = counts.sortBy { case (v, n) => (-n, v) } // most frequent first
+    for (i <- vs.indices; j <- (i + 1) until vs.length) {
+      val (win, _) = vs(i)
+      val (lose, _) = vs(j)
+      val maxLen = math.max(win.length, lose.length)
+      if (maxLen > 0 && math.abs(win.length - lose.length).toDouble / maxLen <= 0.3
+          && !repl.contains(lose) && ratio(win.toLowerCase, lose.toLowerCase) >= threshold)
+        repl(lose) = win
+    }
+    repl.toMap
+  }
+
+  /** Ratcliff/Obershelp similarity (difflib `SequenceMatcher.ratio`
+    * semantics, without autojunk): 2·M / (|a|+|b|) where M counts matching
+    * chars from recursive longest-common-substring decomposition. */
+  def ratio(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    2.0 * matchCount(a, b) / (a.length + b.length)
+  }
+
+  private def matchCount(a: String, b: String): Int = {
+    if (a.isEmpty || b.isEmpty) return 0
+    // longest common substring (first-occurring on tie, like difflib)
+    var best = 0; var bi = 0; var bj = 0
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      var j = 1
+      while (j <= b.length) {
+        if (a.charAt(i - 1) == b.charAt(j - 1)) {
+          cur(j) = prev(j - 1) + 1
+          if (cur(j) > best) { best = cur(j); bi = i; bj = j }
+        } else cur(j) = 0
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, cur.length)
+      java.util.Arrays.fill(cur, 0)
+      i += 1
+    }
+    if (best == 0) 0
+    else best +
+      matchCount(a.substring(0, bi - best), b.substring(0, bj - best)) +
+      matchCount(a.substring(bi), b.substring(bj))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Expression helpers shared by all operators.
+  *
+  * Everything here is ANSI-mode-safe (Spark 4 defaults to
+  * `spark.sql.ansi.enabled=true`): casts that may fail are gated behind a
+  * validity predicate or routed through `try_*` functions, so the library
+  * behaves identically regardless of the session's ANSI setting and never
+  * throws on dirty data — matching the reference's `errors='coerce'`
+  * posture (`/root/reference/methods/dataTypeConversion.py:52-58`).
+  */
+object Exprs {
+
+  /** Strict decimal/scientific literal; what `pandas.to_numeric` accepts. */
+  val NumericRegex = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+
+  /** Null-on-failure string→double (regex-gated so ANSI cast never fires
+    * on an unparseable value; `when` branches evaluate lazily per row). */
+  def tryDouble(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    when(t.rlike(NumericRegex), t.cast(DoubleType))
+  }
+
+  /** Null-on-failure string→long (integral strings only). */
+  def tryLong(c: Column): Column = {
+    val t = trim(c.cast(StringType))
+    when(t.rlike("^[+-]?\\d+$"), t.cast(LongType))
+  }
+
+  /** Null-on-failure timestamp parse with an explicit pattern
+    * (`try_to_timestamp` is a registered SQL function in Spark 3.5+). */
+  def tryTimestamp(c: Column, pattern: String): Column =
+    call_function("try_to_timestamp", c, lit(pattern))
+
+  /** Multi-format timestamp parse: first pattern that succeeds wins.
+    * Spark-side stand-in for pandas' per-value format inference
+    * (`/root/reference/methods/dateTimeParsing.py:20`); divergence noted in
+    * SURVEY.md §7.5(4). */
+  def tryTimestampChain(c: Column, patterns: Seq[String]): Column =
+    coalesce(patterns.map(p => tryTimestamp(c, p)): _*)
+
+  /** IEEE-safe division: null (not error/Infinity) when denominator is 0. */
+  def safeDiv(num: Column, den: Column): Column =
+    when(den =!= lit(0.0), num / den)
+
+  /** ±Infinity → null (numeric sanitizer building block,
+    * `/root/reference/pipeline.py:83`). */
+  def infToNull(c: Column): Column =
+    when(c === Double.PositiveInfinity || c === Double.NegativeInfinity, lit(null)).otherwise(c)
+
+  /** Column names of a frame having one of the given type classes. */
+  def colsOfType(df: DataFrame, pred: DataType => Boolean): Seq[String] =
+    df.schema.fields.filter(f => pred(f.dataType)).map(_.name).toSeq
+
+  def isNumeric(dt: DataType): Boolean = dt.isInstanceOf[NumericType]
+  def isString(dt: DataType): Boolean = dt == StringType
+  def isAtomic(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+    case _ => true
+  }
+
+  /** Exact interpolating percentile (pandas/duckdb `quantile_cont`
+    * semantics). Exact by design for oracle parity — `percentile_approx`
+    * is the documented 100 TB switch (SURVEY.md §4.2). */
+  def pctl(c: Column, p: Double): Column =
+    call_function("percentile", c, lit(p))
+}
