@@ -103,7 +103,7 @@ object SparkEntry {
     "q_outlier_zscore_remove" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      Outliers("zscore", "remove", 2.0,
+      Outliers("zscore", "remove", 1.5,
         columns = Seq("l_quantity", "l_extendedprice"))(li).df
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
@@ -262,8 +262,8 @@ object SparkEntry {
         |           FROM lineitem)
         |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem, s
-        |WHERE NOT ((l_quantity IS NOT NULL AND (l_quantity < mq - 2.0*sq OR l_quantity > mq + 2.0*sq))
-        |        OR (l_extendedprice IS NOT NULL AND (l_extendedprice < me - 2.0*se OR l_extendedprice > me + 2.0*se)))
+        |WHERE NOT ((l_quantity IS NOT NULL AND (l_quantity < mq - 1.5*sq OR l_quantity > mq + 1.5*sq))
+        |        OR (l_extendedprice IS NOT NULL AND (l_extendedprice < me - 1.5*se OR l_extendedprice > me + 1.5*se)))
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
 
     "q_typeconvert_auto" ->

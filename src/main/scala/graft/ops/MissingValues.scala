@@ -33,12 +33,11 @@ final case class MissingValues(
       case "drop_rows_threshold" =>
         df.na.drop(minNonNulls = (threshold * df.columns.length).toInt)
       case "drop_columns" =>
-        val bad = Stats.nullCounts(df, df.columns.toSeq).filter(_._2 > 0).keys.toSeq
-        df.drop(bad: _*)
+        val (counts, _) = Stats.nullCounts(df, df.columns.toSeq)
+        df.drop(counts.filter(_._2 > 0).keys.toSeq: _*)
       case "drop_columns_threshold" =>
         // keep cols with >= int(threshold * nrows) non-null values
-        val counts = Stats.nullCounts(df, df.columns.toSeq)
-        val n = df.count()
+        val (counts, n) = Stats.nullCounts(df, df.columns.toSeq)
         val bad = counts.filter { case (_, nulls) =>
           (n - nulls) < (threshold * n).toLong }.keys.toSeq
         df.drop(bad: _*)
@@ -60,7 +59,8 @@ final case class MissingValues(
   private def fillCentral(df: DataFrame, useMean: Boolean): DataFrame = {
     val numCols = colsOfType(df, isNumeric)
     val strCols = colsOfType(df, isString)
-    val stats = Stats.numeric(df, numCols)
+    val stats = Stats.numeric(df, numCols,
+      Stats.Need(moments = useMean, median = true))
     val modes = Stats.modes(df, strCols)
     val proj = df.columns.map { c =>
       val dt = df.schema(c).dataType

@@ -31,7 +31,12 @@ final case class Normalize(
   def apply(df: DataFrame): OpResult = {
     val cols = if (columns.nonEmpty) columns else colsOfType(df, isNumeric)
     if (cols.isEmpty) return OpResult(df, Seq("no numeric columns"))
-    val stats = Stats.numeric(df, cols)
+    val stats = Stats.numeric(df, cols, method match {
+      case "standard" => Stats.Need(moments = true, median = true)
+      case "minmax" => Stats.Need(extremes = true, median = true)
+      case "robust" => Stats.Need(quantiles = true)
+      case _ => Stats.Need(median = true)
+    })
     // median pre-fill (normalisation.py:86-94)
     def filled(c: String): Column =
       coalesce(col(c).cast(DoubleType), lit(stats(c).median.getOrElse(0.0)))

@@ -77,20 +77,21 @@ final case class Outliers(
 
   /** Per-column (lower, upper) inlier bounds; degenerate columns omitted. */
   def computeBounds(df: DataFrame, cols: Seq[String]): Map[String, (Double, Double)] = {
-    val stats = Stats.numeric(df, cols)
+    def stats(need: Stats.Need) = Stats.numeric(df, cols, need)
     method match {
       case "iqr" =>
-        stats.flatMap { case (c, s) =>
+        stats(Stats.Need(quantiles = true)).flatMap { case (c, s) =>
           for (q1 <- s.q1; q3 <- s.q3; iqr = q3 - q1 if iqr != 0.0)
             yield c -> (q1 - threshold * iqr, q3 + threshold * iqr)
         }
       case "zscore" =>
-        stats.flatMap { case (c, s) =>
+        stats(Stats.Need(moments = true)).flatMap { case (c, s) =>
           for (m <- s.mean; sd <- s.stdSamp if sd != 0.0)
             yield c -> (m - threshold * sd, m + threshold * sd)
         }
       case "modified_zscore" =>
-        val medians = stats.collect { case (c, s) if s.median.isDefined => c -> s.median.get }
+        val medians = stats(Stats.Need(median = true))
+          .collect { case (c, s) if s.median.isDefined => c -> s.median.get }
         val mads = Stats.mad(df, medians)
         medians.flatMap { case (c, med) =>
           mads.get(c).filter(_ != 0.0).map { mad =>
@@ -99,7 +100,8 @@ final case class Outliers(
           }
         }
       case "isolation_forest" =>
-        val medians = stats.collect { case (c, s) if s.median.isDefined => c -> s.median.get }
+        val medians = stats(Stats.Need(median = true))
+          .collect { case (c, s) if s.median.isDefined => c -> s.median.get }
         if (medians.isEmpty) Map.empty
         else {
           val aggs = medians.keys.toSeq.map(c =>

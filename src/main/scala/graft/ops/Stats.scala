@@ -12,8 +12,21 @@ import graft.util.Exprs._
   * are computed in a single `agg` job and re-injected as literals — the
   * job count is bounded by the operator, not by the column count, which is
   * what keeps a 1000-column 100 TB table at O(1) scans per operator.
+  *
+  * Statistics are NEED-based: exact `percentile` is an object-hash
+  * aggregate holding a value→count map per column, so an operator that
+  * only needs mean/std must not pay for three quantile buffers. All
+  * requested quantiles of a column share ONE buffer via
+  * `percentile(col, array(...))`.
   */
 object Stats {
+
+  /** What an operator needs; drives which aggregate buffers are built. */
+  final case class Need(
+      moments: Boolean = false,   // mean, stddev_samp, stddev_pop
+      extremes: Boolean = false,  // min, max
+      quantiles: Boolean = false, // q1, median, q3 (one shared buffer)
+      median: Boolean = false)    // median only
 
   /** Per-column numeric summary. Population vs sample std both carried:
     * sklearn scalers use ddof=0, pandas zscore uses ddof=1 (SURVEY §2.4 A5). */
@@ -24,30 +37,49 @@ object Stats {
       min: Option[Double], max: Option[Double],
       nNull: Long, n: Long)
 
-  /** ONE aggregation job over all `cols`. */
-  def numeric(df: DataFrame, cols: Seq[String]): Map[String, Num] = {
+  /** ONE aggregation job over all `cols`, computing only what `need` asks. */
+  def numeric(df: DataFrame, cols: Seq[String], need: Need): Map[String, Num] = {
     if (cols.isEmpty) return Map.empty
-    val aggs = cols.flatMap { c =>
+    val wantQ = need.quantiles
+    val wantMed = need.median || wantQ
+    val pcts = if (wantQ) Seq(0.25, 0.5, 0.75) else Seq(0.5)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
-      Seq(
-        avg(d).as(s"${c}__mean"), pctl(d, 0.5).as(s"${c}__med"),
-        pctl(d, 0.25).as(s"${c}__q1"), pctl(d, 0.75).as(s"${c}__q3"),
-        stddev_samp(d).as(s"${c}__ssd"), stddev_pop(d).as(s"${c}__psd"),
-        min(d).as(s"${c}__min"), max(d).as(s"${c}__max"),
-        count(when(col(c).isNull, 1)).as(s"${c}__nn"),
-        count(lit(1)).as(s"${c}__n"))
+      Seq(count(d).as(s"${c}__nn")) ++
+        (if (need.moments) Seq(avg(d).as(s"${c}__mean"),
+          stddev_samp(d).as(s"${c}__ssd"), stddev_pop(d).as(s"${c}__psd"))
+         else Nil) ++
+        (if (need.extremes) Seq(min(d).as(s"${c}__min"), max(d).as(s"${c}__max"))
+         else Nil) ++
+        (if (wantMed) Seq(call_function("percentile", d,
+          array(pcts.map(lit): _*)).as(s"${c}__pct")) else Nil)
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(row.fieldIndex("__n"))
     def get(n: String): Option[Double] = {
       val i = row.fieldIndex(n)
       if (row.isNullAt(i)) None else Some(row.getDouble(i))
     }
     cols.map { c =>
-      c -> Num(get(s"${c}__mean"), get(s"${c}__med"), get(s"${c}__q1"),
-        get(s"${c}__q3"), get(s"${c}__ssd"), get(s"${c}__psd"),
-        get(s"${c}__min"), get(s"${c}__max"),
-        row.getLong(row.fieldIndex(s"${c}__nn")),
-        row.getLong(row.fieldIndex(s"${c}__n")))
+      val pct: Seq[Option[Double]] =
+        if (!wantMed) Nil
+        else {
+          val i = row.fieldIndex(s"${c}__pct")
+          if (row.isNullAt(i)) pcts.map(_ => None)
+          else row.getSeq[Double](i).map(Option(_))
+        }
+      val (q1, med, q3) =
+        if (wantQ) (pct(0), pct(1), pct(2))
+        else if (wantMed) (None, pct(0), None)
+        else (None, None, None)
+      val nonNull = row.getLong(row.fieldIndex(s"${c}__nn"))
+      c -> Num(
+        if (need.moments) get(s"${c}__mean") else None, med, q1, q3,
+        if (need.moments) get(s"${c}__ssd") else None,
+        if (need.moments) get(s"${c}__psd") else None,
+        if (need.extremes) get(s"${c}__min") else None,
+        if (need.extremes) get(s"${c}__max") else None,
+        total - nonNull, total)
     }.toMap
   }
 
@@ -92,11 +124,13 @@ object Stats {
       .map(r => r.getString(0) -> r.get(1)).toMap
   }
 
-  /** Null count per column — one agg job. */
-  def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
-    if (cols.isEmpty) return Map.empty
-    val aggs = cols.map(c => count(when(col(c).isNull, 1)).as(c))
+  /** Null count per column + total row count — one agg job. */
+  def nullCounts(df: DataFrame, cols: Seq[String]): (Map[String, Long], Long) = {
+    if (cols.isEmpty) return (Map.empty, df.count())
+    val aggs = cols.map(c => count(when(col(c).isNull, 1)).as(c)) :+
+      count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.map(c => c -> row.getLong(row.fieldIndex(c))).toMap
+    (cols.map(c => c -> row.getLong(row.fieldIndex(c))).toMap,
+      row.getLong(row.fieldIndex("__n")))
   }
 }

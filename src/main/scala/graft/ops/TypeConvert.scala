@@ -41,27 +41,66 @@ final case class TypeConvert(
     val strCols = colsOfType(manualDf, isString).filterNot(manual.contains)
     if (strCols.isEmpty) return OpResult(manualDf, Seq("no string columns to detect"))
 
-    // job 1: parse ratios + cardinality for every string column at once
-    val aggs = strCols.flatMap { c =>
+    // job 1: parse ratios + cardinality for every string column at once.
+    // Datetime detection is two-phase: a cheap shape regex here (every
+    // pattern in the format chain matches it), the expensive multi-format
+    // parse only over surviving candidates (job 1b, usually zero columns).
+    // approx_count_distinct instead of countDistinct: exact at the small
+    // cardinalities the thresholds care about, and avoids the Expand
+    // operator a multi-countDistinct agg would force over the whole scan.
+    // Two-layer shape — a flags projection (regexes evaluated ONCE each,
+    // in a small generated method) feeding trivial sum aggregates — keeps
+    // each whole-stage-codegen unit small: one flat 18-aggregate expression
+    // with inline regexes costs ~1 min of Janino compilation before the
+    // first row flows.
+    val flagCols = strCols.flatMap { c =>
       val s = trim(col(c).cast(StringType))
+      def flag(cond: Column): Column = when(col(c).isNotNull && cond, 1L).otherwise(0L)
       Seq(
-        count(col(c)).as(s"${c}__n"),
-        count(when(s.rlike(NumericRegex), 1)).as(s"${c}__num"),
-        count(when(s.rlike("^[+-]?\\d+$"), 1)).as(s"${c}__int"),
-        count(when(tryTimestampChain(s, datetimeFormats).isNotNull, 1)).as(s"${c}__dt"),
-        countDistinct(col(c)).as(s"${c}__card"),
-        count(when(lower(s).isin(TypeConvert.BoolTokens: _*), 1)).as(s"${c}__bool"))
+        col(c).isNotNull.cast(LongType).as(s"${c}__n"),
+        flag(s.rlike(NumericRegex)).as(s"${c}__num"),
+        flag(s.rlike("^[+-]?\\d+$")).as(s"${c}__int"),
+        flag(s.rlike(TypeConvert.DatetimeShapeRegex)).as(s"${c}__dtc"),
+        flag(lower(s).isin(TypeConvert.BoolTokens: _*)).as(s"${c}__bool")) :+
+        col(c).as(s"${c}__v")
     }
-    val row = manualDf.agg(aggs.head, aggs.tail: _*).head()
-    def l(n: String): Long = row.getLong(row.fieldIndex(n))
+    val flags = manualDf.select(flagCols: _*)
+    val aggs = strCols.flatMap { c => Seq(
+      sum(col(s"${c}__n")).as(s"${c}__n"),
+      sum(col(s"${c}__num")).as(s"${c}__num"),
+      sum(col(s"${c}__int")).as(s"${c}__int"),
+      sum(col(s"${c}__dtc")).as(s"${c}__dtc"),
+      approx_count_distinct(col(s"${c}__v")).as(s"${c}__card"))
+    } ++ strCols.map(c => sum(col(s"${c}__bool")).as(s"${c}__bool"))
+    val row = flags.agg(aggs.head, aggs.tail: _*).head()
+    def l(n: String): Long = {
+      val i = row.fieldIndex(n)
+      if (row.isNullAt(i)) 0L else row.getLong(i) // sum over 0 rows is null
+    }
 
-    val nRows = manualDf.count()
+    // job 1b (only when shape-plausible): true parse ratio via the chain
+    // the shape gate only applies to the default formats it was built for
+    val gated = datetimeFormats == TypeConvert.DefaultFormats
+    val dtCandidates = strCols.filter { c =>
+      val n = l(s"${c}__n")
+      n > 0 && l(s"${c}__num") <= 0.7 * n &&
+        (!gated || l(s"${c}__dtc") > 0.5 * n)
+    }
+    val dtParsed: Map[String, Long] =
+      if (dtCandidates.isEmpty) Map.empty
+      else {
+        val a = dtCandidates.map(c => count(when(tryTimestampChain(
+          trim(col(c).cast(StringType)), datetimeFormats).isNotNull, 1)).as(c))
+        val r = manualDf.agg(a.head, a.tail: _*).head()
+        dtCandidates.map(c => c -> r.getLong(r.fieldIndex(c))).toMap
+      }
+
     val decisions: Map[String, String] = strCols.flatMap { c =>
       val n = l(s"${c}__n")
       if (n == 0) None
       else if (l(s"${c}__num") > 0.7 * n)
         Some(c -> (if (l(s"${c}__int") == l(s"${c}__num")) "long" else "double"))
-      else if (l(s"${c}__dt") > 0.5 * n) Some(c -> "datetime")
+      else if (dtParsed.getOrElse(c, 0L) > 0.5 * n) Some(c -> "datetime")
       else if (l(s"${c}__bool") == n && l(s"${c}__card") > 1 && l(s"${c}__card") <= 16)
         Some(c -> "boolcand")
       else if (l(s"${c}__card") < 0.5 * n && l(s"${c}__card") < 100)
@@ -107,6 +146,12 @@ object TypeConvert {
   val DefaultFormats: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd", "yyyy/MM/dd",
     "MM/dd/yyyy HH:mm", "MM/dd/yyyy", "dd-MM-yyyy")
+
+  /** Cheap necessary condition for every pattern in [[DefaultFormats]]:
+    * three 1-4 digit groups joined by - or /. Gates the expensive
+    * multi-format parse scan. */
+  val DatetimeShapeRegex: String =
+    "^\\d{1,4}[-/]\\d{1,2}[-/]\\d{1,4}([ T].*)?$"
   val TrueTokens = Seq("true", "1", "yes", "y", "t")
   val FalseTokens = Seq("false", "0", "no", "n", "f")
   val BoolTokens: Seq[String] = TrueTokens ++ FalseTokens

@@ -31,10 +31,37 @@ object Exprs {
     when(t.rlike("^[+-]?\\d+$"), t.cast(LongType))
   }
 
+  /** Shape regex for a datetime pattern: lets us skip the parser (whose
+    * failure path is a thrown-and-caught exception per value — the hot-loop
+    * killer in a multi-format chain) unless the value plausibly matches.
+    * Conservative: unknown pattern letters yield None → ungated parse. */
+  def patternShapeRegex(pattern: String): Option[String] = {
+    val known = Map('y' -> "\\d", 'M' -> "\\d", 'd' -> "\\d", 'H' -> "\\d",
+      'h' -> "\\d", 'm' -> "\\d", 's' -> "\\d", 'S' -> "\\d")
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < pattern.length) {
+      val ch = pattern.charAt(i)
+      if (known.contains(ch)) sb.append(known(ch))
+      else if ("\\.[]{}()*+-?^$|/ :".contains(ch))
+        sb.append(java.util.regex.Pattern.quote(ch.toString))
+      else return None
+      i += 1
+    }
+    Some(sb.append("$").toString)
+  }
+
   /** Null-on-failure timestamp parse with an explicit pattern
-    * (`try_to_timestamp` is a registered SQL function in Spark 3.5+). */
-  def tryTimestamp(c: Column, pattern: String): Column =
-    call_function("try_to_timestamp", c, lit(pattern))
+    * (`try_to_timestamp` is a registered SQL function in Spark 3.5+),
+    * regex-gated so the exception path only fires on shape-matching but
+    * semantically invalid values (e.g. month 13). */
+  def tryTimestamp(c: Column, pattern: String): Column = {
+    val parsed = call_function("try_to_timestamp", c, lit(pattern))
+    patternShapeRegex(pattern) match {
+      case Some(re) => when(c.rlike(re), parsed)
+      case None => parsed
+    }
+  }
 
   /** Multi-format timestamp parse: first pattern that succeeds wins.
     * Spark-side stand-in for pandas' per-value format inference
