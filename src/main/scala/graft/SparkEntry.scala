@@ -193,6 +193,99 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
+    // §2.9 fill_mode (every column → its mode, pandas tie-break)
+    "q_missing_fill_mode" -> ((s, dir) =>
+      MissingValues("fill_mode")(dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.9 drop_columns (any null → column dropped)
+    "q_missing_drop_columns" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal"))
+          .as("c_acctbal"),
+        col("c_mktsegment"))
+      MissingValues("drop_columns")(c).df.orderBy("c_custkey")
+    }),
+
+    // §2.9 forward_fill over explicit order
+    "q_missing_ffill" -> ((s, dir) =>
+      MissingValues("forward_fill", orderCol = Some("c_custkey"))(
+        dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.9 backward_fill over explicit order
+    "q_missing_bfill" -> ((s, dir) =>
+      MissingValues("backward_fill", orderCol = Some("c_custkey"))(
+        dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.10 modified zscore (MAD) cap
+    "q_outlier_modz_cap" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+      Outliers("modified_zscore", "cap", 1.0,
+        columns = Seq("l_extendedprice"))(li).df
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          round(col("l_extendedprice"), 6).as("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
+    }),
+
+    // §2.10 isolation-forest proxy (contamination-quantile) remove
+    "q_outlier_iforest_remove" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      Outliers("isolation_forest", "remove", contamination = 0.1,
+        columns = Seq("l_quantity", "l_extendedprice"))(li).df
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    }),
+
+    // §2.10 log1p transform of outlier-bearing columns
+    "q_outlier_log_transform" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      Outliers("zscore", "transform", 1.5, columns = Seq("l_quantity"))(li).df
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // §2.16 robust scaling (median/IQR)
+    "q_normalize_robust" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select("c_custkey", "c_acctbal")
+      Normalize("robust", columns = Seq("c_acctbal"))(c).df
+        .select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.15 fuzzy match: misspellings rewritten to the frequent spelling
+    "q_typofix_fuzzy" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 17 === 0, lit("AUTOMOBIL"))
+          .when(col("c_custkey") % 23 === 0, lit("BULDING"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      TypoFix("fuzzy_match", similarityThreshold = 0.8)(c).df
+        .orderBy("c_custkey")
+    }),
+
+    // §2.15 corpus spell check (driver-side vocabulary; rows-only oracle)
+    "q_typofix_spell" -> ((s, dir) => {
+      // typos on ONE doc only: corpus frequency must stay 1 (freq>1 words
+      // are vocabulary, i.e. treated as correct — spellingFix.py:209-229)
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0,
+          concat(col("text"), lit(" spakr qurey tabel"))).otherwise(col("text"))
+          .as("text"))
+      TypoFix("spell_check", similarityThreshold = 0.7)(d).df.orderBy("doc_id")
+    }),
+
+    // §2.0 pipeline end-to-end incl. the P2 inter-stage sanitizer quirk:
+    // nulls are median-filled by the sanitizer BEFORE any op runs
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val (out, _) = Pipeline.run(dirtyCustomer(s, dir), PipelineConfig(
+        dedup = true,
+        normalize = Some(Normalize("minmax", columns = Seq("c_acctbal")))))
+      out.select(col("c_custkey"), round(col("c_acctbal"), 6).as("c_acctbal"),
+        col("c_mktsegment")).orderBy("c_custkey")
+    }),
+
     // §2.1 S4 dataset profiler (sentinel-missing heuristics)
     "q_profile" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(
@@ -351,6 +444,86 @@ object SparkEntry {
         | round(l_extendedprice / sqrt(l_quantity*l_quantity + l_extendedprice*l_extendedprice), 6) AS l_extendedprice
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_missing_fill_mode" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | COALESCE(c_acctbal, (SELECT c_acctbal FROM t WHERE c_acctbal IS NOT NULL
+         |   GROUP BY c_acctbal ORDER BY count(*) DESC, c_acctbal LIMIT 1)) AS c_acctbal,
+         | COALESCE(c_mktsegment, $modeSegSql) AS c_mktsegment
+         |FROM t ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_drop_columns" ->
+      """SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey""",
+
+    "q_missing_ffill" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | last_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,
+         | last_value(c_mktsegment IGNORE NULLS) OVER w AS c_mktsegment
+         |FROM t
+         |WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_bfill" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | first_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,
+         | first_value(c_mktsegment IGNORE NULLS) OVER w AS c_mktsegment
+         |FROM t
+         |WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_outlier_modz_cap" ->
+      """WITH m AS (SELECT quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem),
+        |     d AS (SELECT quantile_cont(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m)
+        |SELECT l_orderkey, l_linenumber, l_partkey,
+        | round(CASE WHEN l_extendedprice < med - 1.0*mad/0.6745 THEN med - 1.0*mad/0.6745
+        |            WHEN l_extendedprice > med + 1.0*mad/0.6745 THEN med + 1.0*mad/0.6745
+        |            ELSE l_extendedprice END, 6) AS l_extendedprice
+        |FROM lineitem, m, d
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_extendedprice""".stripMargin,
+
+    "q_outlier_iforest_remove" ->
+      """WITH mq AS (SELECT quantile_cont(l_quantity, 0.5) AS m FROM lineitem),
+        |     me AS (SELECT quantile_cont(l_extendedprice, 0.5) AS m FROM lineitem),
+        |     dq AS (SELECT quantile_cont(abs(l_quantity - mq.m), 0.9) AS d FROM lineitem, mq),
+        |     de AS (SELECT quantile_cont(abs(l_extendedprice - me.m), 0.9) AS d FROM lineitem, me)
+        |SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem, mq, me, dq, de
+        |WHERE NOT ((l_quantity IS NOT NULL AND (l_quantity < mq.m - dq.d OR l_quantity > mq.m + dq.d))
+        |        OR (l_extendedprice IS NOT NULL AND (l_extendedprice < me.m - de.d OR l_extendedprice > me.m + de.d)))
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
+
+    "q_outlier_log_transform" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(CASE WHEN l_quantity > 0 THEN ln(1.0 + l_quantity) ELSE l_quantity END, 6) AS l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_normalize_robust" ->
+      """WITH s AS (SELECT quantile_cont(c_acctbal, 0.5) AS med,
+        |                  quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25) AS iqr
+        |           FROM customer)
+        |SELECT c_custkey, round((c_acctbal - med) / iqr, 6) AS c_acctbal
+        |FROM customer, s ORDER BY c_custkey""".stripMargin,
+
+    "q_typofix_fuzzy" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 17 = 0 THEN 'AUTOMOBILE'
+        |      WHEN c_custkey % 23 = 0 THEN 'BUILDING'
+        |      ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_pipeline_e2e" ->
+      s"""WITH t AS ($dirtyCustomerSql),
+         | med AS (SELECT quantile_cont(c_acctbal, 0.5) AS m FROM t),
+         | f AS (SELECT c_custkey, COALESCE(c_acctbal, m) AS b,
+         |         COALESCE(c_mktsegment, '') AS c_mktsegment FROM t, med),
+         | mm AS (SELECT min(b) AS lo, max(b) AS hi FROM f)
+         |SELECT c_custkey, round((b - lo) / (hi - lo) * 1.0 + 0.0, 6) AS c_acctbal,
+         | c_mktsegment
+         |FROM f, mm ORDER BY c_custkey""".stripMargin,
 
     "q_profile" -> {
       val sentinels = Profile.Sentinels.map(s => s"'$s'").mkString(", ")
