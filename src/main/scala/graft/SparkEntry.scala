@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.ops._
+import graft.text.TextAnalysis
+import graft.dedup.NearDup
+import graft.sim.Similarity
+import graft.streaming.Events
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -297,7 +302,142 @@ object SparkEntry {
           .as("c_acctbal"),
         col("c_mktsegment"))
       Profile.asDataFrame(c).orderBy("column_name")
-    })
+    }),
+
+    // ---- LLM-pipeline extensions (SURVEY.md §7.6) ----------------------
+
+    // text analysis: token/char counts + ratios
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.charCount(t).as("n_chars"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
+        round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"),
+        round(TextAnalysis.alphaRatio(t), 6).as("alpha_ratio"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // text quality scoring
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextAnalysis.qualityScore(t), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // language identification (function-word vote + CJK share)
+    "q_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id")),
+
+    // language distribution (group-by aggregation surface)
+    "q_lang_dist" -> ((s, dir) =>
+      tbl(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+        .orderBy("lang")),
+
+    // content fingerprint (normalization-robust exact-dup key)
+    "q_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+
+    // deterministic exact dedup by fingerprint (keep smallest id)
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val copy = d.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      NearDup.exactDedup(d.unionAll(copy), "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // n-gram (5-shingle) Jaccard similarity of consecutive doc pairs
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"),
+        NearDup.shingles(col("text")).as("sh_a"))
+      val b = d.select(col("doc_id").as("id_b"),
+        NearDup.shingles(col("text")).as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(NearDup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // MinHash-LSH near-dup pairs (planted near-dups: last word dropped)
+    "q_neardup_minhash" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+      NearDup.minhashPairs(d.unionAll(mutated), "text", "doc_id",
+        threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash: planted near-dup pairs differ in few of 64 bits
+    "q_simhash" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        NearDup.simhash(col("text")).as("sh"))
+      val mutated = tbl(s, dir, "documents").select(col("doc_id"),
+        NearDup.simhash(regexp_replace(col("text"), "\\s+\\S+$", "")).as("sh_mut"))
+      d.join(mutated, "doc_id")
+        .select(col("doc_id"), col("sh"),
+          bit_count(col("sh").bitwiseXOR(col("sh_mut"))).cast(LongType)
+            .as("hamming_to_neardup"))
+        .orderBy("doc_id")
+    }),
+
+    // embedding cosine between consecutive vectors (exact, double fold)
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("id_a"),
+        Similarity.toDoubleArr(col("embedding")).as("va"))
+      val b = e.select(col("vec_id").as("id_b"),
+        Similarity.toDoubleArr(col("embedding")).as("vb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+        .orderBy("id_a")
+    }),
+
+    // brute-force cosine top-10 for the first 5 vectors (exact ANN baseline)
+    "q_ann_topk" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") < 5), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN (approximate; compared to brute force in tests)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10, dim = 64,
+        planes = 32, bands = 8)
+        .orderBy("query_id", "rank")
+    }),
+
+    // tumbling 1h event-time windows
+    "q_events_window" -> ((s, dir) =>
+      Events.tumblingStats(Events.load(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    // session assignment by inactivity gap
+    "q_events_sessionize" -> ((s, dir) =>
+      Events.sessionize(Events.load(s, dir))
+        .orderBy("user_id", "session_id")),
+
+    // multimodal: binary content + byte-level features (decode is stubbed)
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.byteFeatures(Multimodal.asMedia(
+        tbl(s, dir, "documents"), "text"))
+        .select("doc_id", "byte_len", "content_sha").orderBy("doc_id")),
+
+    // multimodal stub feature extraction (deterministic fake decoder)
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.stubDecodeFeatures(Multimodal.asMedia(
+        tbl(s, dir, "documents"), "text"))
+        .select("doc_id", "features").orderBy("doc_id"))
   )
 
   // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
@@ -311,7 +451,142 @@ object SparkEntry {
         s"regexp_replace($acc, '(?i)\\b$typo\\b', '$fix', 'g')"
     }
 
+  /** DuckDB list literal of a string seq. */
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of TextAnalysis.tokens/tokenCount as SQL fragments. */
+  private val tokCountSql =
+    "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " +
+      "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) END"
+  private val distinctToksSql =
+    "CASE WHEN len(trim(text)) = 0 THEN [] ELSE " +
+      "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) END"
+  private def shingleSql(expr: String): String =
+    s"CASE WHEN len($expr) >= 5 THEN list_distinct(list_transform(" +
+      s"range(1, len($expr) - 3), i -> substr($expr, i, 5))) " +
+      "ELSE CAST([] AS VARCHAR[]) END"
+  private val normTextSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val cosSql =
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
   def oracleSql: Map[String, String] = Map(
+
+    "q_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokCountSql AS n_tokens FROM documents)
+         |SELECT doc_id,
+         | CAST(len(text) AS BIGINT) AS n_chars,
+         | n_tokens,
+         | CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+         | CASE WHEN n_tokens > 0 THEN round(CAST(len(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / n_tokens, 6) END AS avg_token_len,
+         | CASE WHEN len(text) > 0 THEN round(CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(text), 6) END AS alpha_ratio,
+         | CASE WHEN len(text) > 0 THEN round(CAST(len(text) - len(translate(text, '$punctSql', '')) AS DOUBLE) / len(text), 6) END AS punct_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" -> {
+      val stop = sqlList(graft.text.TextAnalysis.StopEn)
+      s"""WITH t AS (SELECT doc_id, text, $tokCountSql AS n_tokens,
+         |  $distinctToksSql AS toks FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_intersect(toks, $stop)) AS DOUBLE) / len(toks) END AS stop_ratio,
+         |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(text) END AS alpha,
+         |  CASE WHEN len(text) > 0 THEN CAST(len(text) - len(translate(text, '$punctSql', '')) AS DOUBLE) / len(text) END AS punct
+         |  FROM t)
+         |SELECT doc_id, round(stop_ratio, 6) AS stopword_ratio,
+         | round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.25
+         |   + COALESCE(alpha, 0.0) * 0.35
+         |   + least(1.0, COALESCE(stop_ratio, 0.0) * 4.0) * 0.25
+         |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      import graft.text.TextAnalysis._
+      s"""WITH t AS (SELECT doc_id, lang, text, $distinctToksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / len(text) ELSE 0.0 END AS cjk,
+         |  len(list_intersect(toks, ${sqlList(StopDe)})) AS s_de,
+         |  len(list_intersect(toks, ${sqlList(StopEn)})) AS s_en,
+         |  len(list_intersect(toks, ${sqlList(StopEs)})) AS s_es,
+         |  len(list_intersect(toks, ${sqlList(StopFr)})) AS s_fr
+         |  FROM t)
+         |SELECT doc_id, lang,
+         | CASE WHEN cjk > 0.3 THEN 'zh'
+         |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |      WHEN s_es >= s_fr THEN 'es'
+         |      ELSE 'fr' END AS pred_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_dist" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | round(avg(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, md5($normTextSql) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_fingerprint" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |r AS (SELECT doc_id, text, row_number() OVER
+         |  (PARTITION BY md5($normTextSql) ORDER BY doc_id) AS rn FROM u)
+         |SELECT doc_id, text FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" -> {
+      val sh = shingleSql(normTextSql)
+      s"""WITH t AS (SELECT doc_id, $sh AS sh FROM documents)
+         |SELECT a.doc_id AS id_a,
+         | CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+         |   THEN round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.sh, b.sh))), 6) END AS jaccard
+         |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+         |ORDER BY id_a""".stripMargin
+    },
+
+    "q_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.vec_id AS id_a, round($cosSql, 6) AS sim
+         |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         |ORDER BY id_a""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, a.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  FROM e a, q WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec FROM events),
+        |y AS (SELECT user_id, event_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |z AS (SELECT user_id, tsec, CAST(sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(min(tsec), 6) AS start_sec,
+        | round(max(tsec) - min(tsec), 6) AS duration_sec
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        | sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT DISTINCT * FROM

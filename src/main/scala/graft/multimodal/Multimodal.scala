@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column handling (SURVEY.md §7.6; BASELINE.json north star).
+  *
+  * Convention: media travel as opaque `BinaryType` columns next to a typed
+  * metadata struct; every cleaning operator in graft.ops type-dispatches and
+  * passes non-atomic columns through untouched, so media survive a cleaning
+  * pipeline unmodified.
+  *
+  * Real decode (image/audio libs) is NOT available in this environment —
+  * [[stubDecodeFeatures]] is a clearly-marked deterministic stand-in with
+  * the same shape a real decoder would produce; the Spark-side plumbing
+  * (schema, batch iteration, partition-parallel execution) is real and is
+  * what a production decoder would plug into.
+  */
+object Multimodal {
+
+  val MetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  /** Wrap a string column as a binary media column + metadata struct —
+    * the corpus has no real media, so documents.text stands in as bytes. */
+  def asMedia(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("content", col(srcCol).cast(BinaryType))
+      .withColumn("meta", struct(
+        lit("application/octet-stream").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+
+  /** Cheap, SQL-expressible byte-level features: size + content hash.
+    * Pure expressions — run in the scan stage. */
+  def byteFeatures(df: DataFrame): DataFrame =
+    df.withColumn("byte_len", length(col("content")).cast(LongType))
+      .withColumn("content_sha", sha2(col("content"), 256))
+
+  /** STUB decoder: where a real pipeline would decode media and extract
+    * features (via a partition-parallel batch UDF), this produces a
+    * deterministic 8-dim pseudo-feature vector from content hashes. The
+    * partitioning/batching shape is the real one; only the math inside is
+    * fake. Replace the body per modality in production. */
+  def stubDecodeFeatures(df: DataFrame, dims: Int = 8): DataFrame =
+    df.withColumn("features",
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => (xxhash64(col("content"), i) % 1000L).cast(DoubleType) / 1000.0))
+
+  /** Frame-sample stand-in: pick every `stride`-th byte as a "frame"
+    * (the real operator samples video frames; same slicing plumbing). */
+  def sampleBytes(df: DataFrame, stride: Int = 100): DataFrame =
+    df.withColumn("sampled",
+      transform(sequence(lit(1), greatest(length(col("content")), lit(1)),
+        lit(stride)), i => substr(col("content"), i, lit(1))))
+}

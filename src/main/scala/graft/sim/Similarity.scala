@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity search (SURVEY.md §7.6; BASELINE.json north star).
+  *
+  * Brute-force cosine top-k is the exact baseline: broadcast the (small)
+  * query set against the corpus — one codegen'd projection per corpus row,
+  * no corpus shuffle, then a per-query top-k window. The scale path is
+  * random-hyperplane LSH ([[signature]]): candidates share a signature
+  * bucket, exact re-rank inside buckets — corpus scan count stays 1 and
+  * the shuffle is by bucket key instead of all-pairs.
+  */
+object Similarity {
+
+  /** Elementwise product sum via a sequential left fold — the SAME
+    * accumulation order as a scalar loop, so results are bit-identical to
+    * any engine that folds left in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def toDoubleArr(a: Column): Column = transform(a, _.cast(DoubleType))
+
+  /** Cosine similarity of two double arrays; null when either norm is 0. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = sqrt(dot(a, a)); val nb = sqrt(dot(b, b))
+    when(na =!= 0.0 && nb =!= 0.0, dot(a, b) / (na * nb))
+  }
+
+  /** Exact cosine top-k: for each query vector, the k most similar corpus
+    * vectors (excluding itself). Ranking key is (round(sim, 6) DESC, id ASC)
+    * — rounded so the ranking is stable across engines and reproducible.
+    * Queries must be small (broadcast); corpus never shuffles before the
+    * per-query window. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("c_id"),
+      toDoubleArr(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"),
+      toDoubleArr(col(vecCol)).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("c_id") =!= col("query_id"))
+      .select(col("query_id"), col("c_id").as("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane weights: plane p, dimension d →
+    * a value in [-1, 1) derived from a split-mix style integer hash. Same
+    * constants on every executor and every run — no RNG state to ship. */
+  def planeWeight(p: Int, d: Int): Double = {
+    var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x42L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Random-hyperplane signature: bit p = sign(v · w_p), packed to a Long.
+    * Cosine-similar vectors agree on most bits, so bucketing on the
+    * signature (or bands of it) yields near-neighbor candidates. */
+  def signature(vec: Column, dim: Int, planes: Int = 16): Column = {
+    require(planes <= 63, "signature packs into one long")
+    val bits = (0 until planes).map { p =>
+      val w = array((0 until dim).map(d => lit(planeWeight(p, d))): _*)
+      when(dot(vec, w) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: exact re-rank restricted to corpus vectors whose
+    * hyperplane signature is within `maxHammingDist` of the query's.
+    * Bucket-join on signature bands (banding: any equal band → candidate)
+    * keeps this a key-join, not a cross-join, at scale. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      planes: Int = 16, bands: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val r = planes / bands
+    // band key = (band index, the band's bits of the signature)
+    val cSig = corpus.select(col(idCol).as("c_id"),
+      toDoubleArr(col(vecCol)).as("c_vec"))
+      .withColumn("__sig", signature(col("c_vec"), dim, planes))
+    val qSig = queries.select(col(idCol).as("query_id"),
+      toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("__sig", signature(col("q_vec"), dim, planes))
+    val cBand = cSig.withColumn("__band",
+      explode(array((0 until bands).map(lit): _*)))
+      .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
+    val qBand = qSig.withColumn("__band",
+      explode(array((0 until bands).map(lit): _*)))
+      .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
+    val cand = cBand.join(qBand, Seq("__band", "__bandbits"))
+      .where(col("c_id") =!= col("query_id"))
+      .select("query_id", "q_vec", "c_id", "c_vec").distinct()
+    val scored = cand.select(col("query_id"), col("c_id").as("neighbor_id"),
+      round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  private def bandBits(sig: Column, band: Column, r: Int): Column =
+    call_function("shiftright", sig, band.cast(IntegerType) * r)
+      .bitwiseAND(lit((1L << r) - 1))
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-time analytics over the `events` table (SURVEY.md §7.6).
+  *
+  * The batch forms here are SQL-expressible (oracle-able); the same
+  * transforms run under Structured Streaming via [[streamingTumbling]]
+  * (groupBy window + watermark) — identical logical plan, incremental
+  * execution.
+  */
+object Events {
+
+  /** Load the events table. The corpus stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — sessions
+    * set `spark.sql.legacy.parquet.nanosAsLong=true` and this converts the
+    * raw nanos to a microsecond TimestampType (floor division, matching
+    * DuckDB's epoch_us of a TIMESTAMP_NS). */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    if (df.schema("ts").dataType == LongType)
+      // integer `div`: double division would lose precision at 1e18 nanos
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Tumbling-window counts + value stats per event type. Epoch-aligned
+    * windows (Spark `window()` with one duration == date_trunc). */
+  def tumblingStats(df: DataFrame, width: String = "1 hour"): DataFrame =
+    df.groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+
+  /** Session assignment: a session breaks when the gap to the previous
+    * event of the same user exceeds `gapSeconds`. Pure window functions —
+    * lag + running sum of break flags — shuffle = one hash partition by
+    * user. Returns per-session aggregates. */
+  def sessionize(df: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tsSec = col("ts").cast(DoubleType)
+    val prev = lag(tsSec, 1).over(byUser)
+    val isBreak = when(prev.isNull || tsSec - prev > gapSeconds, 1L).otherwise(0L)
+    df.withColumn("__brk", isBreak)
+      .withColumn("session_id",
+        sum(col("__brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(min(tsSec), 6).as("start_sec"),
+        round(max(tsSec) - min(tsSec), 6).as("duration_sec"))
+  }
+
+  /** Structured Streaming twin of [[tumblingStats]]: same aggregation over
+    * a stream with an event-time watermark. Call with a streaming
+    * DataFrame (readStream / MemoryStream); complete/update/append mode is
+    * the caller's sink choice. */
+  def streamingTumbling(stream: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("avg_value"))
+}
