@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.text.TextAnalysis
+import graft.dedup.NearDup
+import graft.sim.Similarity
+import graft.streaming.Events
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts, ratios, fingerprint") {
+    val df = Seq((1L, "Hello world!"), (2L, ""), (3L, "a  b   c")).toDF("id", "t")
+    val out = df.select($"id",
+      TextAnalysis.tokenCount($"t").as("n"),
+      TextAnalysis.bpeTokenCount($"t").as("b"),
+      TextAnalysis.fingerprint($"t").as("fp")).orderBy("id").collect()
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 3) // hello, world, !
+    assert(out(1).getLong(1) == 0)
+    assert(out(2).getLong(1) == 3)
+    // fingerprint is whitespace/case robust
+    val fps = Seq((1L, "A  B"), (2L, "a b")).toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t")).distinct()
+    assert(fps.count() == 1)
+  }
+
+  test("language id votes on function words, CJK short-circuits") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it was good"),
+      (2L, "der hund ist nicht mit der katze und das haus"),
+      (3L, "el perro es de la casa y los gatos en un jardin"),
+      (4L, "le chien est dans le jardin avec les chats pour une heure"),
+      (5L, "中文文本处理测试")).toDF("id", "t")
+    val out = df.select($"id", TextAnalysis.langId($"t").as("l"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "de", "es", "fr", "zh"))
+  }
+
+  test("shingles + jaccard behave as set similarity") {
+    val df = Seq((1L, "abcdefgh", "abcdefgh"), (2L, "abcdefgh", "zzzzzzzz"))
+      .toDF("id", "a", "b")
+    val out = df.select($"id", NearDup.jaccard(
+      NearDup.shingles($"a"), NearDup.shingles($"b")).as("j"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(1) == 0.0)
+  }
+
+  test("minhash-lsh recovers planted near-duplicates") {
+    val base = (0 until 30).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i variant alpha beta gamma"))
+    val mutated = base.map { case (i, t) => (i + 1000L, t.dropRight(6)) }
+    val df = (base ++ mutated).toDF("id", "t")
+    val pairs = NearDup.minhashPairs(df, "t", "id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 30).forall(i => pairs.contains((i.toLong, i + 1000L))))
+  }
+
+  test("simhash of near-identical texts has small hamming distance") {
+    val df = Seq((1L,
+      "one two three four five six seven eight nine ten eleven twelve")).toDF("id", "t")
+    val h1 = df.select(NearDup.simhash($"t")).head().getLong(0)
+    val h2 = df.select(NearDup.simhash(concat($"t", lit(" thirteen")))).head().getLong(0)
+    assert(java.lang.Long.bitCount(h1 ^ h2) <= 16)
+    val h3 = df.select(NearDup.simhash(lit("completely different words entirely distinct content"))).head().getLong(0)
+    assert(java.lang.Long.bitCount(h1 ^ h3) > java.lang.Long.bitCount(h1 ^ h2))
+  }
+
+  test("cosine similarity exact values") {
+    val df = Seq((1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 1.0), Seq(1.0, 1.0)),
+      (3L, Seq(1.0, 2.0), Seq(2.0, 4.0))).toDF("id", "a", "b")
+    val out = df.select($"id", Similarity.cosine($"a", $"b").as("c"))
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(out(0) == 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+  }
+
+  test("brute-force topk ranks by similarity") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L))
+  }
+
+  test("lsh topk achieves reasonable recall against brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    vecs.cache().count()
+    val q = vecs.where($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ls = Similarity.lshTopK(vecs, q, 5, dim = 16, planes = 32, bands = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(ls).size.toDouble / bf.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+
+  test("sessionize splits on gap and aggregates") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val df = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(60)), (3L, 1L, ts(4000)),
+      (4L, 2L, ts(0))).toDF("event_id", "user_id", "ts")
+    val out = Events.sessionize(df, gapSeconds = 1800)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(2) == 2) // user1 session1: 2 events
+    assert(out(1).getLong(2) == 1) // user1 session2
+    assert(out(2).getLong(2) == 1) // user2
+  }
+
+  test("streaming tumbling aggregation matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:10:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    mem.addData((ts(0), "click", 1.0), (ts(5), "click", 3.0), (ts(70), "view", 2.0))
+    val stream = mem.toDF.toDF("ts", "event_type", "value")
+    val q = Events.streamingTumbling(stream, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.table("tumbling_test").orderBy("window_start").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 2.0)
+    assert(rows(1).getLong(2) == 1)
+  }
+}

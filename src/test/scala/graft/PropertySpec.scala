@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops._
+
+/** Property-based invariants (SURVEY.md §5.2) — scalacheck generators
+  * sampled with fixed seeds (the scalatest-scalacheck bridge artifact is
+  * not on the offline classpath, so sampling is drive manually; same
+  * coverage, deterministic runs). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val doubleLists: Gen[List[Double]] =
+    Gen.listOfN(12, Gen.chooseNum(-1e6, 1e6))
+
+  test("dedup is idempotent") {
+    for (xs <- samples(Gen.listOfN(10, Gen.chooseNum(0, 3)), 5) if xs.nonEmpty) {
+      val df = xs.toDF("x")
+      val once = Dedup()(df).df
+      assert(Dedup()(once).df.count() == once.count())
+    }
+  }
+
+  test("drop_rows output has no nulls") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, null), (2L, 2.0), (null, 3.0), (4L, 4.0)).toDF("a", "b")
+    val out = MissingValues("drop_rows")(df).df
+    assert(out.where($"a".isNull || $"b".isNull).count() == 0)
+  }
+
+  test("minmax output is within [0,1]") {
+    for (xs <- samples(doubleLists, 5) if xs.distinct.size > 1) {
+      val df = xs.toDF("x")
+      val out = Normalize("minmax", columns = Seq("x"))(df).df
+      val (lo, hi) = out.agg(min($"x"), max($"x")).as[(Double, Double)].head()
+      assert(lo >= -1e-9 && hi <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cap keeps values within computed bounds") {
+    for (xs <- samples(doubleLists, 5) if xs.distinct.size > 3) {
+      val df = xs.toDF("x")
+      val op = Outliers("iqr", "cap", 1.5, columns = Seq("x"))
+      val bounds = op.computeBounds(df, Seq("x"))
+      val out = op(df).df
+      bounds.get("x").foreach { case (lo, hi) =>
+        val (mn, mx) = out.agg(min($"x"), max($"x")).as[(Double, Double)].head()
+        assert(mn >= lo - 1e-9 && mx <= hi + 1e-9)
+      }
+    }
+  }
+
+  test("label encode is a bijection on distinct values") {
+    for (xs <- samples(Gen.listOfN(12, Gen.alphaStr.map(_.take(4))), 5)
+         if xs.nonEmpty) {
+      val df = xs.toDF("s")
+      val out = Encode("label")(df).df
+      val nIn = df.select("s").distinct().count()
+      val nOut = out.select("s").distinct().count()
+      assert(nIn == nOut)
+    }
+  }
+
+  test("lowercase text op is idempotent") {
+    for (xs <- samples(Gen.listOfN(6, Gen.asciiPrintableStr.map(_.take(12))), 5)
+         if xs.nonEmpty) {
+      val df = xs.toDF("t")
+      val once = TextClean(Seq("lowercase"))(df).df
+      val twice = TextClean(Seq("lowercase"))(once).df
+      assert(once.exceptAll(twice).count() == 0)
+    }
+  }
+
+  test("jaccard is symmetric and within [0,1]") {
+    val pairs = samples(for {
+      a <- Gen.alphaStr.map(_.take(20)); b <- Gen.alphaStr.map(_.take(20))
+    } yield (a, b), 10)
+    for ((a, b) <- pairs) {
+      val df = Seq((a, b)).toDF("a", "b")
+      import graft.dedup.NearDup._
+      val r = df.select(
+        jaccard(shingles($"a"), shingles($"b")).as("ab"),
+        jaccard(shingles($"b"), shingles($"a")).as("ba")).head()
+      val ab = Option(r.get(0)).map(_.asInstanceOf[Double])
+      val ba = Option(r.get(1)).map(_.asInstanceOf[Double])
+      assert(ab == ba)
+      ab.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    }
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text cleaning chain lowercases, strips html/numbers/punct, collapses") {
+    val df = Seq((1L, "  Hello, WORLD!!  <b>Tag</b> 123 ")).toDF("id", "t")
+    val out = TextClean(Seq("lowercase", "remove_html", "remove_numbers",
+      "remove_punctuation", "remove_extra_spaces"))(df).df
+    assert(out.head().getString(1) == "hello world tag")
+  }
+
+  test("text cleaning maps literal 'nan' and empty results to null") {
+    val df = Seq((1L, "nan"), (2L, "!!!")).toDF("id", "t")
+    val out = TextClean(Seq("remove_punctuation"))(df).df
+    assert(out.where($"t".isNull).count() == 2)
+  }
+
+  test("typo dictionary fixes word-boundary case-insensitive") {
+    val df = Seq((1L, "Teh adress was wrong"), (2L, "tehx untouched")).toDF("id", "t")
+    val out = TypoFix("common_typos")(df).df.orderBy("id").collect()
+    assert(out(0).getString(1) == "the address was wrong")
+    assert(out(1).getString(1) == "tehx untouched")
+  }
+
+  test("ratcliff/obershelp ratio matches difflib on known pairs") {
+    assert(TypoFix.ratio("spakr", "spark") == 0.8)
+    assert(TypoFix.ratio("abc", "abc") == 1.0)
+    assert(TypoFix.ratio("abc", "xyz") == 0.0)
+    assert(math.abs(TypoFix.ratio("AUTOMOBIL".toLowerCase,
+      "AUTOMOBILE".toLowerCase) - 2.0 * 9 / 19) < 1e-12)
+  }
+
+  test("fuzzy match rewrites rare variant to frequent spelling") {
+    val vals = Seq.fill(10)("BUILDING") ++ Seq("BULDING", "OTHER")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    val out = TypoFix("fuzzy_match", similarityThreshold = 0.8)(df).df
+    assert(out.where($"s" === "BULDING").count() == 0)
+    assert(out.where($"s" === "BUILDING").count() == 11)
+    assert(out.where($"s" === "OTHER").count() == 1)
+  }
+
+  test("type conversion auto-detects numeric, boolean, datetime, category") {
+    val df = Seq(
+      ("1.5", "yes", "2024-01-02", "x"),
+      ("2.0", "no", "2024-02-03", "y"),
+      ("bad", "yes", "2024-03-04", "x"),
+      ("3.25", "no", "2024-04-05", "x"),
+      ("4.0", "yes", "2024-05-06", "y"),
+      ("5.75", "no", "2024-06-07", "x"),
+      ("6.0", "yes", "2024-07-08", "y"),
+      ("7.5", "no", "2024-08-09", "x"),
+      ("8.0", "yes", "2024-09-10", "y"),
+      ("9.25", "no", "2024-10-11", "x")).toDF("num", "flag", "date", "cat")
+    val out = TypeConvert(auto = true)(df).df
+    val types = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("num") == "double")
+    assert(types("flag") == "boolean")
+    assert(types("date") == "timestamp")
+    assert(types("cat") == "string")
+    assert(out.where($"num".isNull).count() == 1) // "bad" coerced to null
+  }
+
+  test("datetime parse converts only above the ratio gate and extracts features") {
+    val df = Seq((1L, "2024-03-05", "notadate"), (2L, "2024-04-06", "alsobad"))
+      .toDF("id", "d", "junk")
+    val out = DatetimeParse(extractFeatures = true)(df).df
+    assert(out.schema("d").dataType.typeName == "timestamp")
+    assert(out.schema("junk").dataType.typeName == "string")
+    val r = out.orderBy("id").head()
+    assert(r.getLong(r.fieldIndex("d_year")) == 2024L)
+    assert(r.getLong(r.fieldIndex("d_month")) == 3L)
+  }
+
+  test("label encoding assigns lexicographic codes in place") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "c"), (4L, "a")).toDF("id", "s")
+    val out = Encode("label")(df).df.orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 0L, 2L, 0L))
+  }
+
+  test("onehot emits sorted value columns plus null indicator") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, null)).toDF("id", "s")
+    val out = Encode("onehot")(df).df
+    assert(out.columns.toSeq == Seq("id", "s_a", "s_b", "s_nan"))
+    val r = out.orderBy("id").collect()
+    assert(r(0).getLong(2) == 1L && r(1).getLong(1) == 1L && r(2).getLong(3) == 1L)
+  }
+
+  test("frequency encoding appends normalized counts including null group") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, null)).toDF("id", "s")
+    val out = Encode("target")(df).df
+    val m = out.collect().map(r => Option(r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(Some("a")) == 0.5 && m(Some("b")) == 0.25 && m(None) == 0.25)
+  }
+
+  test("normalize minmax maps to [0,1]; standard uses population std") {
+    val df = Seq((1L, 0.0), (2L, 5.0), (3L, 10.0)).toDF("id", "x")
+    val mm = Normalize("minmax", columns = Seq("x"))(df).df
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(mm.toSeq == Seq(0.0, 0.5, 1.0))
+    val st = Normalize("standard", columns = Seq("x"))(df).df
+      .orderBy("id").collect().map(_.getDouble(1))
+    val sdPop = math.sqrt((25.0 + 0.0 + 25.0) / 3)
+    assert(math.abs(st(0) - (-5.0 / sdPop)) < 1e-12)
+  }
+
+  test("normalize l2 produces unit-norm rows") {
+    val df = Seq((1L, 3.0, 4.0)).toDF("id", "a", "b")
+    val r = Normalize("normalize", columns = Seq("a", "b"))(df).df.head()
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)
+  }
+}
