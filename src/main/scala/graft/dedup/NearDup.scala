@@ -41,24 +41,49 @@ object NearDup {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Distinct word n-gram shingles — more discriminative than character
+    * shingles on small-vocabulary text and ~10× smaller sets; the standard
+    * choice for corpus-scale near-dup detection. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = split(normalize(c), " ")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =
     when(size(array_union(a, b)) > 0,
       size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
 
-  /** MinHash signature: numHashes independent-hash minima over the shingle
-    * hash set. Hash family i is xxhash64(shingleHash, i) — the shingle
-    * string is hashed once, then each family member hashes the fixed-width
-    * (long, int) pair: cheap, overflow-free (ANSI-safe: an affine a·h+b
-    * permutation would throw ARITHMETIC_OVERFLOW under Spark 4's default
-    * ANSI mode), and deterministic across runs and executors. */
-  def minhashSignature(c: Column, numHashes: Int = 64, k: Int = 5): Column = {
-    val hashes = transform(shingles(c, k), s => xxhash64(s))
-    val sig = (0 until numHashes).map { i =>
+  /** MinHash signature positions from a pre-hashed shingle array. Hash
+    * family i is xxhash64(shingleHash, i) — the shingle string is hashed
+    * once, then each family member hashes the fixed-width (long, int)
+    * pair: cheap, overflow-free (ANSI-safe: an affine a·h+b permutation
+    * would throw ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode),
+    * and deterministic across runs and executors.
+    *
+    * IMPORTANT staging note: callers must materialize the shingle-hash
+    * array in its OWN projection (see [[withMinhashSignature]]) — inlining
+    * `shingles(c)` here would duplicate the whole shingle subtree into all
+    * numHashes branches: 64× the work and a generated method too large to
+    * JIT. CollapseProject keeps a multiply-referenced non-trivial alias in
+    * its own stage, which is exactly what we exploit. */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
       array_min(transform(hashes, h => xxhash64(h, lit(i))))
-    }
-    array(sig: _*)
-  }
+    }: _*)
+
+  /** df + `sigCol` (array of numHashes minima) + `shCol` (distinct shingle
+    * set), staged as: shingles → hashes → signature, one projection each. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      sigCol: String, shCol: String,
+      numHashes: Int = 64, k: Int = 5): DataFrame =
+    df.withColumn(shCol, shingles(col(textCol), k))
+      .withColumn("__mh_hashes", transform(col(shCol), s => xxhash64(s)))
+      .withColumn(sigCol, minhashFromHashes(col("__mh_hashes"), numHashes))
+      .drop("__mh_hashes")
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
@@ -68,27 +93,65 @@ object NearDup {
     * exact verification joins the two shingle sets back by id (broadcast
     * when small, hash join at scale).
     */
+  /** One-permutation-hashing signatures (Li/Owen/Zhang 2012 shape): each
+    * shingle is hashed ONCE, bucketed by h mod numHashes, min per bucket —
+    * O(shingles) work instead of O(numHashes·shingles), as an explode →
+    * two-level aggregation (map-side partial min), fully distributed.
+    * Empty buckets are densified with xxhash64(overallMin, bucket): doc-
+    * dependent (no spurious cross-doc matches) yet equal for docs sharing
+    * their overall min (preserves the similarity signal). */
+  def ophSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, k: Int,
+      shingleFn: (Column, Int) => Column = wordShingles): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      shingleFn(col(textCol), k).as("__sh"))
+    val ex = base.select(col("__id"),
+      explode(transform(col("__sh"), s => xxhash64(s))).as("h"))
+    val mins = ex.groupBy(col("__id"),
+      pmod(col("h"), lit(numHashes.toLong)).cast(IntegerType).as("b"))
+      .agg(min("h").as("m"))
+    mins.groupBy("__id").agg(
+      map_from_entries(collect_list(struct(col("b"), col("m")))).as("mm"),
+      min("m").as("overall"))
+      .select(col("__id"),
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => coalesce(element_at(col("mm"), i),
+            xxhash64(col("overall"), i))).as("__sig"))
+      .join(base, "__id")
+  }
+
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, k: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sigDf = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numHashes, k).as("__sig"),
-      shingles(col(textCol), k).as("__sh"))
-    val buckets = sigDf.select(col("__id"), col("__sh"),
+    val sigDf = ophSignatures(df, textCol, idCol, numHashes, k)
+      .select("__id", "__sig", "__sh").cache()
+    val buckets = sigDf.select(col("__id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
         .as("__bucket"))
-    val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"),
-      col("__sh").as("sh_a"))
-    val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"),
-      col("__sh").as("sh_b"))
-    a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+    val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"))
+    val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"))
+    // a pair can collide in many bands — dedup BEFORE any similarity work
+    val pairs = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // cheap signature-agreement estimate (64 long compares) prunes the
+    // candidate mass before the exact set-intersection verification;
+    // estimator std at 64 samples ≈ 0.06, so a 0.15 margin keeps true
+    // borderline pairs for the exact check
+    val withSig = pairs
+      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
+        col("__sh").as("sh_a")), "id_a")
+      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
+        col("__sh").as("sh_b")), "id_b")
+    val est = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+      .cast(DoubleType) / numHashes
+    withSig.where(est >= threshold - 0.15)
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("jaccard").as("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit b is set when the sum of
