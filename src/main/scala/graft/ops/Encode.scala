@@ -39,12 +39,21 @@ final case class Encode(
     val out = method match {
       case "label" => targets.foldLeft(df)(labelEncode)
       case "onehot" => oneHot(df, targets)
-      case "target" => targets.foldLeft(df) { (d, c) =>
-        val byVal = Window.partitionBy(col(c))
-        val all = Window.partitionBy()
-        d.withColumn(s"${c}_freq_encoded",
-          count(lit(1)).over(byVal).cast(DoubleType) / count(lit(1)).over(all))
-      }
+      case "target" =>
+        // per-value counts via groupBy + BROADCAST join, total as a driver
+        // literal: a `count(*) over ()` window would funnel the whole fact
+        // table through one partition — the join keeps the plan shuffle-free
+        // on the fact side (distinct values are bounded for categoricals)
+        val total = df.count()
+        targets.foldLeft(df) { (d, c) =>
+          val freqs = df.groupBy(col(c).as("__enc_v"))
+            .agg(count(lit(1)).as("__enc_n"))
+          d.join(broadcast(freqs),
+              d(c) <=> col("__enc_v"), "left")
+            .withColumn(s"${c}_freq_encoded",
+              col("__enc_n").cast(DoubleType) / lit(total))
+            .drop("__enc_v", "__enc_n")
+        }
       case other => throw new IllegalArgumentException(s"unknown encoding: $other")
     }
     OpResult(out, Seq(s"encoded [${targets.mkString(",")}] method=$method"))

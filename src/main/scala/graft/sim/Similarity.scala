@@ -37,14 +37,21 @@ object Similarity {
     * per-query window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms hoisted to per-ROW projections before the join — inlining
+    // cosine() would recompute both norms once per PAIR. Same arithmetic
+    // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
     val c = corpus.select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("query_id"))
       .select(col("query_id"), col("c_id").as("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+        round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
+          dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+          .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
@@ -87,9 +94,11 @@ object Similarity {
     val cSig = corpus.select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
       .withColumn("__sig", signature(col("c_vec"), dim, planes))
+      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
     val qSig = queries.select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
       .withColumn("__sig", signature(col("q_vec"), dim, planes))
+      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
     val cBand = cSig.withColumn("__band",
       explode(array((0 until bands).map(lit): _*)))
       .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
@@ -98,9 +107,12 @@ object Similarity {
       .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
     val cand = cBand.join(qBand, Seq("__band", "__bandbits"))
       .where(col("c_id") =!= col("query_id"))
-      .select("query_id", "q_vec", "c_id", "c_vec").distinct()
+      .select("query_id", "q_vec", "q_norm", "c_id", "c_vec", "c_norm")
+      .dropDuplicates("query_id", "c_id")
     val scored = cand.select(col("query_id"), col("c_id").as("neighbor_id"),
-      round(cosine(col("q_vec"), col("c_vec")), 6).as("sim"))
+      round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
+        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+        .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
