@@ -304,6 +304,79 @@ object SparkEntry {
       Profile.asDataFrame(c).orderBy("column_name")
     }),
 
+    // §2.9 drop_rows_threshold (keep rows with >= int(t*ncols) non-null)
+    "q_missing_drop_rows_threshold" -> ((s, dir) =>
+      MissingValues("drop_rows_threshold", threshold = 0.7)(
+        dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.9 drop_columns_threshold (keep cols with >= int(t*nrows) non-null)
+    "q_missing_drop_columns_threshold" -> ((s, dir) =>
+      MissingValues("drop_columns_threshold", threshold = 0.9)(
+        dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
+
+    // §2.12 URL/email scrubbing
+    "q_textclean_urls" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 6 === 0,
+          lit("Visit https://example.com/x and mail bob@test.org now"))
+          .otherwise(col("text")).as("text"))
+      TextClean(Seq("remove_urls", "remove_emails", "remove_extra_spaces"))(d)
+        .df.orderBy("doc_id")
+    }),
+
+    // §2.11 manual type mapping (errors='coerce' semantics)
+    "q_typeconvert_manual" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast(StringType).as("ln_str"),
+        col("l_quantity").cast(StringType).as("q_str"),
+        when(col("l_discount") > 0.05, lit("yes")).otherwise(lit("no"))
+          .as("bool_str"))
+      TypeConvert(auto = false, manual = Map(
+        "ln_str" -> "int", "q_str" -> "float", "bool_str" -> "bool"))(li).df
+        .orderBy("l_orderkey", "l_linenumber", "q_str")
+    }),
+
+    // §2.14 one-hot with drop_first (first sorted value's column dropped)
+    "q_encode_onehot_dropfirst" -> ((s, dir) =>
+      Encode("onehot", dropFirst = true)(tbl(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")).df.orderBy("c_custkey")),
+
+    // §2.16 get_scaling_statistics (skew/kurt report-only, excluded here)
+    "q_scaling_stats" -> ((s, dir) =>
+      Normalize.scalingStats(tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("column_name"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("min"), 6).as("min"), round(col("q1"), 6).as("q1"),
+          round(col("median"), 6).as("median"), round(col("q3"), 6).as("q3"),
+          round(col("max"), 6).as("max"))
+        .orderBy("column_name")),
+
+    // §2.14 get_categorical_summary
+    "q_categorical_summary" -> ((s, dir) =>
+      Encode.categoricalSummary(dirtyCustomer(s, dir), Seq("c_mktsegment"))
+        .orderBy("column_name")),
+
+    // §2.14 label encode → inverse_transform round trip
+    "q_encode_label_roundtrip" -> ((s, dir) => {
+      val n = tbl(s, dir, "nation").select("n_nationkey", "n_name")
+      val mapping = Encode.labelMapping(n, "n_name")
+      val encoded = Encode("label")(n).df
+      Encode.inverseLabel(encoded, mapping, "n_name").orderBy("n_nationkey")
+    }),
+
+    // §2.16 minmax scale → inverse_transform round trip
+    "q_normalize_minmax_roundtrip" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val scaled = Normalize("minmax", columns = Seq("l_quantity"))(li).df
+      Normalize.inverse(scaled, li, "minmax", Seq("l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 6).as("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
     // ---- LLM-pipeline extensions (SURVEY.md §7.6) ----------------------
 
     // text analysis: token/char counts + ratios
@@ -471,6 +544,74 @@ object SparkEntry {
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_missing_drop_rows_threshold" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT * FROM t
+         |WHERE 1 + CAST(c_acctbal IS NOT NULL AS INT)
+         |        + CAST(c_mktsegment IS NOT NULL AS INT) >= 2
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_drop_columns_threshold" ->
+      "SELECT c_custkey FROM customer ORDER BY c_custkey",
+
+    "q_textclean_urls" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 6 = 0
+        |       THEN 'Visit https://example.com/x and mail bob@test.org now'
+        |       ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        | NULLIF(trim(regexp_replace(regexp_replace(regexp_replace(
+        |   regexp_replace(text, '^nan$', ''),
+        |   'https?://\S+|www\.\S+', '', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '', 'g'),
+        |   '\s+', ' ', 'g')), '') AS text
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_typeconvert_manual" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS ln_str,
+        | CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS q_str,
+        | l_discount > 0.05 AS bool_str
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, q_str""".stripMargin,
+
+    "q_encode_onehot_dropfirst" ->
+      """SELECT c_custkey,
+        | CAST(CASE WHEN c_mktsegment = 'BUILDING'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_BUILDING,
+        | CAST(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_FURNITURE,
+        | CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_HOUSEHOLD,
+        | CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_MACHINERY,
+        | CAST(CASE WHEN c_mktsegment IS NULL       THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_nan
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_scaling_stats" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS n,
+           | round(avg($c), 6) AS mean, round(stddev_samp($c), 6) AS std,
+           | round(min($c), 6) AS min, round(quantile_cont($c, 0.25), 6) AS q1,
+           | round(quantile_cont($c, 0.5), 6) AS median,
+           | round(quantile_cont($c, 0.75), 6) AS q3,
+           | round(max($c), 6) AS max FROM lineitem""".stripMargin
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
+    "q_categorical_summary" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT 'c_mktsegment' AS column_name,
+         | CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_unique,
+         | CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT) AS n_missing,
+         | $modeSegSql AS mode
+         |FROM t ORDER BY column_name""".stripMargin,
+
+    "q_encode_label_roundtrip" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+
+    "q_normalize_minmax_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokCountSql AS n_tokens FROM documents)

@@ -25,6 +25,50 @@ import graft.util.Exprs._
   *    — `count(*) over (partition by col) / count(*) over ()` — no
   *    collect, no join.
   */
+object Encode {
+  /** The label-encoding dictionary for a column: (value, code), codes by
+    * sorted unique value (sklearn LabelEncoder order — `encoding.py:87-120`,
+    * exposed by `get_encoding_mappings` `:231-240`). */
+  def labelMapping(df: DataFrame, c: String): DataFrame =
+    df.select(coalesce(col(c).cast(StringType), lit("__MISSING__")).as("value"))
+      .distinct()
+      .withColumn("code",
+        (dense_rank().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+
+  /** Inverse of label encoding (reference `inverse_transform_labels`,
+    * `encoding.py:242-264`): codes back to original string values via a
+    * broadcast join of the stored mapping. */
+  def inverseLabel(encoded: DataFrame, mapping: DataFrame, c: String): DataFrame = {
+    val joined = encoded.join(broadcast(mapping),
+      encoded(c) === mapping("code"), "left")
+    joined.select(encoded.columns.map(n =>
+      if (n == c) col("value").as(c) else encoded(n)).toSeq: _*)
+  }
+
+  /** Per-categorical-column summary (reference `get_categorical_summary`,
+    * `encoding.py:266-285`): distinct count, missing count, mode (pandas
+    * tie-break). One melt job + one mode job. */
+  def categoricalSummary(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns
+               else graft.util.Exprs.colsOfType(df, graft.util.Exprs.isString)
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (cols.isEmpty)
+      return Seq.empty[(String, Long, Long, String)]
+        .toDF("column_name", "n_unique", "n_missing", "mode")
+    val aggs = cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"${c}__u"),
+      count(when(col(c).isNull, 1)).as(s"${c}__m")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val modes = Stats.modes(df, cols)
+    cols.map { c =>
+      (c, row.getLong(row.fieldIndex(s"${c}__u")),
+        row.getLong(row.fieldIndex(s"${c}__m")),
+        modes.get(c).map(_.toString).orNull)
+    }.toDF("column_name", "n_unique", "n_missing", "mode")
+  }
+}
+
 final case class Encode(
     method: String = "label",
     columns: Seq[String] = Nil,

@@ -19,6 +19,77 @@ import graft.util.Exprs._
   * Pre-pass fills nulls with the column median (`normalisation.py:86-94`).
   * One stats job + one projection, column-count independent.
   */
+object Normalize {
+  /** Per-column scaling statistics (reference `get_scaling_statistics`,
+    * `/root/reference/methods/normalisation.py:233-264`): one melt-style
+    * DataFrame row per numeric column. Skew/kurtosis are REPORT-ONLY
+    * (Spark's estimators use a different bias correction than pandas —
+    * SURVEY.md §2.4 A12) and are therefore last, easy to drop for
+    * oracle-compared outputs. One aggregation job. */
+  def scalingStats(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns
+               else graft.util.Exprs.colsOfType(df, graft.util.Exprs.isNumeric)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = Stats.numeric(df, cols,
+      Stats.Need(moments = true, extremes = true, quantiles = true))
+    val skews: Map[String, (Option[Double], Option[Double])] =
+      if (cols.isEmpty) Map.empty
+      else {
+        val aggs = cols.flatMap(c => Seq(
+          skewness(col(c).cast(DoubleType)).as(s"${c}__sk"),
+          kurtosis(col(c).cast(DoubleType)).as(s"${c}__ku")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        def g(n: String) = {
+          val i = row.fieldIndex(n)
+          if (row.isNullAt(i)) None else Some(row.getDouble(i))
+        }
+        cols.map(c => c -> (g(s"${c}__sk"), g(s"${c}__ku"))).toMap
+      }
+    cols.map { c =>
+      val s = stats(c)
+      (c, s.n - s.nNull, s.mean, s.stdSamp, s.min, s.q1, s.median, s.q3,
+        s.max, skews(c)._1, skews(c)._2)
+    }.toDF("column_name", "n", "mean", "std", "min", "q1", "median", "q3",
+      "max", "skewness", "kurtosis")
+  }
+
+  /** Inverse of a fitted scaler: given the SAME input frame the forward
+    * pass was fitted on, undo the transform (reference `inverse_transform`,
+    * `normalisation.py:210-231`; unsupported for row-wise L2 there and
+    * here). */
+  def inverse(scaled: DataFrame, fitted: DataFrame, method: String,
+      columns: Seq[String],
+      featureRange: (Double, Double) = (0.0, 1.0)): DataFrame = {
+    val stats = Stats.numeric(fitted, columns, method match {
+      case "standard" => Stats.Need(moments = true)
+      case "minmax" => Stats.Need(extremes = true)
+      case "robust" => Stats.Need(quantiles = true)
+      case other => throw new IllegalArgumentException(
+        s"inverse unsupported for: $other")
+    })
+    val proj = scaled.columns.map { c =>
+      if (!columns.contains(c)) col(c)
+      else method match {
+        case "standard" =>
+          val sd = stats(c).stdPop.filter(_ != 0.0).getOrElse(1.0)
+          (col(c) * lit(sd) + lit(stats(c).mean.getOrElse(0.0))).as(c)
+        case "minmax" =>
+          val (a, b) = featureRange
+          val lo = stats(c).min.getOrElse(0.0)
+          val range = (for (mx <- stats(c).max; mn <- stats(c).min) yield mx - mn)
+            .filter(_ != 0.0).getOrElse(1.0)
+          ((col(c) - lit(a)) / lit(b - a) * lit(range) + lit(lo)).as(c)
+        case "robust" =>
+          val iqr = (for (q3 <- stats(c).q3; q1 <- stats(c).q1) yield q3 - q1)
+            .filter(_ != 0.0).getOrElse(1.0)
+          (col(c) * lit(iqr) + lit(stats(c).median.getOrElse(0.0))).as(c)
+      }
+    }
+    scaled.select(proj.toSeq: _*)
+  }
+}
+
 final case class Normalize(
     method: String = "minmax",
     featureRange: (Double, Double) = (0.0, 1.0),
