@@ -65,4 +65,55 @@ object Events {
       .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
+
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, n_events: Long,
+      start_sec: Double, duration_sec: Double)
+
+  /** Stateful streaming sessionization: per-user custom state via
+    * flatMapGroupsWithState with an event-time timeout — a closed session
+    * (inactivity > gap, or watermark passed) is emitted downstream. The
+    * streaming counterpart of the batch [[sessionize]]. */
+  def streamingSessionize(stream: DataFrame, gapSeconds: Long = 1800)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def emit(uid: Long, st: SessionState): SessionOut =
+      SessionOut(uid, st.n, st.start / 1e6, (st.last - st.start) / 1e6)
+    stream.selectExpr("user_id", "unix_micros(ts) AS us", "ts")
+      .withWatermark("ts", s"${gapSeconds * 2} seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(uid, _)).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(st) if us - st.last > gapSeconds * 1000000L =>
+                  closed ::= emit(uid, st)
+                  cur = Some(SessionState(us, us, 1))
+                case Some(st) =>
+                  cur = Some(SessionState(st.start, math.max(st.last, us), st.n + 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last / 1000 + gapSeconds * 1000)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
 }
