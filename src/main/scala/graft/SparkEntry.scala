@@ -222,6 +222,15 @@ object SparkEntry {
       MissingValues("backward_fill", orderCol = Some("c_custkey"))(
         dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
 
+    // §7.4 distributed ffill/bfill (range-partition + boundary fix-up, no
+    // single-task sort) — same oracle as the window path proves equality
+    "q_missing_ffill_scale" -> ((s, dir) =>
+      graft.plans.PartitionedFill.ffill(dirtyCustomer(s, dir), "c_custkey",
+        numPartitions = 8).orderBy("c_custkey")),
+    "q_missing_bfill_scale" -> ((s, dir) =>
+      graft.plans.PartitionedFill.bfill(dirtyCustomer(s, dir), "c_custkey",
+        numPartitions = 8).orderBy("c_custkey")),
+
     // §2.10 modified zscore (MAD) cap
     "q_outlier_modz_cap" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
@@ -882,6 +891,24 @@ object SparkEntry {
          |ORDER BY c_custkey""".stripMargin,
 
     "q_missing_bfill" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | first_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,
+         | first_value(c_mktsegment IGNORE NULLS) OVER w AS c_mktsegment
+         |FROM t
+         |WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_ffill_scale" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT c_custkey,
+         | last_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,
+         | last_value(c_mktsegment IGNORE NULLS) OVER w AS c_mktsegment
+         |FROM t
+         |WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_missing_bfill_scale" ->
       s"""WITH t AS ($dirtyCustomerSql)
          |SELECT c_custkey,
          | first_value(c_acctbal IGNORE NULLS) OVER w AS c_acctbal,

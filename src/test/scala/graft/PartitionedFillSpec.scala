@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.MissingValues
+import graft.plans.PartitionedFill
+
+class PartitionedFillSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long null runs force carries across several partition boundaries; the
+  // leading run checks the "no carry yet" seed; mixed types check the
+  // generic row path
+  private def frame = {
+    val rows = (1 to 200).map { i =>
+      val x: java.lang.Double = if (i <= 5 || i % 3 != 0) null else i.toDouble
+      val s: String = if (i % 7 == 0) s"v$i" else null
+      (i.toLong, x, s)
+    }
+    spark.createDataFrame(rows).toDF("id", "x", "s").repartition(6)
+  }
+
+  private def windowed(forward: Boolean) =
+    MissingValues(if (forward) "forward_fill" else "backward_fill",
+      orderCol = Some("id"))(frame).df
+
+  test("partitioned ffill matches the global-window fill exactly") {
+    val expect = windowed(forward = true).orderBy("id").collect()
+    val got = PartitionedFill.ffill(frame, "id", numPartitions = 7)
+      .orderBy("id").collect()
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("partitioned bfill matches the global-window fill exactly") {
+    val expect = windowed(forward = false).orderBy("id").collect()
+    val got = PartitionedFill.bfill(frame, "id", numPartitions = 7)
+      .orderBy("id").collect()
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("no single-partition exchange in the partitioned plan") {
+    val plan = PartitionedFill.ffill(frame, "id", numPartitions = 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"))
+  }
+
+  test("more partitions than rows degrades gracefully") {
+    val tiny = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 5.0))
+      .toDF("id", "x")
+    val out = PartitionedFill.bfill(tiny, "id", numPartitions = 8)
+      .orderBy("id").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(5.0, 5.0))
+  }
+}
