@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Encode, TextClean}
+import graft.dedup.NearDup
+
+/** Enforces the plan-shape claims the engine is designed around (README
+  * "Designed for 100 TB"): pruning and filters reach the parquet scan,
+  * categorical joins broadcast, per-row transforms stay exchange-free.
+  * These assertions are what make ".explain and iterate" regressions
+  * visible in CI rather than in a cluster bill. */
+class PlanQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("column pruning reaches the parquet scan") {
+    val p = plan(Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      p.split("ReadSchema").lift(1).getOrElse(""))
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = plan(Tables.load(spark, sf, "lineitem")
+      .filter($"l_quantity" > 40).select("l_orderkey"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40"),
+      s"expected pushed GreaterThan filter in:\n$p")
+  }
+
+  test("label encoding joins the dictionary via broadcast, never sort-merge") {
+    val df = Tables.load(spark, sf, "customer")
+    val p = plan(Encode("label", columns = Seq("c_mktsegment"))(df).df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "fact table must not shuffle for a bounded dictionary join")
+  }
+
+  test("frequency encoding broadcasts counts, fact side shuffle-free") {
+    val df = Tables.load(spark, sf, "customer")
+    val p = plan(Encode("target", columns = Seq("c_mktsegment"))(df).df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("text cleaning is a pure projection — no exchange") {
+    val df = Tables.load(spark, sf, "customer")
+    val p = plan(TextClean(operations = Seq("lowercase", "remove_whitespace",
+      "remove_punctuation"))(df).df)
+    assert(!p.contains("Exchange"), s"text ops must not shuffle:\n$p")
+  }
+
+  test("minhash signatures are a single exchange-free projection") {
+    val df = Tables.load(spark, sf, "documents")
+    val p = plan(NearDup.ophSignatures(df, "text", "doc_id", 64, 3))
+    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+  }
+}
