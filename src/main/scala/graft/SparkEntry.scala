@@ -279,6 +279,17 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    // §7.5 distributed fuzzy match (LSH-blocked similarity self-join, no
+    // driver O(distinct²) pass) — same oracle as the driver-side path
+    "q_typofix_fuzzy_scale" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_custkey") % 17 === 0, lit("AUTOMOBIL"))
+          .when(col("c_custkey") % 23 === 0, lit("BULDING"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      graft.plans.DistributedFuzzy.fix(c, "c_mktsegment", 0.8)
+        .orderBy("c_custkey")
+    }),
+
     // §2.15 corpus spell check (driver-side vocabulary; rows-only oracle)
     "q_typofix_spell" -> ((s, dir) => {
       // typos on ONE doc only: corpus frequency must stay 1 (freq>1 words
@@ -952,6 +963,13 @@ object SparkEntry {
         |FROM customer, s ORDER BY c_custkey""".stripMargin,
 
     "q_typofix_fuzzy" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_custkey % 17 = 0 THEN 'AUTOMOBILE'
+        |      WHEN c_custkey % 23 = 0 THEN 'BUILDING'
+        |      ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_typofix_fuzzy_scale" ->
       """SELECT c_custkey,
         | CASE WHEN c_custkey % 17 = 0 THEN 'AUTOMOBILE'
         |      WHEN c_custkey % 23 = 0 THEN 'BUILDING'
