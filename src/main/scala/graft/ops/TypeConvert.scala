@@ -29,16 +29,44 @@ import graft.util.Exprs._
 final case class TypeConvert(
     auto: Boolean = true,
     manual: Map[String, String] = Map.empty,
-    datetimeFormats: Seq[String] = TypeConvert.DefaultFormats) extends Op {
+    datetimeFormats: Seq[String] = TypeConvert.DefaultFormats,
+    /** pandas `errors=` semantics for manual conversions
+      * (`dataTypeConversion.py:43-73`): "coerce" nulls failed values;
+      * "raise" fails the op if ANY non-null value does not convert;
+      * "ignore" leaves a column unconverted when any value fails. raise
+      * and ignore cost one extra null-delta agg job over the manual
+      * columns; coerce (the reference default) costs nothing. */
+    manualErrors: String = "coerce") extends Op {
 
   val name = "data_type_conversion"
 
   def apply(df: DataFrame): OpResult = {
-    val manualDf = manual.foldLeft(df) { case (d, (c, t)) =>
+    val manualKept: Map[String, String] = manualErrors match {
+      case "coerce" => manual
+      case "raise" | "ignore" =>
+        if (manual.isEmpty) manual
+        else {
+          val aggs = manual.toSeq.map { case (c, t) =>
+            count(when(col(c).isNotNull &&
+              TypeConvert.manualCast(col(c), t, datetimeFormats).isNull, 1)).as(c)
+          }
+          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val failing = manual.keys.filter(c =>
+            row.getLong(row.fieldIndex(c)) > 0).toSeq.sorted
+          if (failing.isEmpty) manual
+          else if (manualErrors == "raise") throw new IllegalStateException(
+            s"manual conversion failed for: ${failing.mkString(", ")}")
+          else manual -- failing
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown errors mode: $other")
+    }
+    val manualDf = manualKept.foldLeft(df) { case (d, (c, t)) =>
       d.withColumn(c, TypeConvert.manualCast(col(c), t, datetimeFormats))
     }
-    if (!auto) return OpResult(manualDf, manual.map { case (c, t) => s"$c -> $t" }.toSeq)
-    val strCols = colsOfType(manualDf, isString).filterNot(manual.contains)
+    if (!auto) return OpResult(manualDf,
+      manualKept.map { case (c, t) => s"$c -> $t" }.toSeq)
+    val strCols = colsOfType(manualDf, isString).filterNot(manualKept.contains)
     if (strCols.isEmpty) return OpResult(manualDf, Seq("no string columns to detect"))
 
     // job 1: parse ratios + cardinality for every string column at once.

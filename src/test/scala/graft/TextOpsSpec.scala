@@ -113,4 +113,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - 0.6) < 1e-12)
     assert(math.abs(r.getDouble(2) - 0.8) < 1e-12)
   }
+
+  test("manual conversion error modes: coerce nulls, raise throws, ignore keeps") {
+    import org.apache.spark.sql.types._
+    val df = Seq(("1", "x"), ("oops", "y")).toDF("a", "b")
+    val coerced = TypeConvert(auto = false, manual = Map("a" -> "int"))(df).df
+    assert(coerced.schema("a").dataType == LongType)
+    assert(coerced.where($"a".isNull).count() == 1)
+    intercept[IllegalStateException](
+      TypeConvert(auto = false, manual = Map("a" -> "int"),
+        manualErrors = "raise")(df).df)
+    val ignored = TypeConvert(auto = false, manual = Map("a" -> "int"),
+      manualErrors = "ignore")(df).df
+    assert(ignored.schema("a").dataType == StringType)
+    // a clean column still converts under raise
+    val ok = TypeConvert(auto = false, manual = Map("a" -> "str"),
+      manualErrors = "raise")(df).df
+    assert(ok.schema("a").dataType == StringType)
+  }
 }
