@@ -301,6 +301,16 @@ object SparkEntry {
       TypoFix("spell_check", similarityThreshold = 0.7)(d).df.orderBy("doc_id")
     }),
 
+    // §7.5 distributed spell check (blocked vocabulary join, no
+    // driver rare×vocab cross; rows-only oracle like q_typofix_spell)
+    "q_typofix_spell_scale" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0,
+          concat(col("text"), lit(" spakr qurey tabel"))).otherwise(col("text"))
+          .as("text"))
+      graft.plans.DistributedSpell.fix(d, "text", 0.7).orderBy("doc_id")
+    }),
+
     // §2.0 pipeline end-to-end incl. the P2 inter-stage sanitizer quirk:
     // nulls are median-filled by the sanitizer BEFORE any op runs
     "q_pipeline_e2e" -> ((s, dir) => {

@@ -52,7 +52,7 @@ object DistributedFuzzy {
     * typo pairs missed). Dense MinHash is O(numHashes·grams), trivial for
     * dictionary-length strings, and keeps per-band match probability at
     * jaccard^r as the banding math assumes. */
-  private def sigUdf(numHashes: Int) = udf { s: String =>
+  private[plans] def sigUdf(numHashes: Int) = udf { s: String =>
     val t = s.toLowerCase
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val grams = if (t.length >= 2) t.length - 1 else t.length

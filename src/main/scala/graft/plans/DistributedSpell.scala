@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.TypoFix
+
+/** Distributed corpus spell-check — the 100 TB path for the reference's
+  * `spell_check` (`/root/reference/methods/spellingFix.py:201-268`,
+  * SURVEY.md §7.5 item 5).
+  *
+  * [[graft.ops.TypoFix]] builds the correction map on the driver: every
+  * rare word is compared against the whole vocabulary — O(rare·vocab)
+  * with both sets collected. Here the same map is computed distributed:
+  *
+  *  1. word frequencies: one explode → groupBy (the corpus never leaves
+  *     the cluster).
+  *  2. vocabulary = words with frequency > 1 (reference rule); correction
+  *     candidates = rare (frequency 1) words longer than 2 chars.
+  *  3. blocking: three deterministic key passes — 2-char prefix, 2-char
+  *     suffix, sorted-character multiset — unioned. A single-edit typo
+  *     (substitution, insertion, deletion, transposition) always shares
+  *     at least one key with its correction: an edit at position ≥ 2
+  *     keeps the prefix, an edit before the last two chars keeps the
+  *     suffix, and a transposition keeps the character multiset. (Bigram
+  *     MinHash banding — right for multi-word values in
+  *     [[DistributedFuzzy]] — fails here: a transposition can leave two
+  *     short words sharing one bigram, e.g. sprak/spark at bigram-Jaccard
+  *     0.14 but Ratcliff 0.8.) The reference's |Δlen| ≤ 2 prefilter
+  *     applies at the join.
+  *  4. per rare word: the most similar vocabulary word with ratio ≥
+  *     threshold (tie: lexicographically smallest — the reference's
+  *     deterministic sort), via one window.
+  *
+  * The map application (bounded word-boundary replacements) is identical
+  * to the driver path. The reference's empty-vocabulary fallback
+  * (top-50 words when nothing repeats) is intentionally dropped: at
+  * corpus scale the vocabulary is never empty, and the fallback would
+  * need a global ordering pass.
+  */
+object DistributedSpell {
+
+  /** Correction map (`__from` rare word, `__to` vocab word), distributed.
+    * `maxCorrections` bounds the applied regex chain (reference takes 500,
+    * in word order — rare words all tie at frequency 1). */
+  def corrections(df: DataFrame, c: String, threshold: Double = 0.8,
+      maxCorrections: Int = 500): DataFrame = {
+    val words = df
+      .select(explode(split(lower(col(c).cast(StringType)), "\\W+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    def keyed(side: DataFrame, prefix: String): DataFrame = {
+      val w = col("w")
+      val keys = array(
+        concat(lit("p:"), substring(w, 1, 2)),
+        concat(lit("s:"), substring(w, -2, 2)),
+        concat(lit("c:"), array_join(array_sort(split(w, "")), "")))
+      side.select(w.as(s"${prefix}w"),
+        explode(keys).as(s"${prefix}k"))
+    }
+    val vocab = keyed(words.where(col("n") > 1), "v")
+    val rare = keyed(
+      words.where(col("n") === 1 && length(col("w")) > 2), "r")
+    val ratioUdf = udf { (a: String, b: String) => TypoFix.ratio(a, b) }
+    val cand = rare.join(vocab,
+        col("rk") === col("vk") &&
+          abs(length(col("rw")) - length(col("vw"))) <= 2)
+      .select(col("rw"), col("vw")).distinct()
+      .withColumn("__ratio", ratioUdf(col("rw"), col("vw")))
+      .where(col("__ratio") >= threshold)
+    val pick = Window.partitionBy("rw")
+      .orderBy(col("__ratio").desc, col("vw").asc)
+    cand.withColumn("__rk", row_number().over(pick))
+      .where(col("__rk") === 1)
+      .select(col("rw").as("__from"), col("vw").as("__to"))
+      .orderBy("__from").limit(maxCorrections)
+  }
+
+  /** Rewrite the column through the correction map, word-boundary,
+    * case-insensitive — same apply path as the driver version. */
+  def fix(df: DataFrame, c: String, threshold: Double = 0.8,
+      maxCorrections: Int = 500): DataFrame = {
+    val map = corrections(df, c, threshold, maxCorrections)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    map.foldLeft(df) { case (d, (typo, fixW)) =>
+      d.withColumn(c, regexp_replace(col(c),
+        s"(?i)\\b${java.util.regex.Pattern.quote(typo)}\\b", fixW))
+    }
+  }
+}

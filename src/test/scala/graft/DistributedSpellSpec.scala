@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TypoFix
+import graft.plans.DistributedSpell
+
+class DistributedSpellSpec extends SparkSpec {
+  import spark.implicits._
+
+  // repeated words form the vocabulary; each typo appears exactly once
+  private def corpus = Seq(
+    (0L, "the spark query engine runs the query plan"),
+    (1L, "spark engine plan the query runs"),
+    (2L, "a sprak qurey was slow"),
+    (3L, "the engine runs plans"),
+    (4L, "spark plans the engine")
+  ).toDF("id", "text")
+
+  test("distributed corrections rewrite typos to vocabulary words") {
+    val out = DistributedSpell.fix(corpus, "text", threshold = 0.7)
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(2).contains("spark") && out(2).contains("query"))
+    assert(!out(2).contains("sprak") && !out(2).contains("qurey"))
+    // untouched rows stay identical
+    assert(out(0) == "the spark query engine runs the query plan")
+  }
+
+  test("distributed fix matches the driver-side spell_check output") {
+    val driver = TypoFix("spell_check", similarityThreshold = 0.7)(corpus).df
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    val dist = DistributedSpell.fix(corpus, "text", threshold = 0.7)
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(dist == driver)
+  }
+
+  test("vocabulary words are never rewritten into each other") {
+    val m = DistributedSpell.corrections(corpus, "text", threshold = 0.7)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val vocab = Set("the", "spark", "query", "engine", "runs", "plan", "plans")
+    assert(m.keySet.intersect(vocab).isEmpty)
+  }
+}
