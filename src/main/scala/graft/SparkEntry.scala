@@ -501,7 +501,7 @@ object SparkEntry {
         Similarity.toDoubleArr(col("embedding")).as("vb"))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"),
-          round(Similarity.cosine(col("va"), col("vb")), 6).as("sim"))
+          round(Similarity.cosineUdf(col("va"), col("vb")), 6).as("sim"))
         .orderBy("id_a")
     }),
 

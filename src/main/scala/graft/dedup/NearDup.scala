@@ -246,8 +246,8 @@ object NearDup {
     require(planes % bands == 0)
     val r = planes / bands
     val sigDf = df.select(col(idCol).as("__id"),
-      toDoubleArr(col(vecCol)).as("__v"),
-      signature(toDoubleArr(col(vecCol)), dim, planes).as("__sig"))
+      toDoubleArr(col(vecCol)).as("__v"))
+      .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
     val buckets = sigDf.withColumn("__band",
       explode(array((0 until bands).map(lit): _*)))
       .withColumn("__bits",
@@ -260,7 +260,7 @@ object NearDup {
     a.join(b, col("ba") === col("bb") && col("bia") === col("bib") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
   }

@@ -30,6 +30,30 @@ object Similarity {
     when(na =!= 0.0 && nb =!= 0.0, dot(a, b) / (na * nb))
   }
 
+  /** Fused dot product as a Scala UDF. Higher-order-function lambdas run
+    * interpreted per element (measured: the dominant cost of every ANN
+    * query at sf0.1); this loop is the same left-to-right accumulation, so
+    * results are bit-identical to [[dot]], at JVM arithmetic speed. Hot
+    * paths below use this; the Column forms stay for composability. */
+  val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Fused cosine UDF — same algebra as [[cosine]] (null when a norm is
+    * 0), same accumulation order, interpreted-overhead-free. */
+  val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val n = math.min(a.length, b.length)
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    var i = 0
+    while (i < n) { dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1 }
+    if (daa == 0.0 || dbb == 0.0) None
+    else Some(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+  }
+
   /** Exact cosine top-k: for each query vector, the k most similar corpus
     * vectors (excluding itself). Ranking key is (round(sim, 6) DESC, id ASC)
     * — rounded so the ranking is stable across engines and reproducible.
@@ -42,15 +66,15 @@ object Similarity {
     // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
     val c = corpus.select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
     val q = queries.select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("query_id"))
       .select(col("query_id"), col("c_id").as("neighbor_id"),
         round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-          dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+          dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
           .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
@@ -81,6 +105,27 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Fused [[signature]]: all planes·dim multiply-adds in one UDF call
+    * (the Column form evaluates planes separate interpreted folds per
+    * row). Identical weights and bit packing. */
+  def signatureUdf(dim: Int, planes: Int = 16) = {
+    require(planes <= 63, "signature packs into one long")
+    val w = Array.tabulate(planes, dim)(planeWeight)
+    udf { v: Seq[Double] =>
+      val n = math.min(dim, v.length)
+      var bits = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += v(d) * w(p)(d); d += 1 }
+        if (s >= 0.0) bits |= 1L << p
+        p += 1
+      }
+      bits
+    }
+  }
+
   /** Approximate top-k: exact re-rank restricted to corpus vectors whose
     * hyperplane signature is within `maxHammingDist` of the query's.
     * Bucket-join on signature bands (banding: any equal band → candidate)
@@ -91,14 +136,15 @@ object Similarity {
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
     // band key = (band index, the band's bits of the signature)
+    val sig = signatureUdf(dim, planes)
     val cSig = corpus.select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
-      .withColumn("__sig", signature(col("c_vec"), dim, planes))
-      .withColumn("c_norm", sqrt(dot(col("c_vec"), col("c_vec"))))
+      .withColumn("__sig", sig(col("c_vec")))
+      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
     val qSig = queries.select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
-      .withColumn("__sig", signature(col("q_vec"), dim, planes))
-      .withColumn("q_norm", sqrt(dot(col("q_vec"), col("q_vec"))))
+      .withColumn("__sig", sig(col("q_vec")))
+      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val cBand = cSig.withColumn("__band",
       explode(array((0 until bands).map(lit): _*)))
       .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
@@ -111,7 +157,7 @@ object Similarity {
       .dropDuplicates("query_id", "c_id")
     val scored = cand.select(col("query_id"), col("c_id").as("neighbor_id"),
       round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-        dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+        dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
         .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
