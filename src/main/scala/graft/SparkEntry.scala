@@ -158,6 +158,16 @@ object SparkEntry {
         "remove_punctuation", "remove_extra_spaces"))(d).df.orderBy("doc_id")
     }),
 
+    // §2.12 remaining ops: uppercase, special-chars, whitespace, custom map
+    "q_textclean_special" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 1, lit(" mixed-CASE text & sym*bols  here "))
+          .otherwise(col("text")).as("text"))
+      TextClean(Seq("uppercase", "remove_special_chars", "remove_whitespace",
+          "custom"),
+        customPatterns = Seq("HERE" -> "THERE"))(d).df.orderBy("doc_id")
+    }),
+
     // §2.15 common-typos dictionary replacement
     "q_typofix_common" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"),
@@ -856,6 +866,17 @@ object SparkEntry {
          |   lower(regexp_replace(text, '^nan$$', '')),
          |   '<[^>]+>', '', 'g'), '\\d+', '', 'g'),
          |   '$punctSql', ''), '\\s+', ' ', 'g')), '') AS text
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_textclean_special" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 5 = 1 THEN ' mixed-CASE text & sym*bols  here '
+         |       ELSE text END AS text FROM documents)
+         |SELECT doc_id,
+         | NULLIF(regexp_replace(trim(regexp_replace(regexp_replace(
+         |   upper(regexp_replace(text, '^nan$$', '')),
+         |   '[^a-zA-Z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+         |   'HERE', 'THERE', 'g'), '') AS text
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_typofix_common" -> {
