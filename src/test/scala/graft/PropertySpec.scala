@@ -92,4 +92,43 @@ class PropertySpec extends SparkSpec {
       ab.foreach(v => assert(v >= 0.0 && v <= 1.0))
     }
   }
+
+  test("partitioned fill equals the window fill on random null patterns") {
+    val gen = Gen.listOfN(60, Gen.option(Gen.chooseNum(-100.0, 100.0)))
+    for ((xs, round) <- samples(gen, 4).zipWithIndex) {
+      val df = xs.zipWithIndex.map { case (x, i) =>
+        (i.toLong, x.map(Double.box).orNull.asInstanceOf[java.lang.Double])
+      }.toDF("id", "x").repartition(5)
+      val expectF = MissingValues("forward_fill", orderCol = Some("id"))(df)
+        .df.orderBy("id").collect().toSeq
+      val gotF = graft.plans.PartitionedFill.ffill(df, "id",
+        numPartitions = 3 + round).orderBy("id").collect().toSeq
+      assert(gotF == expectF, s"ffill mismatch, round $round")
+      val expectB = MissingValues("backward_fill", orderCol = Some("id"))(df)
+        .df.orderBy("id").collect().toSeq
+      val gotB = graft.plans.PartitionedFill.bfill(df, "id",
+        numPartitions = 3 + round).orderBy("id").collect().toSeq
+      assert(gotB == expectB, s"bfill mismatch, round $round")
+    }
+  }
+
+  test("distributed fuzzy map equals the driver map on random typo corpora") {
+    val bases = Seq("BUILDING", "AUTOMOBILE", "MACHINERY", "FURNITURE")
+    val typoGen = for {
+      base <- Gen.oneOf(bases)
+      pos <- Gen.chooseNum(1, 6)
+    } yield base.substring(0, pos) + base.substring(pos + 1) // one deletion
+    for (round <- 0 until 3) {
+      val typos = samples(typoGen, 6)
+      val values = bases.flatMap(b => Seq.fill(20)(b)) ++ typos
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val counts = df.groupBy($"v").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val driver = TypoFix.fuzzyReplacements(counts, 0.8)
+      val dist = graft.plans.DistributedFuzzy.replacements(df, "v", 0.8)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(dist == driver, s"round $round")
+    }
+  }
 }
