@@ -515,6 +515,19 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // embedding-cosine near-dup pairs via hyperplane LSH (planted exact
+    // duplicates: identical vectors always share every band, so recall on
+    // the planted set is exactly 1 and the all-pairs oracle is comparable;
+    // random 64-dim synthetic vectors never reach 0.95 cosine naturally)
+    "q_embed_neardup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
+        dim = 64, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     // brute-force cosine top-10 for the first 5 vectors (exact ANN baseline)
     "q_ann_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -732,6 +745,19 @@ object SparkEntry {
          |SELECT a.vec_id AS id_a, round($cosSql, 6) AS sim
          |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
          |ORDER BY id_a""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |u AS (SELECT * FROM e
+         |      UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_dot_product(a.v, b.v) /
+         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+         |   AS cosine
+         |FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.v, b.v) /
+         |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
