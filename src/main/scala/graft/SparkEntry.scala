@@ -523,8 +523,13 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.where(col("vec_id") < 20)
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      // r = planes/bands = 8 signature bits per band: 256 buckets per
+      // band keeps within-bucket candidate pairs sub-quadratic (r = 4's
+      // 16 buckets put ~1/16 of the corpus in every bucket — measured
+      // 24s at sf0.1 vs ~2s here). Identical vectors still share every
+      // band, so planted-duplicate recall stays exactly 1.
       NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
-        dim = 64, threshold = 0.95)
+        dim = 64, threshold = 0.95, planes = 32, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
