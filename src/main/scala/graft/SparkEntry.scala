@@ -171,7 +171,7 @@ object SparkEntry {
     // §2.15 common-typos dictionary replacement
     "q_typofix_common" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, lit("Teh best adress to recieve mail"))
+        when(col("doc_id") % 3 === 0, lit("Teh managment adn thier deparment"))
           .when(col("doc_id") % 3 === 1, lit("definately occured untill now"))
           .otherwise(col("text")).as("text"))
       TypoFix("common_typos")(d).df.orderBy("doc_id")
@@ -564,11 +564,14 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text"))
         .select("doc_id", "byte_len", "content_sha").orderBy("doc_id")),
 
-    // multimodal stub feature extraction (deterministic fake decoder)
-    "q_multimodal_features" -> ((s, dir) =>
-      Multimodal.stubDecodeFeatures(Multimodal.asMedia(
+    // multimodal stub feature extraction (deterministic fake decoder;
+    // scalar feature_i columns so the output is sortable/hashable)
+    "q_multimodal_features" -> ((s, dir) => {
+      val out = Multimodal.stubDecodeFeatures(Multimodal.asMedia(
         tbl(s, dir, "documents"), "text"))
-        .select("doc_id", "features").orderBy("doc_id"))
+      out.select(("doc_id" +: (0 until 8).map(i => s"feature_$i")).map(col): _*)
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
@@ -800,6 +803,20 @@ object SparkEntry {
         | sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB twin of Multimodal.stubDecodeFeatures: same ascii-sum-of-
+    // sha256-hex math, so the "fake decode" is value-level verified.
+    "q_multimodal_features" -> {
+      val feats = (0 until 8).map { i =>
+        val s = (1 to 8).map(j => s"ascii(substr(h, ${i * 8 + j}, 1))")
+          .mkString(" + ")
+        s"round((($s) % 1000) / 1000.0, 6) AS feature_$i"
+      }.mkString(",\n ")
+      s"""WITH t AS (SELECT doc_id, sha256(text) AS h FROM documents)
+         |SELECT doc_id,
+         | $feats
+         |FROM t ORDER BY doc_id""".stripMargin
+    },
+
     "q_dedup_exact" ->
       """SELECT DISTINCT * FROM
         | (SELECT * FROM documents UNION ALL SELECT * FROM documents)
@@ -913,7 +930,7 @@ object SparkEntry {
     "q_typofix_common" -> {
       val inner = typoChainSql("text")
       s"""WITH t AS (SELECT doc_id,
-         |  CASE WHEN doc_id % 3 = 0 THEN 'Teh best adress to recieve mail'
+         |  CASE WHEN doc_id % 3 = 0 THEN 'Teh managment adn thier deparment'
          |       WHEN doc_id % 3 = 1 THEN 'definately occured untill now'
          |       ELSE text END AS text FROM documents)
          |SELECT doc_id, $inner AS text

@@ -43,13 +43,27 @@ object Multimodal {
 
   /** STUB decoder: where a real pipeline would decode media and extract
     * features (via a partition-parallel batch UDF), this produces a
-    * deterministic 8-dim pseudo-feature vector from content hashes. The
-    * partitioning/batching shape is the real one; only the math inside is
-    * fake. Replace the body per modality in production. */
-  def stubDecodeFeatures(df: DataFrame, dims: Int = 8): DataFrame =
-    df.withColumn("features",
-      transform(sequence(lit(0), lit(dims - 1)),
-        i => (xxhash64(col("content"), i) % 1000L).cast(DoubleType) / 1000.0))
+    * deterministic `dims`-dim pseudo-feature row from the content's sha-256
+    * digest. Scalar `feature_i` columns (not an array) so downstream
+    * tooling — including a pandas comparator — can sort/hash the output.
+    * The partitioning shape is the real one; only the math inside is fake.
+    * Replace the body per modality in production.
+    *
+    * feature_i = (ascii-sum of hex digest chars [i*stride, (i+1)*stride))
+    *             mod 1000 / 1000 — chosen because every term is a plain
+    * SQL builtin, so an external engine can recompute it for verification. */
+  def stubDecodeFeatures(df: DataFrame, dims: Int = 8): DataFrame = {
+    require(64 % dims == 0, s"dims must divide 64, got $dims")
+    val stride = 64 / dims
+    val withSha = df.withColumn("_sha_hex", sha2(col("content"), 256))
+    val feats = (0 until dims).map { i =>
+      val asciiSum = (1 to stride)
+        .map(j => ascii(substring(col("_sha_hex"), i * stride + j, 1)))
+        .reduce(_ + _)
+      round((asciiSum % 1000).cast(DoubleType) / 1000.0, 6).as(s"feature_$i")
+    }
+    withSha.select(col("*") +: feats: _*).drop("_sha_hex")
+  }
 
   /** Frame-sample stand-in: pick every `stride`-th byte as a "frame"
     * (the real operator samples video frames; same slicing plumbing). */

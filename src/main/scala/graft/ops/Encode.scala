@@ -117,16 +117,31 @@ final case class Encode(
   }
 
   private def oneHot(df: DataFrame, targets: Seq[String]): DataFrame = {
-    // one job collects every target column's distinct values (melt)
-    val pairs = df.select(explode(array(targets.map(c =>
-      struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
-      .select(col("p.c").as("c"), col("p.v").as("v"))
-      .distinct().collect()
-    val values: Map[String, Seq[String]] = pairs.groupBy(_.getString(0))
-      .map { case (c, rows) =>
-        c -> rows.map(r => Option(r.getString(1))).collect { case Some(v) => v }
-          .toSeq.sorted }
-    val encodable = targets.filter(c =>
+    // Guard BEFORE collecting (encoding.py:127-134): one approx-cardinality
+    // aggregation picks candidate columns, and distinct VALUES are collected
+    // only for those — a high-cardinality string column (URLs, ids) never
+    // reaches the driver. The 2x+16 margin over the exact limit makes the
+    // HLL sketch's error irrelevant for the keep side (no true <=limit
+    // column is skipped); the exact <=limit filter re-runs on the collected
+    // values, so borderline columns still resolve exactly.
+    val margin = maxOnehotCardinality * 2L + 16L
+    val cardAggs = targets.map(c =>
+      approx_count_distinct(col(c)).as(s"${c}__card"))
+    val cardRow = df.agg(cardAggs.head, cardAggs.tail: _*).head()
+    val candidates = targets.filter(c =>
+      cardRow.getLong(cardRow.fieldIndex(s"${c}__card")) <= margin)
+    // one job collects the candidate columns' distinct values (melt)
+    val values: Map[String, Seq[String]] =
+      if (candidates.isEmpty) Map.empty
+      else df.select(explode(array(candidates.map(c =>
+          struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
+        .select(col("p.c").as("c"), col("p.v").as("v"))
+        .distinct().collect()
+        .groupBy(_.getString(0))
+        .map { case (c, rows) =>
+          c -> rows.map(r => Option(r.getString(1))).collect { case Some(v) => v }
+            .toSeq.sorted }
+    val encodable = candidates.filter(c =>
       values.getOrElse(c, Nil).size <= maxOnehotCardinality)
     val proj = df.columns.toSeq.flatMap { c =>
       if (!encodable.contains(c)) Seq(col(c))

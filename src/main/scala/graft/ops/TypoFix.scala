@@ -105,16 +105,23 @@ final case class TypoFix(
 }
 
 object TypoFix {
-  /** Built-in common-typo dictionary (generic English misspellings; the
-    * reference ships its own 26-entry dict, `spellingFix.py:22-50`). */
+  /** Built-in common-typo dictionary — the reference's 26 entries verbatim
+    * (`/root/reference/methods/spellingFix.py:22-50`); the dict IS the
+    * observable behavior of method=common_typos, so it must match. */
   val CommonTypos: Map[String, String] = Map(
-    "teh" -> "the", "adress" -> "address", "recieve" -> "receive",
-    "seperate" -> "separate", "definately" -> "definitely",
-    "occured" -> "occurred", "untill" -> "until", "wich" -> "which",
-    "recomend" -> "recommend", "becuase" -> "because",
-    "accross" -> "across", "beleive" -> "believe", "concious" -> "conscious",
-    "enviroment" -> "environment", "goverment" -> "government",
-    "publically" -> "publicly", "tommorow" -> "tomorrow")
+    "teh" -> "the", "adn" -> "and", "thier" -> "their",
+    "recieve" -> "receive", "seperate" -> "separate",
+    "definately" -> "definitely", "occured" -> "occurred",
+    "begining" -> "beginning", "untill" -> "until",
+    "mispelled" -> "misspelled", "accomodate" -> "accommodate",
+    "embarass" -> "embarrass", "goverment" -> "government",
+    "liesure" -> "leisure", "maintainance" -> "maintenance",
+    "necesary" -> "necessary", "occassion" -> "occasion",
+    "posession" -> "possession", "priviledge" -> "privilege",
+    "recomend" -> "recommend", "unitd" -> "united",
+    "managment" -> "management", "deparment" -> "department",
+    "devlopment" -> "development", "busness" -> "business",
+    "finace" -> "finance")
 
   /** Pairwise pass over (value, count): for each similar pair, map the
     * less-frequent value to the more-frequent one (ties: lexicographically

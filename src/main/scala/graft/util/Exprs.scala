@@ -15,21 +15,16 @@ import org.apache.spark.sql.types._
   */
 object Exprs {
 
-  /** Strict decimal/scientific literal; what `pandas.to_numeric` accepts. */
-  val NumericRegex = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
+  /** Null-on-failure string→double via native `try_cast` — codegen'd
+    * numeric parse, no per-value regex. Accepts decimal/scientific
+    * literals plus nan/inf tokens, matching `pandas.to_numeric`. */
+  def tryDouble(c: Column): Column =
+    trim(c.cast(StringType)).try_cast(DoubleType)
 
-  /** Null-on-failure string→double (regex-gated so ANSI cast never fires
-    * on an unparseable value; `when` branches evaluate lazily per row). */
-  def tryDouble(c: Column): Column = {
-    val t = trim(c.cast(StringType))
-    when(t.rlike(NumericRegex), t.cast(DoubleType))
-  }
-
-  /** Null-on-failure string→long (integral strings only). */
-  def tryLong(c: Column): Column = {
-    val t = trim(c.cast(StringType))
-    when(t.rlike("^[+-]?\\d+$"), t.cast(LongType))
-  }
+  /** Null-on-failure string→long (integral strings only — try_cast to a
+    * long rejects "17.0", which is what keeps long/double detection apart). */
+  def tryLong(c: Column): Column =
+    trim(c.cast(StringType)).try_cast(LongType)
 
   /** Shape regex for a datetime pattern: lets us skip the parser (whose
     * failure path is a thrown-and-caught exception per value — the hot-loop

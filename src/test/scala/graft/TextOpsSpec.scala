@@ -20,9 +20,9 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("typo dictionary fixes word-boundary case-insensitive") {
-    val df = Seq((1L, "Teh adress was wrong"), (2L, "tehx untouched")).toDF("id", "t")
+    val df = Seq((1L, "Teh managment was wrong"), (2L, "tehx untouched")).toDF("id", "t")
     val out = TypoFix("common_typos")(df).df.orderBy("id").collect()
-    assert(out(0).getString(1) == "the address was wrong")
+    assert(out(0).getString(1) == "the management was wrong")
     assert(out(1).getString(1) == "tehx untouched")
   }
 
@@ -87,6 +87,17 @@ class TextOpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "s_a", "s_b", "s_nan"))
     val r = out.orderBy("id").collect()
     assert(r(0).getLong(2) == 1L && r(1).getLong(1) == 1L && r(2).getLong(3) == 1L)
+  }
+
+  test("onehot skips high-cardinality columns before collecting values") {
+    // 200 distinct ids in `hi` (> the 50 limit) must pass through untouched
+    // — the cardinality guard runs BEFORE the distinct-value collect, so
+    // the driver never materializes the 200 values; `lo` still encodes.
+    val df = (1L to 200L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "hi", "lo")
+    val out = Encode("onehot")(df).df
+    assert(out.columns.toSeq == Seq("id", "hi", "lo_a", "lo_b", "lo_nan"))
+    assert(out.where($"hi" === "v7").count() == 1)
   }
 
   test("frequency encoding appends normalized counts including null group") {
