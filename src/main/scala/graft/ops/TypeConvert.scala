@@ -19,8 +19,8 @@ import graft.util.Exprs._
   *    storage analogue of pandas' `category`, SURVEY.md §1.2)
   *
   * Cost: one ratio-statistics job over all string columns + (only when a
-  * boolean candidate exists) one tiny collect_set job on the ≤16-distinct
-  * candidates + one projection. Column-count independent.
+  * datetime shape-candidate survives) one parse-ratio job over those
+  * columns + one projection. Column-count independent.
   *
   * Manual conversions: `manual` maps column → target ("int" | "float" |
   * "str" | "datetime" | "bool"); failures coerce to null (the reference's
@@ -86,10 +86,12 @@ final case class TypeConvert(
       def flag(cond: Column): Column = when(col(c).isNotNull && cond, 1L).otherwise(0L)
       Seq(
         col(c).isNotNull.cast(LongType).as(s"${c}__n"),
-        // try_cast-based numeric probes: a native codegen'd parse per cell
-        // instead of a regex match (measured ~2x on the detection scan)
-        flag(s.try_cast(DoubleType).isNotNull).as(s"${c}__num"),
-        flag(s.try_cast(LongType).isNotNull).as(s"${c}__int"),
+        // Regex-gated numeric probes, NOT try_cast: on a mostly-non-numeric
+        // column try_cast's failure path throws a caught exception per cell
+        // (measured 13.1 s -> 23.6 s on this scan when round 2 tried it),
+        // and it accepts tokens pandas rejects ("1.5f", "Infinity").
+        flag(s.rlike(NumericRegex)).as(s"${c}__num"),
+        flag(s.rlike("^[+-]?\\d+$")).as(s"${c}__int"),
         flag(s.rlike(TypeConvert.DatetimeShapeRegex)).as(s"${c}__dtc"),
         flag(lower(s).isin(TypeConvert.BoolTokens: _*)).as(s"${c}__bool")) :+
         col(c).as(s"${c}__v")
@@ -138,19 +140,14 @@ final case class TypeConvert(
       else None
     }.toMap
 
-    // job 2 (rare): confirm boolean candidates' distinct sets
-    val boolCols = decisions.collect { case (c, "boolcand") => c }.toSeq
+    // No confirmation job for boolean candidates: the "boolcand" decision
+    // already requires __bool == __n, i.e. EVERY non-null value is a bool
+    // token, so a distinct-set ⊆ BoolTokens re-check can never fail (the
+    // reference's subset test, `dataTypeConversion.py:136-138`, is implied).
+    // Raw-cased distinct count (>1, the reference's len(uniques) > 1 on raw
+    // values) is covered by the __card aggregate from job 1.
     val confirmedBool: Set[String] =
-      if (boolCols.isEmpty) Set.empty
-      else {
-        val sets = manualDf.agg(
-          collect_set(lower(trim(col(boolCols.head)))).as(boolCols.head),
-          boolCols.tail.map(c => collect_set(lower(trim(col(c)))).as(c)): _*).head()
-        boolCols.filter { c =>
-          sets.getSeq[String](sets.fieldIndex(c)).toSet
-            .subsetOf(TypeConvert.BoolTokens.toSet)
-        }.toSet
-      }
+      decisions.collect { case (c, "boolcand") => c }.toSet
 
     val proj = manualDf.columns.map { c =>
       decisions.get(c) match {

@@ -64,6 +64,31 @@ class TextOpsSpec extends SparkSpec {
     assert(out.where($"num".isNull).count() == 1) // "bad" coerced to null
   }
 
+  test("numeric probe rejects Java-parser-only tokens pandas/DuckDB reject") {
+    // Pins the strict regex gate in Exprs.tryDouble: Spark's try_cast
+    // accepts "1.5f", "Infinity", "NaN", hex floats via Java's parser, but
+    // pandas.to_numeric and DuckDB's CAST reject them — drifting here
+    // silently breaks the oracle comparison (round-2 lesson).
+    val df = Seq("1.5f", "Infinity", "-Infinity", "NaN", "0x1p3", "1d",
+      "1,000", "", " 2.5 ", "+3e2", ".5", "7.").toDF("s")
+    val got = df.select(graft.util.Exprs.tryDouble($"s").as("v"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, None, None, None, None, None,
+      None, None, Some(2.5), Some(300.0), Some(0.5), Some(7.0)))
+  }
+
+  test("boolean detection requires >1 raw distinct and all-token values") {
+    // no confirmation scan: __bool == __n already implies the distinct set
+    // is a subset of the tokens (dataTypeConversion.py:136-138)
+    val df = Seq(("yes", "yes", "maybe"), ("no", "yes", "yes"))
+      .toDF("b", "mono", "mixed")
+    val types = TypeConvert(auto = true)(df).df.schema.fields
+      .map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("b") == "boolean")
+    assert(types("mono") == "string") // single distinct value stays string
+    assert(types("mixed") == "string") // non-token value stays string
+  }
+
   test("datetime parse converts only above the ratio gate and extracts features") {
     val df = Seq((1L, "2024-03-05", "notadate"), (2L, "2024-04-06", "alsobad"))
       .toDF("id", "d", "junk")
