@@ -489,12 +489,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash: planted near-dup pairs differ in few of 64 bits
+    // SimHash: planted near-dup pairs differ in few bits. Uses the 56-bit
+    // md5-token-hash variant so the signature itself is value-checkable by
+    // an external SQL engine (the 64-bit xxhash64 default is not).
     "q_simhash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"),
-        NearDup.simhash(col("text")).as("sh"))
+        NearDup.simhash(col("text"), 56, NearDup.md5Hash56).as("sh"))
       val mutated = tbl(s, dir, "documents").select(col("doc_id"),
-        NearDup.simhash(regexp_replace(col("text"), "\\s+\\S+$", "")).as("sh_mut"))
+        NearDup.simhash(regexp_replace(col("text"), "\\s+\\S+$", ""),
+          56, NearDup.md5Hash56).as("sh_mut"))
       d.join(mutated, "doc_id")
         .select(col("doc_id"), col("sh"),
           bit_count(col("sh").bitwiseXOR(col("sh_mut"))).cast(LongType)
@@ -747,6 +750,57 @@ object SparkEntry {
          |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
          |ORDER BY id_a""".stripMargin
     },
+
+    // Exact all-pairs word-3-gram Jaccard ground truth. Valid as an oracle
+    // for the LSH query because rotation-densified OPH has full recall on
+    // this corpus (verified: 600/600 pairs at sf0.01) and the exact-Jaccard
+    // verification step makes precision exact by construction.
+    "q_neardup_minhash" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    regexp_replace(text, '\\s+\\S+$$', '') AS text FROM documents),
+         |t AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM u)
+         |  WHERE len(toks) >= 3),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full value-level simhash recompute: md5-hex -> 56-bit token hash via
+    // base-16 fold, per-bit ±1 vote sums, bit_or reassembly — identical
+    // arithmetic to NearDup.simhash(_, 56, md5Hash56).
+    "q_simhash" ->
+      s"""WITH d AS (SELECT doc_id, $normTextSql AS t1,
+         |    regexp_replace($normTextSql, '\\s+\\S+$$', '') AS t2 FROM documents),
+         |tok AS (
+         |  SELECT doc_id, 1 AS which, unnest(string_split(t1, ' ')) AS t FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS which, unnest(string_split(t2, ' ')) AS t FROM d),
+         |h AS (SELECT doc_id, which,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(string_split(substring(md5(t), 1, 14), ''),
+         |      c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+         |    (a, v) -> a * 16 + v) AS hv
+         |  FROM tok),
+         |v AS (SELECT doc_id, which, b,
+         |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h CROSS JOIN (SELECT unnest(range(56)) AS b) r
+         |  GROUP BY doc_id, which, b),
+         |s AS (SELECT doc_id, which,
+         |    bit_or(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END) AS sh
+         |  FROM v GROUP BY doc_id, which)
+         |SELECT a.doc_id AS doc_id, a.sh AS sh,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming_to_neardup
+         |FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.which = 1 AND b.which = 2
+         |ORDER BY a.doc_id""".stripMargin,
 
     "q_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
