@@ -97,11 +97,12 @@ final case class MissingValues(
 
   /** forward_fill / backward_fill over an explicit order (SURVEY §2.5).
     *
-    * Oracle-exact path: a global running `last(ignoreNulls)` window. The
-    * unpartitioned window is a deliberate trade at test scale; the 100 TB
-    * path is range-partition on `orderCol` + per-partition fill +
-    * a tiny (numPartitions-row) boundary fix-up join — same semantics,
-    * no single-task sort. See graft.plans.PartitionedFill.
+    * Routed by physical partition count: a multi-partition input goes to
+    * [[graft.plans.PartitionedFill]] (range-partition + per-partition
+    * scan-carry + driver boundary prefix-scan — no single-task stage,
+    * oracle-equal by PartitionedFillSpec); a single-partition input keeps
+    * the global running `last(ignoreNulls)` window, which costs no shuffle
+    * there and cannot trigger the one-task WindowExec funnel.
     */
   private def directionalFill(df: DataFrame, forward: Boolean): DataFrame = {
     val (ord, added) = orderCol match {
@@ -110,16 +111,24 @@ final case class MissingValues(
         Seq("__row_id"))
     }
     val key = orderCol.getOrElse("__row_id")
-    val base = Window.orderBy(col(key))
-    val proj = ord.columns.filterNot(added.contains).map { c =>
-      if (c == key || !isAtomic(ord.schema(c).dataType)) col(c)
-      else if (forward)
-        last(col(c), ignoreNulls = true)
-          .over(base.rowsBetween(Window.unboundedPreceding, 0)).as(c)
-      else
-        first(col(c), ignoreNulls = true)
-          .over(base.rowsBetween(0, Window.unboundedFollowing)).as(c)
+    val kept = ord.columns.filterNot(added.contains)
+    if (ord.rdd.getNumPartitions > 1) {
+      val filled =
+        if (forward) graft.plans.PartitionedFill.ffill(ord, key)
+        else graft.plans.PartitionedFill.bfill(ord, key)
+      filled.select(kept.map(col).toSeq: _*)
+    } else {
+      val base = Window.orderBy(col(key))
+      val proj = kept.map { c =>
+        if (c == key || !isAtomic(ord.schema(c).dataType)) col(c)
+        else if (forward)
+          last(col(c), ignoreNulls = true)
+            .over(base.rowsBetween(Window.unboundedPreceding, 0)).as(c)
+        else
+          first(col(c), ignoreNulls = true)
+            .over(base.rowsBetween(0, Window.unboundedFollowing)).as(c)
+      }
+      ord.select(proj.toSeq: _*)
     }
-    ord.select(proj.toSeq: _*)
   }
 }

@@ -23,8 +23,8 @@ import graft.util.Exprs._
   *    top-50); rare words (len>2) are rewritten to the most similar vocab
   *    word with ratio ≥ threshold and |Δlen| ≤ 2 (`spellingFix.py:201-268`).
   *    Vocabulary and rare words come from one explode/groupBy job each;
-  *    the correction map is built on the driver and applied as chained
-  *    word-boundary replacements.
+  *    the correction map is built on the driver and applied in ONE
+  *    tokenizing broadcast-map pass ([[TypoFix.applyWordMap]]).
   */
 final case class TypoFix(
     method: String = "common_typos",
@@ -85,10 +85,7 @@ final case class TypoFix(
           .sortBy { case (v, r) => (-r, v) }
           .headOption.map { case (v, _) => w -> v }
       }.take(500)
-    corrections.foldLeft(df) { case (d, (typo, fix)) =>
-      d.withColumn(c, regexp_replace(col(c),
-        s"(?i)\\b${java.util.regex.Pattern.quote(typo)}\\b", fix))
-    }
+    TypoFix.applyWordMap(df, c, corrections.toMap)
   }
 
   /** Exact-value rewrite via broadcast map join (no fact-table shuffle). */
@@ -122,6 +119,42 @@ object TypoFix {
     "managment" -> "management", "deparment" -> "department",
     "devlopment" -> "development", "busness" -> "business",
     "finace" -> "finance")
+
+  /** Single-pass word-boundary replacement: tokenize each cell on `\w+`
+    * runs and replace any token whose lowercase form is a map key with its
+    * fix, preserving all delimiters. Equivalent to sequentially chaining
+    * `(?i)\b<typo>\b` regexp_replace calls when — as in spell_check — the
+    * keys are lowercase single words and no fix is itself a key: each
+    * original token matches at most one pattern, and a replacement (a
+    * vocabulary word, by construction never rare) can never be re-matched
+    * by a later pattern. One broadcast + one projection; per-cell work is
+    * one tokenize + O(tokens) hash lookups, independent of dictionary
+    * size — the old foldLeft built a ≤500-deep regexp_replace chain: 500
+    * sequential regex scans per cell and an expression tree (and codegen
+    * unit) growing with the dictionary. A deliberate UDF-over-expressions
+    * exception, same reasoning as NearDup.ophSignatures. */
+  def applyWordMap(df: DataFrame, c: String, map: Map[String, String]): DataFrame = {
+    if (map.isEmpty) return df
+    val b = df.sparkSession.sparkContext.broadcast(map)
+    val fixUdf = udf { s: String =>
+      if (s == null) null
+      else {
+        val m = WordRun.matcher(s)
+        val sb = new StringBuffer(s.length)
+        while (m.find()) {
+          val tok = m.group
+          val rep = b.value.getOrElse(tok.toLowerCase, tok)
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
+        }
+        m.appendTail(sb)
+        sb.toString
+      }
+    }
+    df.withColumn(c, fixUdf(col(c).cast(StringType)))
+  }
+
+  /** Same `\w` word definition as the `\W+` splits that build the maps. */
+  private val WordRun = java.util.regex.Pattern.compile("\\w+")
 
   /** Pairwise pass over (value, count): for each similar pair, map the
     * less-frequent value to the more-frequent one (ties: lexicographically

@@ -33,7 +33,7 @@ import graft.ops.TypoFix
   *     threshold (tie: lexicographically smallest — the reference's
   *     deterministic sort), via one window.
   *
-  * The map application (bounded word-boundary replacements) is identical
+  * The map application (one tokenizing broadcast-map pass) is identical
   * to the driver path. The reference's empty-vocabulary fallback
   * (top-50 words when nothing repeats) is intentionally dropped: at
   * corpus scale the vocabulary is never empty, and the fallback would
@@ -78,14 +78,12 @@ object DistributedSpell {
   }
 
   /** Rewrite the column through the correction map, word-boundary,
-    * case-insensitive — same apply path as the driver version. */
+    * case-insensitive — one tokenizing broadcast-map pass
+    * ([[TypoFix.applyWordMap]]), same apply path as the driver version. */
   def fix(df: DataFrame, c: String, threshold: Double = 0.8,
       maxCorrections: Int = 500): DataFrame = {
     val map = corrections(df, c, threshold, maxCorrections)
-      .collect().map(r => r.getString(0) -> r.getString(1))
-    map.foldLeft(df) { case (d, (typo, fixW)) =>
-      d.withColumn(c, regexp_replace(col(c),
-        s"(?i)\\b${java.util.regex.Pattern.quote(typo)}\\b", fixW))
-    }
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    TypoFix.applyWordMap(df, c, map)
   }
 }

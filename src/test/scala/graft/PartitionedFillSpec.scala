@@ -19,9 +19,12 @@ class PartitionedFillSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("id", "x", "s").repartition(6)
   }
 
+  // coalesce(1) pins the op to its global-window branch so these tests
+  // compare the two implementations (a multi-partition input now
+  // auto-routes to PartitionedFill, which would be tautological here)
   private def windowed(forward: Boolean) =
     MissingValues(if (forward) "forward_fill" else "backward_fill",
-      orderCol = Some("id"))(frame).df
+      orderCol = Some("id"))(frame.coalesce(1)).df
 
   test("partitioned ffill matches the global-window fill exactly") {
     val expect = windowed(forward = true).orderBy("id").collect()
@@ -41,6 +44,17 @@ class PartitionedFillSpec extends SparkSpec {
     val plan = PartitionedFill.ffill(frame, "id", numPartitions = 7)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"))
+  }
+
+  test("fill op routes by partition count: window only when single-partition") {
+    val multi = MissingValues("forward_fill", orderCol = Some("id"))(frame).df
+    assert(!multi.queryExecution.executedPlan.toString.contains("Window"))
+    val single = MissingValues("forward_fill",
+      orderCol = Some("id"))(frame.coalesce(1)).df
+    assert(single.queryExecution.executedPlan.toString.contains("Window"))
+    // routed result still equals the windowed result
+    assert(multi.orderBy("id").collect().toSeq ==
+      windowed(forward = true).orderBy("id").collect().toSeq)
   }
 
   test("more partitions than rows degrades gracefully") {
