@@ -3,19 +3,18 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.util.Exprs._
 
 /** Dataset profiler (reference S4, `/root/reference/pipeline.py:411-496`,
-  * SURVEY.md §2.1): shape, per-column dtype + missing count, duplicate-row
-  * count, sample rows.
+  * SURVEY.md §2.1): shape, per-column dtype + missing count + content
+  * bytes, duplicate-row count, sample rows.
   *
   * "Missing" for string columns is the reference's 5-heuristic union
   * (`pipeline.py:429-450`): NULL ∪ empty ∪ whitespace-only ∪ sentinel
   * tokens; for non-string columns NULL (∪ NaN for floating).
   *
-  * Cost: ONE aggregation job for all per-column counts + duplicate count
-  * (distinct-count shuffle) + `limit(n)` sample — independent of column
-  * count, linear in data size.
+  * Cost: ONE aggregation job for all per-column counts, byte estimates and
+  * the row count + duplicate count (distinct-count shuffle) + `limit(n)`
+  * sample — independent of column count, linear in data size.
   */
 object Profile {
   /** Sentinel strings the reference treats as missing (`pipeline.py:437-441`). */
@@ -29,33 +28,53 @@ object Profile {
     case _ => col(c).isNull
   }
 
-  final case class ColumnProfile(name: String, dtype: String, nMissing: Long)
+  /** Per-column content-byte estimate — A14, the reference's
+    * `memory_usage(deep=True)` analogue (`pipeline.py:456`,
+    * `dataTypeConversion.py:182-191`): variable-width columns count their
+    * actual UTF-8/binary payload bytes, fixed-width columns count non-null
+    * values × type width. Deliberately an estimate of CONTENT bytes, not
+    * of any engine's layout — pandas adds ~50 B of object overhead per
+    * string cell, Spark columnar adds null bitmaps and offsets; content
+    * bytes is the representation-independent number an external engine
+    * can recompute. Nested types fall back to non-null count × Catalyst
+    * default size. */
+  def byteSizeAgg(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+    case StringType | BinaryType =>
+      coalesce(sum(octet_length(col(c)).cast(LongType)), lit(0L))
+    case dt => count(col(c)) * lit(dt.defaultSize.toLong)
+  }
+
+  final case class ColumnProfile(name: String, dtype: String, nMissing: Long,
+      estBytes: Long)
   final case class DatasetProfile(rows: Long, cols: Int, duplicateRows: Long,
-      columns: Seq[ColumnProfile], sample: Seq[Map[String, Any]])
+      estBytes: Long, columns: Seq[ColumnProfile], sample: Seq[Map[String, Any]])
 
   def apply(df: DataFrame, sampleRows: Int = 5): DatasetProfile = {
     val cs = df.columns.toSeq
-    val aggs = cs.map(c => count(when(missingPredicate(df, c), 1)).as(c)) :+
+    val aggs = cs.map(c => count(when(missingPredicate(df, c), 1)).as(s"${c}__miss")) ++
+      cs.map(c => byteSizeAgg(df, c).as(s"${c}__bytes")) :+
       count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val nRows = row.getLong(row.fieldIndex("__rows"))
+    def l(n: String): Long = row.getLong(row.fieldIndex(n))
+    val nRows = l("__rows")
     val nDup = nRows - df.dropDuplicates().count()
     val sample = df.limit(sampleRows).collect().map(r =>
       cs.map(c => c -> r.get(r.fieldIndex(c))).toMap).toSeq
-    DatasetProfile(nRows, cs.length, nDup,
-      cs.map(c => ColumnProfile(c, df.schema(c).dataType.simpleString,
-        row.getLong(row.fieldIndex(c)))), sample)
+    val cols = cs.map(c => ColumnProfile(c, df.schema(c).dataType.simpleString,
+      l(s"${c}__miss"), l(s"${c}__bytes")))
+    DatasetProfile(nRows, cs.length, nDup, cols.map(_.estBytes).sum, cols, sample)
   }
 
   /** DataFrame form of the per-column profile — oracle-able: one row per
-    * column (column_name, n_missing) plus pseudo-rows for the row and
-    * duplicate counts. */
+    * column (column_name, n_missing) plus pseudo-rows for the row,
+    * duplicate and estimated-content-byte counts. */
   def asDataFrame(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val p = apply(df)
     (p.columns.map(c => (c.name, c.nMissing)) :+
-      ("__total_rows", p.rows) :+ ("__duplicate_rows", p.duplicateRows))
+      ("__total_rows", p.rows) :+ ("__duplicate_rows", p.duplicateRows) :+
+      ("__est_bytes", p.estBytes))
       .toDF("column_name", "n_missing")
   }
 }

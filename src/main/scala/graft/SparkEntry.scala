@@ -212,6 +212,25 @@ object SparkEntry {
     "q_missing_fill_mode" -> ((s, dir) =>
       MissingValues("fill_mode")(dirtyCustomer(s, dir)).df.orderBy("c_custkey")),
 
+    // Per-op metrics envelope (missingValues.py:179-191): the op's
+    // deferred metrics() thunk rendered as a one-row frame, value-checked
+    // end to end — rows/columns before/after, per-column and total
+    // missing counts.
+    "q_missing_report" -> ((s, dir) => {
+      val m = MissingValues("fill_mean")(dirtyCustomer(s, dir)).metrics()
+      val byCol = m("missing_by_column").asInstanceOf[Map[String, Long]]
+      import s.implicits._
+      Seq((m("strategy_used").toString,
+        m("rows_before").asInstanceOf[Long], m("rows_after").asInstanceOf[Long],
+        m("columns_before").asInstanceOf[Long], m("columns_after").asInstanceOf[Long],
+        m("total_missing_before").asInstanceOf[Long],
+        m("total_missing_after").asInstanceOf[Long],
+        byCol("c_acctbal"), byCol("c_mktsegment")))
+        .toDF("strategy_used", "rows_before", "rows_after",
+          "columns_before", "columns_after", "total_missing_before",
+          "total_missing_after", "missing_c_acctbal", "missing_c_mktsegment")
+    }),
+
     // §2.9 drop_columns (any null → column dropped)
     "q_missing_drop_columns" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").select(
@@ -1025,6 +1044,21 @@ object SparkEntry {
     "q_missing_drop_columns" ->
       """SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey""",
 
+    // total_missing_after is a prediction, not a recompute: fill_mean on
+    // this frame always has a mean (acctbal) and a mode (mktsegment), so
+    // every null is filled.
+    "q_missing_report" ->
+      s"""WITH t AS ($dirtyCustomerSql)
+         |SELECT 'fill_mean' AS strategy_used,
+         | count(*) AS rows_before, count(*) AS rows_after,
+         | CAST(3 AS BIGINT) AS columns_before, CAST(3 AS BIGINT) AS columns_after,
+         | CAST(count(*) FILTER (WHERE c_acctbal IS NULL)
+         |    + count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT) AS total_missing_before,
+         | CAST(0 AS BIGINT) AS total_missing_after,
+         | CAST(count(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT) AS missing_c_acctbal,
+         | CAST(count(*) FILTER (WHERE c_mktsegment IS NULL) AS BIGINT) AS missing_c_mktsegment
+         |FROM t""".stripMargin,
+
     "q_missing_ffill" ->
       s"""WITH t AS ($dirtyCustomerSql)
          |SELECT c_custkey,
@@ -1141,6 +1175,10 @@ object SparkEntry {
          | SELECT '__total_rows', count(*) FROM t
          | UNION ALL
          | SELECT '__duplicate_rows', count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM t)) FROM t
+         | UNION ALL
+         | SELECT '__est_bytes', CAST(count(c_custkey) * 8 + count(c_acctbal) * 8
+         |   + COALESCE(sum(strlen(c_name)), 0)
+         |   + COALESCE(sum(strlen(c_mktsegment)), 0) AS BIGINT) FROM t
          |) ORDER BY column_name""".stripMargin
     }
   )

@@ -19,7 +19,18 @@ final case class Dedup(subset: Seq[String] = Nil) extends Op {
   def apply(df: DataFrame): OpResult = {
     val out = if (subset.isEmpty) df.dropDuplicates()
               else df.dropDuplicates(subset)
-    OpResult(out, Seq("dropped exact duplicates"),
-      () => Map("rows_after" -> out.count()))
+    // Reference metrics envelope (`duplicate.py:50-59`), deferred: two
+    // counts when invoked. duplicate_count = rows removed, which equals
+    // pandas' duplicated().sum() (every copy past the first).
+    OpResult(out, Seq("dropped exact duplicates"), () => {
+      val before = df.count()
+      val after = out.count()
+      Map(
+        "duplicate_count" -> (before - after),
+        "rows_before" -> before,
+        "rows_after" -> after,
+        "columns_before" -> df.columns.length.toLong,
+        "columns_after" -> out.columns.length.toLong)
+    })
   }
 }

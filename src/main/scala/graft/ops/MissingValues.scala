@@ -49,7 +49,21 @@ final case class MissingValues(
       case other => throw new IllegalArgumentException(
         s"unknown missing_values strategy: $other")
     }
-    OpResult(out, Seq(s"missing_values strategy=$strategy"))
+    // Reference metrics envelope (`missingValues.py:179-191`), deferred:
+    // two agg jobs (input nulls+count, output nulls+count) when invoked.
+    OpResult(out, Seq(s"missing_values strategy=$strategy"), () => {
+      val (nullsBefore, nBefore) = Stats.nullCounts(df, df.columns.toSeq)
+      val (nullsAfter, nAfter) = Stats.nullCounts(out, out.columns.toSeq)
+      Map(
+        "strategy_used" -> strategy,
+        "rows_before" -> nBefore,
+        "rows_after" -> nAfter,
+        "columns_before" -> df.columns.length.toLong,
+        "columns_after" -> out.columns.length.toLong,
+        "total_missing_before" -> nullsBefore.values.sum,
+        "total_missing_after" -> nullsAfter.values.sum,
+        "missing_by_column" -> nullsBefore)
+    })
   }
 
   /** fill_mean / fill_median: numeric → mean|median with the reference's

@@ -72,7 +72,35 @@ final case class Outliers(
         df.select(proj.toSeq: _*)
       case other => throw new IllegalArgumentException(s"unknown outlier action: $other")
     }
-    OpResult(out, Seq(s"outliers method=$method action=$action cols=${bounds.keys.mkString(",")}"))
+    // Reference metrics envelope (`outliers.py:163-175`), deferred: one agg
+    // job over the input (per-column outside-bounds cell counts, matching
+    // the reference's per-column mask sums, plus the row count) and one
+    // count on the output.
+    OpResult(out,
+      Seq(s"outliers method=$method action=$action cols=${bounds.keys.mkString(",")}"),
+      () => {
+        val bc = bounds.keys.toSeq.sorted
+        val (detected, nBefore) =
+          if (bc.isEmpty) (0L, df.count())
+          else {
+            val aggs = bc.map { c =>
+              val (lo, hi) = bounds(c)
+              count(when(col(c) < lit(lo) || col(c) > lit(hi), 1)).as(c)
+            } :+ count(lit(1)).as("__n")
+            val row = df.agg(aggs.head, aggs.tail: _*).head()
+            (bc.map(c => row.getLong(row.fieldIndex(c))).sum,
+              row.getLong(row.fieldIndex("__n")))
+          }
+        Map(
+          "method_used" -> method,
+          "action_used" -> action,
+          "columns_processed" -> bc,
+          "outliers_detected" -> detected,
+          "rows_before" -> nBefore,
+          "rows_after" -> out.count(),
+          "columns_before" -> df.columns.length.toLong,
+          "columns_after" -> out.columns.length.toLong)
+      })
   }
 
   /** Per-column (lower, upper) inlier bounds; degenerate columns omitted. */

@@ -37,7 +37,9 @@ final case class TypoFix(
 
   def apply(df: DataFrame): OpResult = {
     val targets = if (columns.nonEmpty) columns else colsOfType(df, isString)
-    if (targets.isEmpty) return OpResult(df, Seq("no text columns"))
+    if (targets.isEmpty)
+      return OpResult(df, Seq("no text columns"),
+        () => TypoFix.envelope(df, df, method, Nil, 0L))
     method match {
       case "common_typos" =>
         val dict = TypoFix.CommonTypos ++ customDict
@@ -46,26 +48,46 @@ final case class TypoFix(
           else dict.toSeq.sortBy(_._1).foldLeft(col(c)) { case (acc, (typo, fix)) =>
             regexp_replace(acc, s"(?i)\\b$typo\\b", fix) }.as(c)
         }
-        OpResult(df.select(proj.toSeq: _*), Seq(s"common_typos over ${targets.mkString(",")}"))
-      case "fuzzy_match" => OpResult(targets.foldLeft(df)(fuzzyColumn),
-        Seq(s"fuzzy_match over ${targets.mkString(",")}"))
-      case "spell_check" => OpResult(targets.foldLeft(df)(spellCheckColumn),
-        Seq(s"spell_check over ${targets.mkString(",")}"))
+        val out = df.select(proj.toSeq: _*)
+        OpResult(out, Seq(s"common_typos over ${targets.mkString(",")}"),
+          () => TypoFix.envelope(df, out, method, targets,
+            TypoFix.wordMatchCount(df,
+              targets.map(c => c -> dict.keySet.map(_.toLowerCase)).toMap)))
+      case "fuzzy_match" =>
+        val (out, maps) = targets.foldLeft(
+            (df, Map.empty[String, Map[String, String]])) { case ((d, ms), c) =>
+          val (d2, m) = fuzzyColumn(d, c)
+          (d2, ms + (c -> m))
+        }
+        OpResult(out, Seq(s"fuzzy_match over ${targets.mkString(",")}"),
+          () => TypoFix.envelope(df, out, method, targets,
+            TypoFix.valueMatchCount(df, maps)))
+      case "spell_check" =>
+        val (out, maps) = targets.foldLeft(
+            (df, Map.empty[String, Map[String, String]])) { case ((d, ms), c) =>
+          val (d2, m) = spellCheckColumn(d, c)
+          (d2, ms + (c -> m))
+        }
+        OpResult(out, Seq(s"spell_check over ${targets.mkString(",")}"),
+          () => TypoFix.envelope(df, out, method, targets,
+            TypoFix.wordMatchCount(df,
+              maps.map { case (c, m) => c -> m.keySet })))
       case other => throw new IllegalArgumentException(s"unknown typo method: $other")
     }
   }
 
-  /** Rewrites similar distinct values to the more frequent spelling. */
-  private def fuzzyColumn(df: DataFrame, c: String): DataFrame = {
+  /** Rewrites similar distinct values to the more frequent spelling;
+    * returns the frame plus the applied replacement map. */
+  private def fuzzyColumn(df: DataFrame, c: String): (DataFrame, Map[String, String]) = {
     val counts = df.groupBy(col(c)).count()
       .where(col(c).isNotNull).limit(maxDistinct + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    if (counts.length > maxDistinct) return df // guard: not a categorical column
+    if (counts.length > maxDistinct) return (df, Map.empty) // guard: not a categorical column
     val repl = TypoFix.fuzzyReplacements(counts.toSeq, similarityThreshold)
-    applyReplacements(df, c, repl)
+    (applyReplacements(df, c, repl), repl)
   }
 
-  private def spellCheckColumn(df: DataFrame, c: String): DataFrame = {
+  private def spellCheckColumn(df: DataFrame, c: String): (DataFrame, Map[String, String]) = {
     val words = df.select(explode(split(lower(col(c).cast(StringType)), "\\W+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").count()
@@ -85,7 +107,8 @@ final case class TypoFix(
           .sortBy { case (v, r) => (-r, v) }
           .headOption.map { case (v, _) => w -> v }
       }.take(500)
-    TypoFix.applyWordMap(df, c, corrections.toMap)
+    val map = corrections.toMap
+    (TypoFix.applyWordMap(df, c, map), map)
   }
 
   /** Exact-value rewrite via broadcast map join (no fact-table shuffle). */
@@ -155,6 +178,61 @@ object TypoFix {
 
   /** Same `\w` word definition as the `\W+` splits that build the maps. */
   private val WordRun = java.util.regex.Pattern.compile("\\w+")
+
+  /** Reference metrics envelope (`spellingFix.py:280-291`), shared by the
+    * three methods: two count jobs when invoked. */
+  private[ops] def envelope(before: DataFrame, after: DataFrame,
+      method: String, cols: Seq[String], corrections: Long): Map[String, Any] = Map(
+    "method_used" -> method,
+    "columns_processed" -> cols,
+    "total_corrections" -> corrections,
+    "rows_before" -> before.count(),
+    "rows_after" -> after.count(),
+    "columns_before" -> before.columns.length.toLong,
+    "columns_after" -> after.columns.length.toLong)
+
+  /** Σ over cells of the number of DISTINCT dictionary words present in
+    * the cell (whole-word, case-insensitive) — the reference's
+    * total_corrections counting, one increment per (cell, typo pattern
+    * found) (`spellingFix.py:130-143`). One agg job over all columns. */
+  private[ops] def wordMatchCount(df: DataFrame,
+      keysByCol: Map[String, Set[String]]): Long = {
+    val cols = keysByCol.keys.toSeq.sorted.filter(c => keysByCol(c).nonEmpty)
+    if (cols.isEmpty) return 0L
+    val b = df.sparkSession.sparkContext.broadcast(keysByCol)
+    def cntUdf(c: String) = udf { s: String =>
+      if (s == null) 0
+      else {
+        val keys = b.value(c)
+        val m = WordRun.matcher(s)
+        val seen = scala.collection.mutable.Set[String]()
+        while (m.find()) {
+          val t = m.group.toLowerCase
+          if (keys.contains(t)) seen += t
+        }
+        seen.size
+      }
+    }
+    val aggs = cols.map(c => sum(cntUdf(c)(col(c).cast(StringType))).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) 0L else row.getLong(i)
+    }.sum
+  }
+
+  /** Σ over cells whose EXACT value is a replacement key — the
+    * total_corrections counting for fuzzy_match, whose rewrite is an
+    * exact-value map join. One agg job. */
+  private[ops] def valueMatchCount(df: DataFrame,
+      maps: Map[String, Map[String, String]]): Long = {
+    val cols = maps.keys.toSeq.sorted.filter(c => maps(c).nonEmpty)
+    if (cols.isEmpty) return 0L
+    val aggs = cols.map(c =>
+      count(when(col(c).isin(maps(c).keys.toSeq: _*), 1)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map(c => row.getLong(row.fieldIndex(c))).sum
+  }
 
   /** Pairwise pass over (value, count): for each similar pair, map the
     * less-frequent value to the more-frequent one (ties: lexicographically

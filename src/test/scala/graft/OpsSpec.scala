@@ -45,6 +45,43 @@ class OpsSpec extends SparkSpec {
       Seq(Some(10.0), Some(30.0), Some(30.0), Some(40.0), Some(100.0)))
   }
 
+  test("missing-values metrics envelope matches the reference fields") {
+    val m = MissingValues("drop_rows")(nums).metrics()
+    assert(m("strategy_used") == "drop_rows")
+    assert(m("rows_before") == 5L && m("rows_after") == 3L)
+    assert(m("columns_before") == 3L && m("columns_after") == 3L)
+    assert(m("total_missing_before") == 2L && m("total_missing_after") == 0L)
+    assert(m("missing_by_column") == Map("id" -> 0L, "x" -> 1L, "s" -> 1L))
+  }
+
+  test("outliers metrics envelope counts detected cells and removed rows") {
+    val m = Outliers("zscore", "remove", 1.0, columns = Seq("x"))(nums).metrics()
+    assert(m("method_used") == "zscore" && m("action_used") == "remove")
+    assert(m("columns_processed") == Seq("x"))
+    assert(m("outliers_detected") == 1L) // 100.0 is the lone z>1 cell
+    assert(m("rows_before") == 5L && m("rows_after") == 4L)
+  }
+
+  test("dedup metrics envelope reports duplicate_count") {
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b")).toDF("i", "s")
+    val m = Dedup()(df).metrics()
+    assert(m("duplicate_count") == 2L)
+    assert(m("rows_before") == 4L && m("rows_after") == 2L)
+    assert(m("columns_before") == 2L && m("columns_after") == 2L)
+  }
+
+  test("typo-fix metrics envelope counts corrections per cell and pattern") {
+    // "teh" and "adn" in one cell -> 2; "teh" again in another -> 1
+    val df = Seq((1L, "teh cat adn dog"), (2L, "teh end"), (3L, "clean"))
+      .toDF("id", "t")
+    val r = TypoFix("common_typos")(df)
+    val m = r.metrics()
+    assert(m("method_used") == "common_typos")
+    assert(m("total_corrections") == 3L)
+    assert(m("rows_before") == 3L && m("rows_after") == 3L)
+    assert(m("columns_processed") == Seq("t"))
+  }
+
   test("dedup removes exact duplicates") {
     val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("i", "s")
     assert(Dedup()(df).df.count() == 2)
@@ -97,5 +134,14 @@ class OpsSpec extends SparkSpec {
     val p = Profile(df)
     assert(p.rows == 5)
     assert(p.columns.find(_.name == "s").get.nMissing == 3)
+  }
+
+  test("profile estimates content bytes per column (A14)") {
+    val df = Seq((1L, "ab"), (2L, "cdef"), (3L, null)).toDF("id", "s")
+    val p = Profile(df)
+    // id: 3 non-null longs x 8; s: actual UTF-8 payload bytes, nulls free
+    assert(p.columns.find(_.name == "id").get.estBytes == 24L)
+    assert(p.columns.find(_.name == "s").get.estBytes == 6L)
+    assert(p.estBytes == 30L)
   }
 }
