@@ -429,8 +429,10 @@ object SparkEntry {
     "q_normalize_minmax_roundtrip" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-      val scaled = Normalize("minmax", columns = Seq("l_quantity"))(li).df
-      Normalize.inverse(scaled, li, "minmax", Seq("l_quantity"))
+      // forward-fitted stats threaded into the inverse: one stats job total
+      val (res, stats) = Normalize("minmax", columns = Seq("l_quantity"))
+        .fitTransform(li)
+      Normalize.inverseFromStats(res.df, stats, "minmax", Seq("l_quantity"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")

@@ -54,10 +54,12 @@ object Normalize {
       "max", "skewness", "kurtosis")
   }
 
-  /** Inverse of a fitted scaler: given the SAME input frame the forward
-    * pass was fitted on, undo the transform (reference `inverse_transform`,
+  /** Inverse of a fitted scaler from the frame it was fitted on — runs ONE
+    * stats job to refit (reference `inverse_transform`,
     * `normalisation.py:210-231`; unsupported for row-wise L2 there and
-    * here). */
+    * here). When the forward pass ran in the same program, prefer
+    * [[inverseFromStats]] with [[Normalize.fitTransform]]'s statistics —
+    * same result, zero extra jobs. */
   def inverse(scaled: DataFrame, fitted: DataFrame, method: String,
       columns: Seq[String],
       featureRange: (Double, Double) = (0.0, 1.0)): DataFrame = {
@@ -68,6 +70,15 @@ object Normalize {
       case other => throw new IllegalArgumentException(
         s"inverse unsupported for: $other")
     })
+    inverseFromStats(scaled, stats, method, columns, featureRange)
+  }
+
+  /** Inverse from already-fitted statistics — pure plan construction, no
+    * Spark job. The forward pass's statistics (a superset of what each
+    * inverse needs) come from [[Normalize.fitTransform]]. */
+  def inverseFromStats(scaled: DataFrame, stats: Map[String, Stats.Num],
+      method: String, columns: Seq[String],
+      featureRange: (Double, Double) = (0.0, 1.0)): DataFrame = {
     val proj = scaled.columns.map { c =>
       if (!columns.contains(c)) col(c)
       else method match {
@@ -99,9 +110,16 @@ final case class Normalize(
 
   val name = s"normalize:$method"
 
-  def apply(df: DataFrame): OpResult = {
+  def apply(df: DataFrame): OpResult = fitTransform(df)._1
+
+  /** apply + the fitted per-column statistics, so a later
+    * [[Normalize.inverseFromStats]] can undo the transform without
+    * re-running the stats job. The forward Need is a superset of every
+    * inverse's Need (standard ⊇ moments, minmax ⊇ extremes,
+    * robust ⊇ quantiles). */
+  def fitTransform(df: DataFrame): (OpResult, Map[String, Stats.Num]) = {
     val cols = if (columns.nonEmpty) columns else colsOfType(df, isNumeric)
-    if (cols.isEmpty) return OpResult(df, Seq("no numeric columns"))
+    if (cols.isEmpty) return (OpResult(df, Seq("no numeric columns")), Map.empty)
     val stats = Stats.numeric(df, cols, method match {
       case "standard" => Stats.Need(moments = true, median = true)
       case "minmax" => Stats.Need(extremes = true, median = true)
@@ -145,6 +163,6 @@ final case class Normalize(
         val proj = df.columns.map(c => if (cols.contains(c)) scaled(c).as(c) else col(c))
         df.select(proj.toSeq: _*)
       }
-    OpResult(out, Seq(s"normalized method=$method cols=${cols.mkString(",")}"))
+    (OpResult(out, Seq(s"normalized method=$method cols=${cols.mkString(",")}")), stats)
   }
 }

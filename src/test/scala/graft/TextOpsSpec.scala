@@ -143,6 +143,27 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(st(0) - (-5.0 / sdPop)) < 1e-12)
   }
 
+  test("inverse from fitted stats schedules no refit job") {
+    val df = Seq((1L, 2.0), (2L, 6.0), (3L, 10.0)).toDF("id", "x")
+    val (res, stats) = Normalize("minmax", columns = Seq("x")).fitTransform(df)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val inv = Normalize.inverseFromStats(res.df, stats, "minmax", Seq("x"))
+      // a refit (the old inverse path) would have run its stats job
+      // synchronously in the line above; give the async listener bus a
+      // moment, then require silence
+      Thread.sleep(500)
+      assert(jobs == 0)
+      assert(inv.orderBy("id").collect().map(_.getDouble(1)).toSeq ==
+        Seq(2.0, 6.0, 10.0))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("normalize l2 produces unit-norm rows") {
     val df = Seq((1L, 3.0, 4.0)).toDF("id", "a", "b")
     val r = Normalize("normalize", columns = Seq("a", "b"))(df).df.head()
