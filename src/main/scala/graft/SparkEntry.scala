@@ -340,6 +340,28 @@ object SparkEntry {
       graft.plans.DistributedSpell.fix(d, "text", 0.7).orderBy("doc_id")
     }),
 
+    // §7.5 distributed spell-check CORRECTION MAP, value-checked: built
+    // with levenshtein similarity (native in Spark and DuckDB — Ratcliff,
+    // the reference default, has no SQL twin) so an external engine can
+    // recompute the whole map: word freqs -> vocab/rare split -> blocked
+    // candidate join -> best-match window pick.
+    // Planted SINGLE-edit typos: one edit always shares a prefix/suffix/
+    // sorted-chars block key with its correction, so the blocked join's
+    // candidate set provably contains what the oracle's all-pairs join
+    // finds (transpositions are 2 edits under levenshtein and would sit
+    // below the 0.8 gate — that's why these differ from q_typofix_spell's
+    // Ratcliff-tuned typos).
+    "q_spell_corrections" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0,
+          concat(col("text"), lit(" sparkk tabble columnn")))
+          .otherwise(col("text")).as("text"))
+      graft.plans.DistributedSpell.corrections(d, "text", threshold = 0.8,
+        sim = graft.plans.DistributedSpell.levSim)
+        .select(col("__from").as("word"), col("__to").as("fix"))
+        .orderBy("word")
+    }),
+
     // §2.0 pipeline end-to-end incl. the P2 inter-stage sanitizer quirk:
     // nulls are median-filled by the sanitizer BEFORE any op runs
     "q_pipeline_e2e" -> ((s, dir) => {
@@ -1045,6 +1067,31 @@ object SparkEntry {
 
     "q_missing_drop_columns" ->
       """SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey""",
+
+    // Full recompute of the distributed spell-check correction map:
+    // word frequencies -> vocab (n>1) / rare (n=1, len>2) split ->
+    // all-pairs |Δlen|<=2 candidate join (the oracle needs no blocking at
+    // this scale) -> levenshtein similarity gate -> best-match pick.
+    "q_spell_corrections" ->
+      s"""WITH u AS (SELECT CASE WHEN doc_id = 0
+         |    THEN text || ' sparkk tabble columnn' ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w FROM u),
+         |wf AS (SELECT w, count(*) AS n FROM toks WHERE length(w) > 0 GROUP BY w),
+         |vocab AS (SELECT w FROM wf WHERE n > 1),
+         |rare AS (SELECT w FROM wf WHERE n = 1 AND length(w) > 2),
+         |cand AS (
+         |  SELECT r.w AS rw, v.w AS vw,
+         |    1.0 - CAST(levenshtein(r.w, v.w) AS DOUBLE)
+         |        / greatest(length(r.w), length(v.w)) AS s
+         |  FROM rare r JOIN vocab v ON abs(length(r.w) - length(v.w)) <= 2),
+         |pick AS (
+         |  SELECT rw, vw,
+         |    row_number() OVER (PARTITION BY rw ORDER BY s DESC, vw ASC) AS rk
+         |  FROM cand WHERE s >= 0.8)
+         |SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
+         |ORDER BY word LIMIT 500""".stripMargin,
 
     // total_missing_after is a prediction, not a recompute: fill_mean on
     // this frame always has a mean (acctbal) and a mode (mktsegment), so

@@ -41,11 +41,30 @@ import graft.ops.TypoFix
   */
 object DistributedSpell {
 
+  /** Ratcliff/Obershelp similarity as a column expression (difflib parity,
+    * the reference's metric) — a UDF, since the recursive LCS decomposition
+    * has no expression-language form. */
+  val ratcliffSim: (Column, Column) => Column = {
+    val u = udf { (a: String, b: String) => TypoFix.ratio(a, b) }
+    (a, b) => u(a, b)
+  }
+
+  /** Normalized-edit-distance similarity 1 − lev/maxLen. Unlike Ratcliff,
+    * `levenshtein` is a native function in Spark AND in external SQL
+    * engines (DuckDB, Trino, Postgres with fuzzystrmatch), so a correction
+    * map built with this metric is value-checkable end to end by an
+    * independent engine — and it is codegen'd, no UDF. */
+  val levSim: (Column, Column) => Column = (a, b) =>
+    lit(1.0) - levenshtein(a, b).cast(DoubleType) /
+      greatest(length(a), length(b)).cast(DoubleType)
+
   /** Correction map (`__from` rare word, `__to` vocab word), distributed.
-    * `maxCorrections` bounds the applied regex chain (reference takes 500,
-    * in word order — rare words all tie at frequency 1). */
+    * `maxCorrections` bounds the applied map (reference takes 500, in word
+    * order — rare words all tie at frequency 1); `sim` is the similarity
+    * metric (default: the reference's Ratcliff ratio). */
   def corrections(df: DataFrame, c: String, threshold: Double = 0.8,
-      maxCorrections: Int = 500): DataFrame = {
+      maxCorrections: Int = 500,
+      sim: (Column, Column) => Column = ratcliffSim): DataFrame = {
     val words = df
       .select(explode(split(lower(col(c).cast(StringType)), "\\W+")).as("w"))
       .where(length(col("w")) > 0)
@@ -62,12 +81,11 @@ object DistributedSpell {
     val vocab = keyed(words.where(col("n") > 1), "v")
     val rare = keyed(
       words.where(col("n") === 1 && length(col("w")) > 2), "r")
-    val ratioUdf = udf { (a: String, b: String) => TypoFix.ratio(a, b) }
     val cand = rare.join(vocab,
         col("rk") === col("vk") &&
           abs(length(col("rw")) - length(col("vw"))) <= 2)
       .select(col("rw"), col("vw")).distinct()
-      .withColumn("__ratio", ratioUdf(col("rw"), col("vw")))
+      .withColumn("__ratio", sim(col("rw"), col("vw")))
       .where(col("__ratio") >= threshold)
     val pick = Window.partitionBy("rw")
       .orderBy(col("__ratio").desc, col("vw").asc)
