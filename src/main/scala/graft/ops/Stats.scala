@@ -51,9 +51,10 @@ object Stats {
          else Nil) ++
         (if (need.extremes) Seq(min(d).as(s"${c}__min"), max(d).as(s"${c}__max"))
          else Nil) ++
-        (if (wantMed) Seq(call_function("percentile", d,
+        (if (wantMed) Seq(call_function("graft_percentile", d,
           array(pcts.map(lit): _*)).as(s"${c}__pct")) else Nil)
     }
+    graft.functions.ExactPercentile.register(df.sparkSession)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getLong(row.fieldIndex("__n"))
     def get(n: String): Option[Double] = {

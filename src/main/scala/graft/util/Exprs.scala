@@ -102,7 +102,12 @@ object Exprs {
 
   /** Exact interpolating percentile (pandas/duckdb `quantile_cont`
     * semantics). Exact by design for oracle parity — `percentile_approx`
-    * is the documented 100 TB switch (SURVEY.md §4.2). */
-  def pctl(c: Column, p: Double): Column =
-    call_function("percentile", c, lit(p))
+    * is the documented 100 TB switch (SURVEY.md §4.2). Routed through
+    * [[graft.functions.ExactPercentile]], the primitive-buffer twin of the
+    * built-in (same interpolation, no per-row boxing). */
+  def pctl(c: Column, p: Double): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.ExactPercentile.register)
+    call_function("graft_percentile", c.cast(DoubleType), lit(p))
+  }
 }

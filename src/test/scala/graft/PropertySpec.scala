@@ -18,6 +18,28 @@ class PropertySpec extends SparkSpec {
   private val doubleLists: Gen[List[Double]] =
     Gen.listOfN(12, Gen.chooseNum(-1e6, 1e6))
 
+  test("graft_percentile equals the built-in exact percentile bit-for-bit") {
+    graft.functions.ExactPercentile.register(spark)
+    val rnd = new scala.util.Random(7)
+    // duplicates (coarse rounding), negatives, nulls
+    val vals: Seq[java.lang.Double] = Seq.fill(4000) {
+      if (rnd.nextInt(10) == 0) null
+      else java.lang.Double.valueOf(math.floor(rnd.nextGaussian() * 500) / 8)
+    }
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val ps = array(Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0).map(lit): _*)
+    val row = df.agg(
+      call_function("graft_percentile", $"x".cast("double"), ps).as("g"),
+      call_function("percentile", $"x".cast("double"), ps).as("b")).head()
+    assert(row.getSeq[Double](0) == row.getSeq[Double](1))
+    // scalar form and the empty (all-null) case
+    val empty = df.where($"x".isNull)
+    val r2 = empty.agg(
+      call_function("graft_percentile", $"x".cast("double"), lit(0.5)).as("g"),
+      call_function("percentile", $"x".cast("double"), lit(0.5)).as("b")).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1))
+  }
+
   test("dedup is idempotent") {
     for (xs <- samples(Gen.listOfN(10, Gen.chooseNum(0, 3)), 5) if xs.nonEmpty) {
       val df = xs.toDF("x")
