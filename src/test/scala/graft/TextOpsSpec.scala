@@ -77,6 +77,36 @@ class TextOpsSpec extends SparkSpec {
       None, None, Some(2.5), Some(300.0), Some(0.5), Some(7.0)))
   }
 
+  test("fused probe mask equals the anchored regex probes on edge tokens") {
+    import java.util.regex.Pattern
+    val num = Pattern.compile(graft.util.Exprs.NumericRegex)
+    val intp = Pattern.compile("^[+-]?\\d+$")
+    val dtc = Pattern.compile(TypeConvert.DatetimeShapeRegex)
+    def expected(raw: String): Long = {
+      if (raw == null) return 0L
+      var lo = 0; var hi = raw.length
+      while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+      while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+      val s = raw.substring(lo, hi)
+      var m = 1L
+      if (num.matcher(s).find()) m |= 2L
+      if (intp.matcher(s).find()) m |= 4L
+      if (dtc.matcher(s).find()) m |= 8L
+      if (TypeConvert.BoolTokens.contains(s.toLowerCase(java.util.Locale.ROOT)))
+        m |= 16L
+      m
+    }
+    val cases = Seq(null, "", " ", "123", " 123 ", "+5", "-0", "12.5", ".5",
+      "7.", "5.e3", "1e", "e3", "1.5f", "Infinity", "NaN", "0x1p3", "1,000",
+      "+3e2", "3E-2", "123\n", "12\n3", ".", "+.", "..5", "1.5.6", "1e5.2",
+      "2024-01-02", "12345-06-07", "1-1-1", "1-1-1 x", "1-1-1Tx", "1-1-1\tx",
+      "2024/1/2 03:04", "1-1-1 x\ny", "yes", "No", "TRUE", "f", "maybe",
+      " true ", "truthy", "\ttrue")
+    for (s <- cases)
+      assert(TypeConvert.probeMask(s) == expected(s),
+        s"mask mismatch for ${Option(s).map(x => "\"" + x + "\"").getOrElse("null")}")
+  }
+
   test("boolean detection requires >1 raw distinct and all-token values") {
     // no confirmation scan: __bool == __n already implies the distinct set
     // is a subset of the tokens (dataTypeConversion.py:136-138)
