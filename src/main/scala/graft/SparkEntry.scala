@@ -586,6 +586,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN probing ALL cells: the probed-cell union is the corpus, so
+    // the output must EXACTLY equal brute-force top-k regardless of
+    // clustering quality — an oracle-able invariant of the assignment/
+    // probe/rerank machinery. The scale path (nprobe << nlist) is
+    // recall-tested in ExtensionsSpec.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.where(col("vec_id") < 5), 10,
+        nlist = 8, nprobe = 8)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed ANN (approximate; compared to brute force in tests)
     "q_ann_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -865,6 +877,19 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+         |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |  round(list_dot_product(q.v, a.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+         |  FROM e a, q WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // identical to the brute-force oracle: probing every IVF cell must
+    // reproduce exact top-k
+    "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
          |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,

@@ -165,7 +165,117 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  private def dist2(v: Seq[Double], c: Array[Double]): Double = {
+    val n = math.min(v.length, c.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Plain Lloyd k-means over an in-memory sample: distinct random init
+    * (seeded), fixed iteration count, empty clusters keep their previous
+    * center. Deterministic across runs and machines. */
+  private def kmeansFit(samples: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(samples.nonEmpty, "ivf quantizer needs a non-empty corpus")
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, samples.length)
+    val init = rnd.shuffle(samples.indices.toVector).take(kk)
+    val centers = init.map(i => samples(i).clone()).toArray
+    val dim = samples(0).length
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      samples.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          val d = dist2(v, centers(c)); if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < math.min(dim, v.length)) { sums(best)(j) += v(j); j += 1 }
+      }
+      var c = 0
+      while (c < kk) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
   private def bandBits(sig: Column, band: Column, r: Int): Column =
     call_function("shiftright", sig, band.cast(IntegerType) * r)
       .bitwiseAND(lit((1L << r) - 1))
+
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer (Spark MLlib,
+    * distributed fit) partitions the corpus into `nlist` cells — ONE
+    * shuffle at index-build; each query exact-reranks only the vectors in
+    * its `nprobe` nearest cells. The standard big-corpus trade: probing
+    * fewer cells scans less, recall follows cell locality.
+    *
+    * Correctness invariant (oracle-pinned in q_ann_ivf): with
+    * `nprobe == nlist` the probed-cell union IS the corpus, so the result
+    * must equal brute-force top-k EXACTLY, independent of clustering
+    * quality — this checks the assignment/probe/rerank machinery end to
+    * end. Recall at nprobe < nlist is property-tested (ExtensionsSpec).
+    * Scoring and tie-break are identical to [[bruteForceTopK]]. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    // Coarse-quantizer fit: deterministic Lloyd iterations over a BOUNDED
+    // sample collected to the driver (≤ max(256·nlist, 4096) vectors —
+    // ~2 MB at 64 dims; the bound, not the corpus size, caps driver
+    // memory, which is also how faiss trains IVF quantizers). Cell-
+    // assignment quality only moves recall at small nprobe, never
+    // correctness: the rerank is exact. A distributed fit (e.g. MLlib
+    // KMeans) buys nothing here and costs several extra jobs per build.
+    val sample: Array[Array[Double]] =
+      corpus.select(toDoubleArr(col(vecCol)).as("__v"))
+        .limit(math.max(nlist * 256, 4096))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val centers = kmeansFit(sample, nlist, iters = 8, seed = seed)
+    val bc = spark.sparkContext.broadcast(centers)
+    val assignUdf = udf { v: Seq[Double] =>
+      var best = 0; var bestD = Double.MaxValue
+      val cs = bc.value
+      var i = 0
+      while (i < cs.length) {
+        val d = dist2(v, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
+      }
+      best
+    }
+    val probeUdf = udf { v: Seq[Double] =>
+      bc.value.indices
+        .sortBy(i => dist2(v, bc.value(i)))
+        .take(math.min(nprobe, bc.value.length))
+    }
+    val c = corpus.select(col(idCol).as("c_id"),
+        toDoubleArr(col(vecCol)).as("c_vec"))
+      .withColumn("__cell", assignUdf(col("c_vec")))
+      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
+    val q = queries.select(col(idCol).as("query_id"),
+        toDoubleArr(col(vecCol)).as("q_vec"))
+      .withColumn("__cell", explode(probeUdf(col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .where(col("c_id") =!= col("query_id"))
+      .select(col("query_id"), col("c_id").as("neighbor_id"),
+        round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
+          dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
 }

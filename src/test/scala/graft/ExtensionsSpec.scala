@@ -105,6 +105,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("ivf probing all cells equals brute force; few cells keeps recall") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    // clustered data: 4 well-separated centers + noise, so cell probing
+    // has real locality to exploit
+    val centers = Seq.fill(4)(Seq.fill(16)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    vecs.cache().count()
+    val q = vecs.where($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe == nlist: exact equality, independent of clustering quality
+    val all = Similarity.ivfTopK(vecs, q, 5, nlist = 6, nprobe = 6)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == bf)
+    // nprobe = 2 of 6: the query's own cluster is probed, recall stays high
+    val few = Similarity.ivfTopK(vecs, q, 5, nlist = 6, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(few).size.toDouble / bf.size
+    assert(recall >= 0.8, s"ivf recall $recall too low")
+  }
+
   test("sessionize splits on gap and aggregates") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
