@@ -62,4 +62,21 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan(NearDup.ophSignatures(df, "text", "doc_id", 64, 3))
     assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
   }
+
+  test("ivf rerank broadcasts the probed queries, corpus never cross-joins") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.sim.Similarity.ivfTopK(e, e.where($"vec_id" < 3), 5,
+      nlist = 4, nprobe = 2))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"ivf candidate join must be a key join:\n$p")
+  }
+
+  test("spell correction map is a key join, never a cross join") {
+    val d = Tables.load(spark, sf, "documents")
+    val p = plan(graft.plans.DistributedSpell.corrections(d, "text",
+      sim = graft.plans.DistributedSpell.levSim))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"rare x vocab must join on block keys:\n$p")
+  }
 }
