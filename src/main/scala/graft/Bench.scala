@@ -22,15 +22,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").agg(count("*")).collect()
     } catch { case _: Throwable => () }
-    // Optional comma-separated query-name filter for isolating one query's
-    // cost (full-suite runs share JVM warmup across queries; single-query
-    // numbers include it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
-    val results = selected.map { case (name, fn) =>
+    // Optional query-name filter for isolating one query's cost
+    // (full-suite runs share JVM warmup across queries; single-query
+    // numbers still include some first-query residue).
+    val results = SparkEntry.selectedQueries().map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -521,11 +521,18 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
-    // MinHash-LSH near-dup pairs (planted near-dups: last word dropped)
+    // MinHash-LSH near-dup pairs (planted near-dups: last word dropped).
+    // The drop operates on NORMALIZED text: raw text could end in
+    // whitespace (where the regex removes nothing) or a line terminator
+    // (where Java's $ matches before it but an external engine's RE2 $
+    // does not) — normalizing first makes both engines see the same
+    // mutation. Normalization is idempotent, so the signature stage
+    // re-normalizing changes nothing.
     "q_neardup_minhash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
       val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+        regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
+          .as("text"))
       NearDup.minhashPairs(d.unionAll(mutated), "text", "doc_id",
         threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -538,8 +545,11 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"),
         NearDup.simhash(col("text"), 56, NearDup.md5Hash56).as("sh"))
+      // drop the last word of the NORMALIZED text — same reasoning as
+      // q_neardup_minhash's mutation, and it matches the oracle's t2
       val mutated = tbl(s, dir, "documents").select(col("doc_id"),
-        NearDup.simhash(regexp_replace(col("text"), "\\s+\\S+$", ""),
+        NearDup.simhash(
+          regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", ""),
           56, NearDup.md5Hash56).as("sh_mut"))
       d.join(mutated, "doc_id")
         .select(col("doc_id"), col("sh"),
@@ -661,6 +671,20 @@ object SparkEntry {
   private val normTextSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var
+    * (shared by Bench and Verify). Names are trimmed, and unknown names
+    * warn loudly — a typo must not silently select nothing. */
+  def selectedQueries(): Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case None => queries
+      case Some(raw) =>
+        val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names.filterNot(queries.contains)
+        if (unknown.nonEmpty) System.err.println(
+          s"[graft] SPARK_GRAFT_ONLY names not in queries: ${unknown.mkString(", ")}")
+        queries.filter { case (n, _) => names(n) }
+    }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -814,7 +838,8 @@ object SparkEntry {
       s"""WITH u AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 1000000,
-         |    regexp_replace(text, '\\s+\\S+$$', '') AS text FROM documents),
+         |    regexp_replace($normTextSql, '\\s+\\S+$$', '') AS text
+         |  FROM documents),
          |t AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(range(1, len(toks) - 1),

@@ -286,9 +286,15 @@ object NearDup {
     val hammingMax = math.min(planes - 1, math.ceil(
       3.0 * planes * math.acos(math.max(-1.0, math.min(1.0, threshold)))
         / math.Pi + 2).toInt)
-    val sigDf = df.select(col(idCol).as("__id"),
+    // Only (id, signature) is cached — 16 bytes a row; caching the
+    // vectors too would pin a full copy of the embedding column in
+    // executor storage for the life of the session. The vector join-back
+    // for survivors re-derives from the source (one extra pruned scan).
+    val vecDf = df.select(col(idCol).as("__id"),
       toDoubleArr(col(vecCol)).as("__v"))
+    val sigDf = vecDf
       .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
+      .select("__id", "__sig")
       .cache()
     val buckets = sigDf.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(lit): _*)).as("__band"))
@@ -304,8 +310,8 @@ object NearDup {
       .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
       .select("id_a", "id_b").distinct()
     pairs
-      .join(sigDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
-      .join(sigDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
+      .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
+      .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)

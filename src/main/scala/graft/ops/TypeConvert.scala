@@ -81,8 +81,8 @@ final case class TypeConvert(
     // regexes (3 regex matches + lower/isin per cell, ~2× slower) and not
     // try_cast (whose failure path throws a caught exception per cell:
     // measured 13.1 s -> 23.6 s when round 2 tried it; it also accepts
-    // tokens pandas rejects, e.g. "1.5f", "Infinity"). The mask feeds
-    // trivial bit-extract sums, keeping each codegen unit small.
+    // tokens pandas rejects, e.g. "1.5f", hex floats, "NaN"). The mask
+    // feeds trivial bit-extract sums, keeping each codegen unit small.
     val probe = udf(TypeConvert.probeMask)
     val flagCols = strCols.flatMap { c =>
       Seq(probe(col(c)).as(s"${c}__m"), col(c).as(s"${c}__v"))
@@ -187,8 +187,14 @@ object TypeConvert {
       val s = raw.substring(lo, hi)
       val n = s.length
       var mask = 1L
-      if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0) {
-        if (NumericPattern.matcher(s).find()) mask |= 2L
+      // Java's anchored $ matches before a FINAL line terminator — any of
+      // \n \r U+0085 U+2028 U+2029 — so such values take the real-regex
+      // path instead of the scanner.
+      if (s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0 ||
+          s.indexOf('\u0085') >= 0 || s.indexOf('\u2028') >= 0 ||
+          s.indexOf('\u2029') >= 0) {
+        if (NumericPattern.matcher(s).find() ||
+          InfPattern.matcher(s).find()) mask |= 2L
         if (IntPattern.matcher(s).find()) mask |= 4L
         if (DtShapePattern.matcher(s).find()) mask |= 8L
       } else {
@@ -222,6 +228,13 @@ object TypeConvert {
             ok = de > 0
           }
           if (ok && i == n) mask |= 2L
+          else if (n <= 9) {
+            // inf tokens (see Exprs.InfRegex): optional sign + inf|infinity
+            val body = if (n > 0 && (s.charAt(0) == '+' || s.charAt(0) == '-'))
+              s.substring(1) else s
+            val lb = body.toLowerCase(java.util.Locale.ROOT)
+            if (lb == "inf" || lb == "infinity") mask |= 2L
+          }
         }
         // datetime shape: ^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T].*)?$
         i = 0
@@ -243,6 +256,8 @@ object TypeConvert {
 
   private val NumericPattern =
     java.util.regex.Pattern.compile(graft.util.Exprs.NumericRegex)
+  private val InfPattern =
+    java.util.regex.Pattern.compile(graft.util.Exprs.InfRegex)
   private val IntPattern = java.util.regex.Pattern.compile("^[+-]?\\d+$")
   private lazy val DtShapePattern =
     java.util.regex.Pattern.compile(DatetimeShapeRegex)

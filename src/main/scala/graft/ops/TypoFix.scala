@@ -52,7 +52,8 @@ final case class TypoFix(
         OpResult(out, Seq(s"common_typos over ${targets.mkString(",")}"),
           () => TypoFix.envelope(df, out, method, targets,
             TypoFix.wordMatchCount(df,
-              targets.map(c => c -> dict.keySet.map(_.toLowerCase)).toMap)))
+              targets.map(c =>
+              c -> dict.keySet.map(_.toLowerCase(java.util.Locale.ROOT))).toMap)))
       case "fuzzy_match" =>
         val (out, maps) = targets.foldLeft(
             (df, Map.empty[String, Map[String, String]])) { case ((d, ms), c) =>
@@ -166,7 +167,7 @@ object TypoFix {
         val sb = new StringBuffer(s.length)
         while (m.find()) {
           val tok = m.group
-          val rep = b.value.getOrElse(tok.toLowerCase, tok)
+          val rep = b.value.getOrElse(tok.toLowerCase(java.util.Locale.ROOT), tok)
           m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(rep))
         }
         m.appendTail(sb)
@@ -207,7 +208,7 @@ object TypoFix {
         val m = WordRun.matcher(s)
         val seen = scala.collection.mutable.Set[String]()
         while (m.find()) {
-          val t = m.group.toLowerCase
+          val t = m.group.toLowerCase(java.util.Locale.ROOT)
           if (keys.contains(t)) seen += t
         }
         seen.size

@@ -215,11 +215,12 @@ object Similarity {
     call_function("shiftright", sig, band.cast(IntegerType) * r)
       .bitwiseAND(lit((1L << r) - 1))
 
-  /** IVF (inverted-file) ANN: a coarse k-means quantizer (Spark MLlib,
-    * distributed fit) partitions the corpus into `nlist` cells — ONE
-    * shuffle at index-build; each query exact-reranks only the vectors in
-    * its `nprobe` nearest cells. The standard big-corpus trade: probing
-    * fewer cells scans less, recall follows cell locality.
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer (deterministic
+    * Lloyd fit over a bounded driver-side sample — see the inline comment)
+    * partitions the corpus into `nlist` cells — ONE shuffle at
+    * index-build; each query exact-reranks only the vectors in its
+    * `nprobe` nearest cells. The standard big-corpus trade: probing fewer
+    * cells scans less, recall follows cell locality.
     *
     * Correctness invariant (oracle-pinned in q_ann_ivf): with
     * `nprobe == nlist` the probed-cell union IS the corpus, so the result

@@ -15,23 +15,37 @@ import org.apache.spark.sql.types._
   */
 object Exprs {
 
-  /** Strict decimal/scientific literal; what `pandas.to_numeric` accepts.
+  /** Strict decimal/scientific literal — the finite tokens
+    * `pandas.to_numeric` accepts.
     *
     * Deliberately a regex gate rather than `try_cast`: (a) Spark's
     * string→numeric cast failure path constructs and catches an exception
     * per unparseable cell, which is ~2× slower than a regex miss when most
     * of a column is non-numeric (measured 13.1 s → 23.6 s on the full
     * detection scan when round 2 tried bare try_cast); (b) try_cast
-    * silently widens the accepted token set vs pandas/DuckDB — Java's
-    * parser takes "1.5f", "Infinity", "NaN", hex floats — which is an
-    * oracle-drift hazard. The strict regex is pinned by TypeConvertSpec. */
+    * silently widens the accepted token set vs pandas — Java's parser
+    * takes "1.5f", hex floats, "NaN" — which is an oracle-drift hazard.
+    * The accepted token set is pinned by TextOpsSpec. */
   val NumericRegex = "^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"
 
+  /** Infinity tokens: pandas.to_numeric and DuckDB TRY_CAST both accept
+    * `inf`/`infinity` case-insensitively with an optional sign (verified
+    * empirically); `nan` tokens stay rejected — pandas raises on them, and
+    * under the reference's errors='coerce' they coerce to NaN == missing,
+    * which is exactly what our null means. */
+  val InfRegex = "^[+-]?[iI][nN][fF]([iI][nN][iI][tT][yY])?$"
+
   /** Null-on-failure string→double (regex-gated so the cast never fires
-    * on an unparseable value; `when` branches evaluate lazily per row). */
+    * on an unparseable value; `when` branches evaluate lazily per row).
+    * Inf tokens map to ±Infinity via literals — Spark's cast accepts
+    * "Infinity" but not "inf", so the cast is only used for finite
+    * literals. */
   def tryDouble(c: Column): Column = {
     val t = trim(c.cast(StringType))
     when(t.rlike(NumericRegex), t.cast(DoubleType))
+      .when(t.rlike(InfRegex),
+        when(t.startsWith("-"), lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.PositiveInfinity)))
   }
 
   /** Null-on-failure string→long (integral strings only — the gate

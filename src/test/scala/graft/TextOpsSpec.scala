@@ -64,23 +64,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.where($"num".isNull).count() == 1) // "bad" coerced to null
   }
 
-  test("numeric probe rejects Java-parser-only tokens pandas/DuckDB reject") {
-    // Pins the strict regex gate in Exprs.tryDouble: Spark's try_cast
-    // accepts "1.5f", "Infinity", "NaN", hex floats via Java's parser, but
-    // pandas.to_numeric and DuckDB's CAST reject them — drifting here
-    // silently breaks the oracle comparison (round-2 lesson).
-    val df = Seq("1.5f", "Infinity", "-Infinity", "NaN", "0x1p3", "1d",
-      "1,000", "", " 2.5 ", "+3e2", ".5", "7.").toDF("s")
+  test("numeric probe matches pandas token acceptance, not Java's parser") {
+    // Pins the regex gates in Exprs.tryDouble: Java's parser takes "1.5f",
+    // "NaN", hex floats, which pandas.to_numeric rejects — drifting here
+    // silently breaks the oracle comparison (round-2 lesson). Inf tokens
+    // ARE accepted: pandas parses inf/infinity case-insensitively
+    // (verified empirically), and nan tokens stay rejected — pandas raises
+    // on them, and errors='coerce' turns them into NaN == missing, which
+    // is what our null means.
+    val df = Seq("1.5f", "NaN", "nan", "0x1p3", "1d", "1,000", "", "Inf.",
+      "infinityx", " 2.5 ", "+3e2", ".5", "7.",
+      "inf", "Infinity", "-Infinity", "+INF").toDF("s")
     val got = df.select(graft.util.Exprs.tryDouble($"s").as("v"))
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
-    assert(got.toSeq == Seq(None, None, None, None, None, None,
-      None, None, Some(2.5), Some(300.0), Some(0.5), Some(7.0)))
+    assert(got.toSeq == Seq(None, None, None, None, None, None, None, None,
+      None, Some(2.5), Some(300.0), Some(0.5), Some(7.0),
+      Some(Double.PositiveInfinity), Some(Double.PositiveInfinity),
+      Some(Double.NegativeInfinity), Some(Double.PositiveInfinity)))
   }
 
   test("fused probe mask equals the anchored regex probes on edge tokens") {
     import java.util.regex.Pattern
     val num = Pattern.compile(graft.util.Exprs.NumericRegex)
     val intp = Pattern.compile("^[+-]?\\d+$")
+    val inf = Pattern.compile(graft.util.Exprs.InfRegex)
     val dtc = Pattern.compile(TypeConvert.DatetimeShapeRegex)
     def expected(raw: String): Long = {
       if (raw == null) return 0L
@@ -89,7 +96,7 @@ class TextOpsSpec extends SparkSpec {
       while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
       val s = raw.substring(lo, hi)
       var m = 1L
-      if (num.matcher(s).find()) m |= 2L
+      if (num.matcher(s).find() || inf.matcher(s).find()) m |= 2L
       if (intp.matcher(s).find()) m |= 4L
       if (dtc.matcher(s).find()) m |= 8L
       if (TypeConvert.BoolTokens.contains(s.toLowerCase(java.util.Locale.ROOT)))
@@ -97,8 +104,10 @@ class TextOpsSpec extends SparkSpec {
       m
     }
     val cases = Seq(null, "", " ", "123", " 123 ", "+5", "-0", "12.5", ".5",
-      "7.", "5.e3", "1e", "e3", "1.5f", "Infinity", "NaN", "0x1p3", "1,000",
-      "+3e2", "3E-2", "123\n", "12\n3", ".", "+.", "..5", "1.5.6", "1e5.2",
+      "7.", "5.e3", "1e", "e3", "1.5f", "Infinity", "-iNf", "+INFINITY",
+      "infinityx", "Inf.", "NaN", "0x1p3", "1,000",
+      "+3e2", "3E-2", "123\n", "12\n3", "inf\u2028", "42\u2028", "9\u2029",
+      "8\u0085", ".", "+.", "..5", "1.5.6", "1e5.2",
       "2024-01-02", "12345-06-07", "1-1-1", "1-1-1 x", "1-1-1Tx", "1-1-1\tx",
       "2024/1/2 03:04", "1-1-1 x\ny", "yes", "No", "TRUE", "f", "maybe",
       " true ", "truthy", "\ttrue")
