@@ -639,7 +639,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text"))
       out.select(("doc_id" +: (0 until 8).map(i => s"feature_$i")).map(col): _*)
         .orderBy("doc_id")
-    })
+    }),
+
+    // multimodal frame sampling: 64-byte frames, every 4th kept, one row
+    // per kept frame with its digest. The corpus payload is ASCII
+    // (verified), so byte-space digests equal the oracle's char-space
+    // recompute.
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(
+        tbl(s, dir, "documents"), "text"), frameBytes = 64, every = 4)
+        .orderBy("doc_id", "frame_idx"))
   )
 
   // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
@@ -963,6 +972,18 @@ object SparkEntry {
          | $feats
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    // char-space recompute of the byte-frame sampler — equal because the
+    // payload is ASCII (md5 hashes UTF-8 bytes in both engines)
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  greatest(CAST(ceil(length(text) / 64.0) AS INTEGER) - 1, 0) AS maxf
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, unnest(range(0, maxf + 1)) AS i FROM m)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64)) AS frame_md5
+        |FROM f WHERE i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT DISTINCT * FROM

@@ -71,4 +71,29 @@ object Multimodal {
     df.withColumn("sampled",
       transform(sequence(lit(1), greatest(length(col("content")), lit(1)),
         lit(stride)), i => substr(col("content"), i, lit(1))))
+
+  /** Frame sampling over an opaque binary payload: fixed `frameBytes`-size
+    * frames (a partial tail frame counts), keep every `every`-th, emit one
+    * row per kept frame with its md5 — the shape a video frame-sampler
+    * produces (frame index + decoded-frame fingerprint), with byte-slice
+    * plumbing standing in for the codec. Pure expressions: slicing,
+    * filtering and hashing all happen in the scan stage, rows explode only
+    * for KEPT frames. On ASCII payloads the digests equal char-space
+    * digests, which is what lets an external engine verify the output
+    * (q_multimodal_frames). */
+  def sampleFrames(df: DataFrame, frameBytes: Int, every: Int,
+      contentCol: String = "content", idCol: String = "doc_id"): DataFrame = {
+    require(frameBytes > 0 && every > 0)
+    val nFrames = ceil(length(col(contentCol)).cast(DoubleType) / frameBytes)
+      .cast(IntegerType)
+    val kept = filter(
+      sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => i % every === 0)
+    df.select(col(idCol), explode(transform(kept, i => struct(
+        i.cast(LongType).as("frame_idx"),
+        md5(substr(col(contentCol), i * frameBytes + 1, lit(frameBytes)))
+          .as("frame_md5")))).as("f"))
+      .select(col(idCol), col("f.frame_idx").as("frame_idx"),
+        col("f.frame_md5").as("frame_md5"))
+  }
 }

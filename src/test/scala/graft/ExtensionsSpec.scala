@@ -134,6 +134,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf recall $recall too low")
   }
 
+  test("frame sampler keeps every k-th fixed-size frame incl. partial tail") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10 bytes -> frames of 4: [0123][4567][89]; every 2nd -> frames 0, 2
+    val df = graft.multimodal.Multimodal.asMedia(
+      Seq((1L, "0123456789")).toDF("doc_id", "text"), "text")
+    val out = graft.multimodal.Multimodal.sampleFrames(df, frameBytes = 4,
+      every = 2).orderBy("frame_idx").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(2) == hex("0123"))
+    assert(out(1).getString(2) == hex("89")) // partial tail frame
+  }
+
   test("sessionize splits on gap and aggregates") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
