@@ -641,6 +641,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S1/S2 CSV sink + source + reference-rule inference, value-checked:
+    // write customer columns to CSV, read back as strings, let the
+    // TypeConvert auto-detector restore long/double/string — the result
+    // must equal the parquet original exactly (Java's Double.toString
+    // emits the shortest parse-exact decimal, and these values stay in
+    // plain notation).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_csv_roundtrip_${new java.io.File(dir).getName}"
+      val c = tbl(s, dir, "customer")
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      graft.sources.Csv.write(c, path)
+      graft.sources.Csv.readInferred(s, path).orderBy("c_custkey")
+    }),
+
     // multimodal frame sampling: 64-byte frames, every 4th kept, one row
     // per kept frame with its digest. The corpus payload is ASCII
     // (verified), so byte-space digests equal the oracle's char-space
@@ -972,6 +986,11 @@ object SparkEntry {
          | $feats
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    // the CSV round-trip must reproduce the parquet original exactly
+    "q_csv_roundtrip" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     // char-space recompute of the byte-frame sampler — equal because the
     // payload is ASCII (md5 hashes UTF-8 bytes in both engines)
