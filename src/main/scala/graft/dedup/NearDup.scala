@@ -150,7 +150,7 @@ object NearDup {
     val sigUdf = udf { text: String =>
       if (text == null) None
       else {
-        val words = text.toLowerCase.trim.split("\\s+")
+        val words = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
         if (words.length < n) None
         else {
           val wh = new Array[Long](words.length)

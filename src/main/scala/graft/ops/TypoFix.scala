@@ -247,7 +247,7 @@ object TypoFix {
       val (lose, _) = vs(j)
       val maxLen = math.max(win.length, lose.length)
       if (maxLen > 0 && math.abs(win.length - lose.length).toDouble / maxLen <= 0.3
-          && !repl.contains(lose) && ratio(win.toLowerCase, lose.toLowerCase) >= threshold)
+          && !repl.contains(lose) && ratio(win.toLowerCase(java.util.Locale.ROOT), lose.toLowerCase(java.util.Locale.ROOT)) >= threshold)
         repl(lose) = win
     }
     repl.toMap

@@ -53,7 +53,7 @@ object DistributedFuzzy {
     * dictionary-length strings, and keeps per-band match probability at
     * jaccard^r as the banding math assumes. */
   private[plans] def sigUdf(numHashes: Int) = udf { s: String =>
-    val t = s.toLowerCase
+    val t = s.toLowerCase(java.util.Locale.ROOT)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val grams = if (t.length >= 2) t.length - 1 else t.length
     var i = 0
@@ -96,7 +96,7 @@ object DistributedFuzzy {
       (abs(length(col("win")) - length(col("lose"))).cast(DoubleType) / maxLen) <= 0.3
     }
     val ratioUdf = udf { (a: String, b: String) =>
-      TypoFix.ratio(a.toLowerCase, b.toLowerCase) }
+      TypoFix.ratio(a.toLowerCase(java.util.Locale.ROOT), b.toLowerCase(java.util.Locale.ROOT)) }
     val cand = w.join(l, col("kw") === col("kl") && ordered && lenOk)
       .select("win", "nw", "lose").distinct()
       .where(ratioUdf(col("win"), col("lose")) >= threshold)
