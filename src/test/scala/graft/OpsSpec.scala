@@ -54,6 +54,12 @@ class OpsSpec extends SparkSpec {
     assert(m("missing_by_column") == Map("id" -> 0L, "x" -> 1L, "s" -> 1L))
   }
 
+  test("missing-values metrics reflect dropped columns") {
+    val m = MissingValues("drop_columns")(nums).metrics()
+    assert(m("columns_before") == 3L && m("columns_after") == 1L)
+    assert(m("total_missing_before") == 2L && m("total_missing_after") == 0L)
+  }
+
   test("outliers metrics envelope counts detected cells and removed rows") {
     val m = Outliers("zscore", "remove", 1.0, columns = Seq("x"))(nums).metrics()
     assert(m("method_used") == "zscore" && m("action_used") == "remove")

@@ -40,6 +40,21 @@ class PropertySpec extends SparkSpec {
     assert(r2.isNullAt(0) && r2.isNullAt(1))
   }
 
+  test("graft_percentile matches the built-in under groupBy too") {
+    graft.functions.ExactPercentile.register(spark)
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(900) { i =>
+      (i % 5, math.floor(rnd.nextGaussian() * 100) / 4)
+    }.toDF("g", "x")
+    val rows = df.groupBy("g").agg(
+      call_function("graft_percentile", $"x".cast("double"), lit(0.25)).as("gp"),
+      call_function("percentile", $"x".cast("double"), lit(0.25)).as("bp"))
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getDouble(1) == r.getDouble(2),
+      s"group ${r.get(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
+  }
+
   test("dedup is idempotent") {
     for (xs <- samples(Gen.listOfN(10, Gen.chooseNum(0, 3)), 5) if xs.nonEmpty) {
       val df = xs.toDF("x")
