@@ -33,7 +33,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The stdout line alone outgrew the driver's capture buffer (r3: 5 of
+    // 64 query rows truncated, "parsed": null) — also persist the full
+    // JSON to a file so every row stays machine-readable.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] result file write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -27,8 +27,10 @@ import graft.ops.TypoFix
   *     MinHash banding — right for multi-word values in
   *     [[DistributedFuzzy]] — fails here: a transposition can leave two
   *     short words sharing one bigram, e.g. sprak/spark at bigram-Jaccard
-  *     0.14 but Ratcliff 0.8.) The reference's |Δlen| ≤ 2 prefilter
-  *     applies at the join.
+  *     0.14 but Ratcliff 0.8.) Keys carry a width-3 length band so the
+  *     |Δlen| ≤ 2 constraint prunes at the JOIN KEY, bounding the
+  *     worst-case block; the reference's |Δlen| ≤ 2 prefilter still
+  *     applies exactly at the join.
   *  4. per rare word: the most similar vocabulary word with ratio ≥
   *     threshold (tie: lexicographically smallest — the reference's
   *     deterministic sort), via one window.
@@ -69,18 +71,30 @@ object DistributedSpell {
       .select(explode(split(lower(col(c).cast(StringType)), "\\W+")).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
-    def keyed(side: DataFrame, prefix: String): DataFrame = {
+    // Every key carries a length band (width 3): the |Δlen| ≤ 2 join
+    // constraint means a match sits in the same or an adjacent band
+    // (bands are wider than the max length gap), so the rare side fans
+    // out to bands b−1..b+1 while the vocab side keys once per word.
+    // Without the band, one 2-char prefix ("th") collects the whole
+    // "th…" vocabulary into a single block; with it, worst-case blocks
+    // are bounded by prefix × band. Fan-out lives on the RARE side —
+    // the small set by construction (frequency-1 words).
+    def keyed(side: DataFrame, prefix: String, fanOut: Boolean): DataFrame = {
       val w = col("w")
-      val keys = array(
+      val band = floor(length(w) / 3).cast(LongType)
+      val bands = if (fanOut) Seq(band - 1, band, band + 1) else Seq(band)
+      val baseKeys = Seq(
         concat(lit("p:"), substring(w, 1, 2)),
         concat(lit("s:"), substring(w, -2, 2)),
         concat(lit("c:"), array_join(array_sort(split(w, "")), "")))
+      val keys = for { k <- baseKeys; b <- bands }
+        yield concat(k, lit("#"), b.cast(StringType))
       side.select(w.as(s"${prefix}w"),
-        explode(keys).as(s"${prefix}k"))
+        explode(array(keys: _*)).as(s"${prefix}k"))
     }
-    val vocab = keyed(words.where(col("n") > 1), "v")
+    val vocab = keyed(words.where(col("n") > 1), "v", fanOut = false)
     val rare = keyed(
-      words.where(col("n") === 1 && length(col("w")) > 2), "r")
+      words.where(col("n") === 1 && length(col("w")) > 2), "r", fanOut = true)
     val cand = rare.join(vocab,
         col("rk") === col("vk") &&
           abs(length(col("rw")) - length(col("vw"))) <= 2)
@@ -99,8 +113,9 @@ object DistributedSpell {
     * case-insensitive — one tokenizing broadcast-map pass
     * ([[TypoFix.applyWordMap]]), same apply path as the driver version. */
   def fix(df: DataFrame, c: String, threshold: Double = 0.8,
-      maxCorrections: Int = 500): DataFrame = {
-    val map = corrections(df, c, threshold, maxCorrections)
+      maxCorrections: Int = 500,
+      sim: (Column, Column) => Column = ratcliffSim): DataFrame = {
+    val map = corrections(df, c, threshold, maxCorrections, sim)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     TypoFix.applyWordMap(df, c, map)
   }

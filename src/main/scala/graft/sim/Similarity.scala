@@ -236,13 +236,23 @@ object Similarity {
     // Coarse-quantizer fit: deterministic Lloyd iterations over a BOUNDED
     // sample collected to the driver (≤ max(256·nlist, 4096) vectors —
     // ~2 MB at 64 dims; the bound, not the corpus size, caps driver
-    // memory, which is also how faiss trains IVF quantizers). Cell-
-    // assignment quality only moves recall at small nprobe, never
-    // correctness: the rerank is exact. A distributed fit (e.g. MLlib
-    // KMeans) buys nothing here and costs several extra jobs per build.
+    // memory, which is also how faiss trains IVF quantizers). The sample
+    // is the smallest-N rows by xxhash64(id) — a deterministic UNIFORM
+    // draw over the whole corpus. A bare limit(n) would take whichever
+    // partitions answer first (in practice the first file), fitting the
+    // centroids on one shard's distribution — on a partition-correlated
+    // corpus (sorted by source) recall at small nprobe collapses.
+    // TakeOrderedAndProject keeps this a per-partition top-N + driver
+    // merge, never a global sort. Cell-assignment quality only moves
+    // recall at small nprobe, never correctness: the rerank is exact. A
+    // distributed fit (e.g. MLlib KMeans) buys nothing here and costs
+    // several extra jobs per build.
     val sample: Array[Array[Double]] =
-      corpus.select(toDoubleArr(col(vecCol)).as("__v"))
+      corpus.select(toDoubleArr(col(vecCol)).as("__v"),
+          xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
+        .orderBy(col("__h"), col("__id"))
         .limit(math.max(nlist * 256, 4096))
+        .select("__v")
         .collect().map(_.getSeq[Double](0).toArray)
     val centers = kmeansFit(sample, nlist, iters = 8, seed = seed)
     val bc = spark.sparkContext.broadcast(centers)

@@ -134,6 +134,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.8, s"ivf recall $recall too low")
   }
 
+  test("ivf quantizer sample is uniform, not first-partitions-biased") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(13)
+    // Corpus LARGER than the quantizer sample bound (4096 vectors),
+    // sorted by cluster and range-partitioned so partitions correlate
+    // with clusters — the adversarial layout where a limit(n) sample
+    // would see only the first clusters and recall for queries from the
+    // last cluster collapses. The xxhash64 draw must keep it high.
+    val centers = Seq.fill(8)(Seq.fill(8)(rnd.nextGaussian() * 6))
+    val n = 4800
+    val vecs = (0 until n).map { i =>
+      val c = centers(i * 8 / n)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.4).toFloat))
+    }.toDF("vec_id", "embedding")
+      .repartitionByRange(8, $"vec_id")
+    vecs.cache().count()
+    val q = vecs.where($"vec_id" >= (n - 3)) // queries from the LAST cluster
+    val bf = Similarity.bruteForceTopK(vecs, q, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val few = Similarity.ivfTopK(vecs, q, 5, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(few).size.toDouble / bf.size
+    assert(recall >= 0.8, s"ivf recall on skewed layout $recall too low")
+    vecs.unpersist()
+  }
+
   test("frame sampler keeps every k-th fixed-size frame incl. partial tail") {
     val spark2 = spark
     import spark2.implicits._
