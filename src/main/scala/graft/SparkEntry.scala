@@ -362,6 +362,21 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // §7.5 spell check END TO END, value-checked: same levSim map as
+    // q_spell_corrections, then the word-boundary apply — the oracle
+    // rebuilds the map AND the rewritten corpus (delimiter-preserving
+    // split/rejoin; see the oracle comment). Closes the last apply-path
+    // hash gap (q_typofix_spell{,_scale} stay rows-only for the Ratcliff
+    // default, whose metric has no SQL twin).
+    "q_typofix_spell_lev" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") === 0,
+          concat(col("text"), lit(" sparkk tabble columnn")))
+          .otherwise(col("text")).as("text"))
+      graft.plans.DistributedSpell.fix(d, "text", threshold = 0.8,
+        sim = graft.plans.DistributedSpell.levSim).orderBy("doc_id")
+    }),
+
     // §2.0 pipeline end-to-end incl. the P2 inter-stage sanitizer quirk:
     // nulls are median-filled by the sanitizer BEFORE any op runs
     "q_pipeline_e2e" -> ((s, dir) => {
@@ -1182,6 +1197,49 @@ object SparkEntry {
          |  FROM cand WHERE s >= 0.8)
          |SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
          |ORDER BY word LIMIT 500""".stripMargin,
+
+    // q_spell_corrections' map rebuild, then the APPLY, both external:
+    // every cell is split into its \w+ runs (wl) and its \W+ runs (dl) —
+    // interleaving dl[i] || wl[i] reconstructs the text exactly (verified
+    // over leading/trailing/empty-delimiter edge cases), so replacing
+    // wl[i] through the map reproduces applyWordMap's word-boundary,
+    // case-insensitive, delimiter-preserving rewrite.
+    "q_typofix_spell_lev" ->
+      s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id = 0
+         |    THEN text || ' sparkk tabble columnn' ELSE text END AS text
+         |  FROM documents),
+         |toks AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w FROM u),
+         |wf AS (SELECT w, count(*) AS n FROM toks WHERE length(w) > 0 GROUP BY w),
+         |vocab AS (SELECT w FROM wf WHERE n > 1),
+         |rare AS (SELECT w FROM wf WHERE n = 1 AND length(w) > 2),
+         |cand AS (
+         |  SELECT r.w AS rw, v.w AS vw,
+         |    1.0 - CAST(levenshtein(r.w, v.w) AS DOUBLE)
+         |        / greatest(length(r.w), length(v.w)) AS s
+         |  FROM rare r JOIN vocab v ON abs(length(r.w) - length(v.w)) <= 2),
+         |pick AS (
+         |  SELECT rw, vw,
+         |    row_number() OVER (PARTITION BY rw ORDER BY s DESC, vw ASC) AS rk
+         |  FROM cand WHERE s >= 0.8),
+         |corr AS (SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
+         |  ORDER BY word LIMIT 500),
+         |parts AS (
+         |  SELECT doc_id,
+         |    string_split_regex(text, '\\w+') AS dl,
+         |    string_split_regex(text, '\\W+') AS wl
+         |  FROM u),
+         |idx AS (
+         |  SELECT doc_id, dl, wl,
+         |    unnest(generate_series(1, greatest(len(dl), len(wl)))) AS i
+         |  FROM parts),
+         |pieces AS (
+         |  SELECT x.doc_id, x.i,
+         |    coalesce(x.dl[x.i], '') ||
+         |      coalesce(c.fix, coalesce(x.wl[x.i], '')) AS piece
+         |  FROM idx x LEFT JOIN corr c ON lower(coalesce(x.wl[x.i], '')) = c.word)
+         |SELECT doc_id, string_agg(piece, '' ORDER BY i) AS text
+         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // total_missing_after is a prediction, not a recompute: fill_mean on
     // this frame always has a mean (acctbal) and a mode (mktsegment), so

@@ -13,8 +13,11 @@ import graft.util.Exprs._
   *    lexicographic, NOT frequency order — `encoding.py:87-120`); nulls
   *    first become the literal "__MISSING__" (`encoding.py:94-97`).
   *    Implemented as dense_rank over the distinct values joined back via
-  *    broadcast — the distinct side is small by definition of "categorical",
-  *    so the join never shuffles the fact table.
+  *    broadcast while an HLL probe says the dictionary is bounded; above
+  *    the gate ([[Encode.MaxBroadcastCardinality]] — users run label
+  *    encoding on arbitrary-cardinality ID columns) the codes come from
+  *    [[Encode.rankedDistinct]] (partition-offset ranking, no global
+  *    window) and a shuffle join. Both paths assign identical codes.
   *  - onehot: skips columns with >50 distinct values (`encoding.py:127-134`);
   *    emits `col_value` 0/1 columns including a `col_nan` null indicator
   *    (dummy_na=True), drops the original; `dropFirst` drops the first
@@ -26,21 +29,92 @@ import graft.util.Exprs._
   *    collect, no join.
   */
 object Encode {
+  /** Dictionary-size gate: at or below this (approximate) cardinality the
+    * label dictionary is built with a global-order window and joined via
+    * broadcast; above it, both would break — the window funnels the
+    * distinct set through ONE task and the broadcast ships it to every
+    * executor (an arbitrary-cardinality ID column at 100 TB OOMs the
+    * driver). Unlike oneHot's gate this never changes SEMANTICS — both
+    * paths assign identical codes — so HLL error at the boundary is
+    * harmless: it only picks the physical plan. */
+  val MaxBroadcastCardinality: Int = 1 << 16
+
+  /** Global sorted 0-based codes for a single-column distinct frame
+    * (`value` → `value`, `code`) with NO single-task stage and no
+    * driver-sized structure — the scale path when a dictionary outgrows
+    * broadcast. Same partition-offset algorithm as
+    * [[graft.plans.PartitionedFill]]: range-partition by value (partitions
+    * tile the global order) and sort within partitions; pass 1 collects
+    * one row count per partition; the driver prefix-scans those into
+    * partition offsets; pass 2 assigns code = offset + local index.
+    * Output is exactly `dense_rank() over (order by value) − 1` on the
+    * same distinct input. Both passes share one shuffle (`Dataset.rdd` is
+    * a lazy val, so the sorted RDD — and its range bounds — is computed
+    * once and stage-reused). */
+  def rankedDistinct(vals: DataFrame): DataFrame = {
+    val spark = vals.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = vals.repartitionByRange(n, col("value").asc)
+      .sortWithinPartitions("value")
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.size.toLong)
+    }.collect().toMap
+    val offsets = new Array[Long](counts.size)
+    var acc = 0L
+    for (p <- 0 until counts.size) { offsets(p) = acc; acc += counts(p) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val coded = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var code = bc.value(pid)
+      it.map { r =>
+        val out = org.apache.spark.sql.Row(r.getString(0), code)
+        code += 1
+        out
+      }
+    }
+    spark.createDataFrame(coded,
+      StructType(Seq(StructField("value", StringType, nullable = false),
+        StructField("code", LongType, nullable = false))))
+  }
+
+  /** The label dictionary for a column plus whether it is small enough to
+    * broadcast: (value, code), codes by sorted unique value (sklearn
+    * LabelEncoder order). One HLL aggregation decides the path; both
+    * paths produce identical codes. */
+  private[ops] def sortedCodes(df: DataFrame, c: String,
+      maxBroadcast: Int): (DataFrame, Boolean) = {
+    val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
+    val vals = df.select(filled.as("value")).distinct()
+    val small =
+      df.agg(approx_count_distinct(filled).as("a")).head().getLong(0) <=
+        maxBroadcast
+    val dict =
+      if (small)
+        vals.withColumn("code",
+          (dense_rank().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+      else rankedDistinct(vals)
+    (dict, small)
+  }
+
   /** The label-encoding dictionary for a column: (value, code), codes by
     * sorted unique value (sklearn LabelEncoder order — `encoding.py:87-120`,
-    * exposed by `get_encoding_mappings` `:231-240`). */
-  def labelMapping(df: DataFrame, c: String): DataFrame =
-    df.select(coalesce(col(c).cast(StringType), lit("__MISSING__")).as("value"))
-      .distinct()
-      .withColumn("code",
-        (dense_rank().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+    * exposed by `get_encoding_mappings` `:231-240`). Cardinality-guarded:
+    * above `maxBroadcast` distinct values the global-window path is
+    * replaced by [[rankedDistinct]]. */
+  def labelMapping(df: DataFrame, c: String,
+      maxBroadcast: Int = MaxBroadcastCardinality): DataFrame =
+    sortedCodes(df, c, maxBroadcast)._1
 
   /** Inverse of label encoding (reference `inverse_transform_labels`,
-    * `encoding.py:242-264`): codes back to original string values via a
-    * broadcast join of the stored mapping. */
-  def inverseLabel(encoded: DataFrame, mapping: DataFrame, c: String): DataFrame = {
-    val joined = encoded.join(broadcast(mapping),
-      encoded(c) === mapping("code"), "left")
+    * `encoding.py:242-264`): codes back to original string values by
+    * joining the stored mapping — broadcast only while the dictionary is
+    * provably small (the probe counts at most `maxBroadcast + 1` rows,
+    * never the full dictionary). */
+  def inverseLabel(encoded: DataFrame, mapping: DataFrame, c: String,
+      maxBroadcast: Int = MaxBroadcastCardinality): DataFrame = {
+    val small = mapping.limit(maxBroadcast + 1).count() <= maxBroadcast
+    val m = if (small) broadcast(mapping) else mapping
+    val joined = encoded.join(m, encoded(c) === mapping("code"), "left")
     joined.select(encoded.columns.map(n =>
       if (n == c) col("value").as(c) else encoded(n)).toSeq: _*)
   }
@@ -73,7 +147,8 @@ final case class Encode(
     method: String = "label",
     columns: Seq[String] = Nil,
     dropFirst: Boolean = false,
-    maxOnehotCardinality: Int = 50) extends Op {
+    maxOnehotCardinality: Int = 50,
+    maxLabelBroadcast: Int = Encode.MaxBroadcastCardinality) extends Op {
 
   val name = s"encoding:$method"
 
@@ -105,11 +180,11 @@ final case class Encode(
 
   private def labelEncode(df: DataFrame, c: String): DataFrame = {
     val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
-    val dict = df.select(filled.as(c)).distinct()
-      .withColumn(s"${c}__code",
-        (dense_rank().over(Window.orderBy(col(c))) - 1).cast(LongType))
+    val (dict, small) = Encode.sortedCodes(df, c, maxLabelBroadcast)
+    val keyed = dict.withColumnRenamed("value", "__lbl_key")
+      .withColumnRenamed("code", s"${c}__code")
     val joined = df.withColumn("__lbl_key", filled)
-      .join(broadcast(dict.withColumnRenamed(c, "__lbl_key")), Seq("__lbl_key"), "left")
+      .join(if (small) broadcast(keyed) else keyed, Seq("__lbl_key"), "left")
       .drop("__lbl_key")
     // in-place replacement, preserving column position (encoding.py:104)
     joined.select(df.columns.map(n =>

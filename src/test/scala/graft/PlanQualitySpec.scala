@@ -43,6 +43,15 @@ class PlanQualitySpec extends SparkSpec {
       "fact table must not shuffle for a bounded dictionary join")
   }
 
+  test("label encoding above the cardinality gate never broadcasts the dict") {
+    val df = Tables.load(spark, sf, "customer")
+    val p = plan(Encode("label", columns = Seq("c_mktsegment"),
+      maxLabelBroadcast = 1)(df).df)
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      s"an over-gate dictionary must not be broadcast:\n$p")
+    assert(!p.contains("Window"), "no global-order window above the gate")
+  }
+
   test("frequency encoding broadcasts counts, fact side shuffle-free") {
     val df = Tables.load(spark, sf, "customer")
     val p = plan(Encode("target", columns = Seq("c_mktsegment"))(df).df)

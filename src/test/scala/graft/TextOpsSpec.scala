@@ -145,6 +145,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(1L, 0L, 2L, 0L))
   }
 
+  test("label encoding scale path assigns the same codes as the window path") {
+    // ~90 distinct values incl. nulls; maxLabelBroadcast = 1 forces the
+    // partition-offset rankedDistinct path — codes must be IDENTICAL to
+    // the dense_rank/broadcast path (sklearn LabelEncoder semantics,
+    // encoding.py:87-120)
+    val df = (0 until 300).map { i =>
+      (i.toLong, if (i % 11 == 0) null else f"val_${i % 89}%03d")
+    }.toDF("id", "s")
+    val windowed = Encode("label", columns = Seq("s"))(df).df
+      .orderBy("id").collect().toSeq
+    val scaled = Encode("label", columns = Seq("s"), maxLabelBroadcast = 1)(df).df
+      .orderBy("id").collect().toSeq
+    assert(windowed == scaled)
+  }
+
   test("onehot emits sorted value columns plus null indicator") {
     val df = Seq((1L, "b"), (2L, "a"), (3L, null)).toDF("id", "s")
     val out = Encode("onehot")(df).df
