@@ -623,7 +623,9 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN (approximate; compared to brute force in tests)
+    // LSH-bucketed ANN — approximate but fully deterministic: the oracle
+    // rebuilds signatures from the literal plane-weight table, reproduces
+    // the band join, and reranks (recall vs brute force in ExtensionsSpec)
     "q_ann_lsh" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       Similarity.lshTopK(e, e.where(col("vec_id") < 5), 10, dim = 64,
@@ -709,6 +711,18 @@ object SparkEntry {
   private val normTextSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** q_ann_lsh's hyperplanes as SQL literals: `Similarity.planeWeight` is
+    * a pure split-mix hash of (plane, dim) — fixed public constants, no
+    * RNG state — so the oracle carries the EXACT weight table and
+    * rebuilds signatures independently. Double.toString round-trips, so
+    * DuckDB parses back the identical bits. */
+  private def planeWeightValuesSql(planes: Int, dim: Int): String =
+    (0 until planes).map { p =>
+      val ws = (0 until dim)
+        .map(d => graft.sim.Similarity.planeWeight(p, d)).mkString("[", ",", "]")
+      s"($p, $ws::DOUBLE[])"
+    }.mkString(", ")
 
   /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var
     * (shared by Bench and Verify). Names are trimmed, and unknown names
@@ -958,6 +972,36 @@ object SparkEntry {
          |s AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
          |  round(list_dot_product(q.v, a.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
          |  FROM e a, q WHERE a.vec_id <> q.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER
+         |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM s)
+         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Full LSH rebuild from the literal plane-weight table: signature =
+    // packed sign bits of v · w_p; candidates = any equal 4-bit band of
+    // the 32-bit signature (8 bands, same banding as lshTopK); exact
+    // rerank over the candidate set. The candidate set is fully
+    // deterministic, so the whole approximate result is value-checkable.
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |w AS (SELECT * FROM (VALUES ${planeWeightValuesSql(32, 64)}) t(p, pw)),
+         |sig AS (
+         |  SELECT e.vec_id, CAST(sum(CASE WHEN list_dot_product(e.v, w.pw) >= 0
+         |    THEN (1::BIGINT << w.p) ELSE 0 END) AS BIGINT) AS s
+         |  FROM e CROSS JOIN w GROUP BY e.vec_id),
+         |cb AS (
+         |  SELECT sig.vec_id AS c_id, b.b AS band, (sig.s >> CAST(4 * b.b AS INTEGER)) & 15 AS bb
+         |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) b),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.c_id
+         |  FROM (SELECT c_id AS query_id, band, bb FROM cb WHERE c_id < 5) q
+         |  JOIN cb c ON c.band = q.band AND c.bb = q.bb
+         |  WHERE c.c_id <> q.query_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.c_id AS neighbor_id,
+         |    round(list_dot_product(qv.v, av.v) / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(av.v, av.v))), 6) AS sim
+         |  FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+         |            JOIN e av ON av.vec_id = cand.c_id),
          |r AS (SELECT *, CAST(row_number() OVER
          |  (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank FROM s)
          |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
