@@ -218,14 +218,31 @@ final case class Encode(
             .toSeq.sorted }
     val encodable = candidates.filter(c =>
       values.getOrElse(c, Nil).size <= maxOnehotCardinality)
+    // Generated names can collide: a value "nan" with the null
+    // indicator `<c>_nan`, a value of column "a" with an existing column
+    // "a_<v>", or values of two encoded columns ("a"="b_c" vs "a_b"="c").
+    // pandas get_dummies emits the duplicates; here every generated name
+    // gets a deterministic "_2", "_3", … suffix on collision — seeded
+    // with the pass-through names so existing columns always keep theirs,
+    // resolved in projection order (columns in frame order, values
+    // sorted), so the result is reproducible.
+    val used = scala.collection.mutable.HashSet[String]()
+    df.columns.filterNot(encodable.contains).foreach(used += _)
+    def fresh(base: String): String =
+      if (used.add(base)) base
+      else {
+        var i = 2
+        while (!used.add(s"${base}_$i")) i += 1
+        s"${base}_$i"
+      }
     val proj = df.columns.toSeq.flatMap { c =>
       if (!encodable.contains(c)) Seq(col(c))
       else {
         val vs = values(c)
         val kept = if (dropFirst) vs.drop(1) else vs
         kept.map(v => when(col(c).cast(StringType) === lit(v), 1L).otherwise(0L)
-          .as(s"${c}_$v")) :+
-          when(col(c).isNull, 1L).otherwise(0L).as(s"${c}_nan")
+          .as(fresh(s"${c}_$v"))) :+
+          when(col(c).isNull, 1L).otherwise(0L).as(fresh(s"${c}_nan"))
       }
     }
     df.select(proj: _*)

@@ -179,6 +179,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.where($"hi" === "v7").count() == 1)
   }
 
+  test("onehot suffixes colliding generated names deterministically") {
+    // adversarial names: value "nan" collides with the null indicator
+    // s_nan; value "a" generates s_a which collides with the existing
+    // pass-through column s_a (which must keep its name)
+    val df = Seq((1L, "nan", 9L), (2L, "a", 9L), (3L, null, 9L))
+      .toDF("id", "s", "s_a")
+    val out = Encode("onehot")(df).df
+    assert(out.columns.toSeq ==
+      Seq("id", "s_a_2", "s_nan", "s_nan_2", "s_a"))
+    val r = out.orderBy("id").collect()
+    assert(r(1).getLong(r(1).fieldIndex("s_a_2")) == 1L)   // value "a"
+    assert(r(0).getLong(r(0).fieldIndex("s_nan")) == 1L)   // value "nan"
+    assert(r(2).getLong(r(2).fieldIndex("s_nan_2")) == 1L) // null indicator
+    assert(r.forall(_.getLong(4) == 9L))                   // s_a untouched
+  }
+
   test("frequency encoding appends normalized counts including null group") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, null)).toDF("id", "s")
     val out = Encode("target")(df).df
