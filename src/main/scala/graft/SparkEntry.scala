@@ -712,6 +712,31 @@ object SparkEntry {
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
+  /** The levSim correction-map rebuild shared VERBATIM by
+    * q_spell_corrections and q_typofix_spell_lev — one definition so the
+    * two value-checked queries can never silently diverge on threshold,
+    * tie-break, or limit. Ends at the `corr` CTE (word, fix). */
+  private val spellLevMapCtes =
+    s"""u AS (SELECT doc_id, CASE WHEN doc_id = 0
+       |    THEN text || ' sparkk tabble columnn' ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w FROM u),
+       |wf AS (SELECT w, count(*) AS n FROM toks WHERE length(w) > 0 GROUP BY w),
+       |vocab AS (SELECT w FROM wf WHERE n > 1),
+       |rare AS (SELECT w FROM wf WHERE n = 1 AND length(w) > 2),
+       |cand AS (
+       |  SELECT r.w AS rw, v.w AS vw,
+       |    1.0 - CAST(levenshtein(r.w, v.w) AS DOUBLE)
+       |        / greatest(length(r.w), length(v.w)) AS s
+       |  FROM rare r JOIN vocab v ON abs(length(r.w) - length(v.w)) <= 2),
+       |pick AS (
+       |  SELECT rw, vw,
+       |    row_number() OVER (PARTITION BY rw ORDER BY s DESC, vw ASC) AS rk
+       |  FROM cand WHERE s >= 0.8),
+       |corr AS (SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
+       |  ORDER BY word LIMIT 500)""".stripMargin
+
   /** q_ann_lsh's hyperplanes as SQL literals: `Similarity.planeWeight` is
     * a pure split-mix hash of (plane, dim) — fixed public constants, no
     * RNG state — so the oracle carries the EXACT weight table and
@@ -1217,61 +1242,33 @@ object SparkEntry {
     "q_missing_drop_columns" ->
       """SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey""",
 
-    // Full recompute of the distributed spell-check correction map:
-    // word frequencies -> vocab (n>1) / rare (n=1, len>2) split ->
-    // all-pairs |Δlen|<=2 candidate join (the oracle needs no blocking at
-    // this scale) -> levenshtein similarity gate -> best-match pick.
+    // Full recompute of the distributed spell-check correction map
+    // (the shared spellLevMapCtes chain): word frequencies -> vocab
+    // (n>1) / rare (n=1, len>2) split -> all-pairs |Δlen|<=2 candidate
+    // join (the oracle needs no blocking at this scale) -> levenshtein
+    // similarity gate -> best-match pick.
     "q_spell_corrections" ->
-      s"""WITH u AS (SELECT CASE WHEN doc_id = 0
-         |    THEN text || ' sparkk tabble columnn' ELSE text END AS text
-         |  FROM documents),
-         |toks AS (
-         |  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w FROM u),
-         |wf AS (SELECT w, count(*) AS n FROM toks WHERE length(w) > 0 GROUP BY w),
-         |vocab AS (SELECT w FROM wf WHERE n > 1),
-         |rare AS (SELECT w FROM wf WHERE n = 1 AND length(w) > 2),
-         |cand AS (
-         |  SELECT r.w AS rw, v.w AS vw,
-         |    1.0 - CAST(levenshtein(r.w, v.w) AS DOUBLE)
-         |        / greatest(length(r.w), length(v.w)) AS s
-         |  FROM rare r JOIN vocab v ON abs(length(r.w) - length(v.w)) <= 2),
-         |pick AS (
-         |  SELECT rw, vw,
-         |    row_number() OVER (PARTITION BY rw ORDER BY s DESC, vw ASC) AS rk
-         |  FROM cand WHERE s >= 0.8)
-         |SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
-         |ORDER BY word LIMIT 500""".stripMargin,
+      s"""WITH $spellLevMapCtes
+         |SELECT word, fix FROM corr ORDER BY word""".stripMargin,
 
-    // q_spell_corrections' map rebuild, then the APPLY, both external:
-    // every cell is split into its \w+ runs (wl) and its \W+ runs (dl) —
-    // interleaving dl[i] || wl[i] reconstructs the text exactly (verified
-    // over leading/trailing/empty-delimiter edge cases), so replacing
-    // wl[i] through the map reproduces applyWordMap's word-boundary,
-    // case-insensitive, delimiter-preserving rewrite.
+    // The same map rebuild, then the APPLY, both external: every cell is
+    // split into its \W+ runs (dl) and \w+ runs (wl); when the text
+    // starts with a non-word char the word list carries a leading empty
+    // slot that must be dropped, after which interleaving dl[i] || wl[i]
+    // reconstructs the text exactly (verified over leading / trailing /
+    // empty / null-delimiter edge cases in DuckDB). Replacing wl[i]
+    // through the map then reproduces applyWordMap's word-boundary,
+    // case-insensitive, delimiter-preserving rewrite; the final LEFT
+    // JOIN keeps null-text rows (whose split lists are null and generate
+    // no pieces) as nulls, matching the Spark side.
     "q_typofix_spell_lev" ->
-      s"""WITH u AS (SELECT doc_id, CASE WHEN doc_id = 0
-         |    THEN text || ' sparkk tabble columnn' ELSE text END AS text
-         |  FROM documents),
-         |toks AS (
-         |  SELECT unnest(string_split_regex(lower(text), '\\W+')) AS w FROM u),
-         |wf AS (SELECT w, count(*) AS n FROM toks WHERE length(w) > 0 GROUP BY w),
-         |vocab AS (SELECT w FROM wf WHERE n > 1),
-         |rare AS (SELECT w FROM wf WHERE n = 1 AND length(w) > 2),
-         |cand AS (
-         |  SELECT r.w AS rw, v.w AS vw,
-         |    1.0 - CAST(levenshtein(r.w, v.w) AS DOUBLE)
-         |        / greatest(length(r.w), length(v.w)) AS s
-         |  FROM rare r JOIN vocab v ON abs(length(r.w) - length(v.w)) <= 2),
-         |pick AS (
-         |  SELECT rw, vw,
-         |    row_number() OVER (PARTITION BY rw ORDER BY s DESC, vw ASC) AS rk
-         |  FROM cand WHERE s >= 0.8),
-         |corr AS (SELECT rw AS word, vw AS fix FROM pick WHERE rk = 1
-         |  ORDER BY word LIMIT 500),
+      s"""WITH $spellLevMapCtes,
          |parts AS (
          |  SELECT doc_id,
          |    string_split_regex(text, '\\w+') AS dl,
-         |    string_split_regex(text, '\\W+') AS wl
+         |    CASE WHEN string_split_regex(text, '\\W+')[1] = ''
+         |         THEN string_split_regex(text, '\\W+')[2:]
+         |         ELSE string_split_regex(text, '\\W+') END AS wl
          |  FROM u),
          |idx AS (
          |  SELECT doc_id, dl, wl,
@@ -1281,9 +1278,11 @@ object SparkEntry {
          |  SELECT x.doc_id, x.i,
          |    coalesce(x.dl[x.i], '') ||
          |      coalesce(c.fix, coalesce(x.wl[x.i], '')) AS piece
-         |  FROM idx x LEFT JOIN corr c ON lower(coalesce(x.wl[x.i], '')) = c.word)
-         |SELECT doc_id, string_agg(piece, '' ORDER BY i) AS text
-         |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |  FROM idx x LEFT JOIN corr c ON lower(coalesce(x.wl[x.i], '')) = c.word),
+         |reb AS (SELECT doc_id, string_agg(piece, '' ORDER BY i) AS text
+         |  FROM pieces GROUP BY doc_id)
+         |SELECT u.doc_id, reb.text FROM u LEFT JOIN reb USING (doc_id)
+         |ORDER BY u.doc_id""".stripMargin,
 
     // total_missing_after is a prediction, not a recompute: fill_mean on
     // this frame always has a mean (acctbal) and a mode (mktsegment), so

@@ -77,42 +77,44 @@ object Encode {
         StructField("code", LongType, nullable = false))))
   }
 
-  /** The label dictionary for a column plus whether it is small enough to
-    * broadcast: (value, code), codes by sorted unique value (sklearn
-    * LabelEncoder order). One HLL aggregation decides the path; both
-    * paths produce identical codes. */
-  private[ops] def sortedCodes(df: DataFrame, c: String,
-      maxBroadcast: Int): (DataFrame, Boolean) = {
+  /** The label dictionary for a column: (value, code), codes by sorted
+    * unique value (sklearn LabelEncoder order). `small` — decided by the
+    * caller's cardinality probe — picks the window path vs
+    * [[rankedDistinct]]; both produce identical codes. */
+  private[ops] def labelDict(df: DataFrame, c: String,
+      small: Boolean): DataFrame = {
     val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
     val vals = df.select(filled.as("value")).distinct()
-    val small =
-      df.agg(approx_count_distinct(filled).as("a")).head().getLong(0) <=
-        maxBroadcast
-    val dict =
-      if (small)
-        vals.withColumn("code",
-          (dense_rank().over(Window.orderBy(col("value"))) - 1).cast(LongType))
-      else rankedDistinct(vals)
-    (dict, small)
+    if (small)
+      vals.withColumn("code",
+        (dense_rank().over(Window.orderBy(col("value"))) - 1).cast(LongType))
+    else rankedDistinct(vals)
   }
 
   /** The label-encoding dictionary for a column: (value, code), codes by
     * sorted unique value (sklearn LabelEncoder order — `encoding.py:87-120`,
     * exposed by `get_encoding_mappings` `:231-240`). Cardinality-guarded:
-    * above `maxBroadcast` distinct values the global-window path is
-    * replaced by [[rankedDistinct]]. */
+    * above `maxBroadcast` (approximate) distinct values the global-window
+    * path is replaced by [[rankedDistinct]]. */
   def labelMapping(df: DataFrame, c: String,
-      maxBroadcast: Int = MaxBroadcastCardinality): DataFrame =
-    sortedCodes(df, c, maxBroadcast)._1
+      maxBroadcast: Int = MaxBroadcastCardinality): DataFrame = {
+    val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
+    val small =
+      df.agg(approx_count_distinct(filled).as("a")).head().getLong(0) <=
+        maxBroadcast
+    labelDict(df, c, small)
+  }
 
   /** Inverse of label encoding (reference `inverse_transform_labels`,
     * `encoding.py:242-264`): codes back to original string values by
-    * joining the stored mapping — broadcast only while the dictionary is
-    * provably small (the probe counts at most `maxBroadcast + 1` rows,
-    * never the full dictionary). */
+    * joining the stored mapping. `small` says the mapping fits a
+    * broadcast: the BUILDER of the mapping already knows its cardinality
+    * class ([[labelMapping]]'s gate decided it), and re-measuring it
+    * here would re-execute the mapping's whole plan just to pick a join
+    * strategy. Pass false for a dictionary that outgrew
+    * [[MaxBroadcastCardinality]]. */
   def inverseLabel(encoded: DataFrame, mapping: DataFrame, c: String,
-      maxBroadcast: Int = MaxBroadcastCardinality): DataFrame = {
-    val small = mapping.limit(maxBroadcast + 1).count() <= maxBroadcast
+      small: Boolean = true): DataFrame = {
     val m = if (small) broadcast(mapping) else mapping
     val joined = encoded.join(m, encoded(c) === mapping("code"), "left")
     joined.select(encoded.columns.map(n =>
@@ -156,7 +158,21 @@ final case class Encode(
     val targets = if (columns.nonEmpty) columns else colsOfType(df, isString)
     if (targets.isEmpty) return OpResult(df, Seq("no categorical columns"))
     val out = method match {
-      case "label" => targets.foldLeft(df)(labelEncode)
+      case "label" =>
+        // ONE eager HLL aggregation over the ORIGINAL frame picks every
+        // column's path up front (the oneHot pattern): probing inside
+        // the fold would rescan the accumulated plan, replaying the
+        // earlier columns' dictionary joins once per remaining column.
+        val cardAggs = targets.map(c => approx_count_distinct(
+          coalesce(col(c).cast(StringType), lit("__MISSING__")))
+          .as(s"${c}__card"))
+        val cardRow = df.agg(cardAggs.head, cardAggs.tail: _*).head()
+        targets.foldLeft(df) { (d, c) =>
+          val small =
+            cardRow.getLong(cardRow.fieldIndex(s"${c}__card")) <=
+              maxLabelBroadcast
+          labelEncode(d, df, c, small)
+        }
       case "onehot" => oneHot(df, targets)
       case "target" =>
         // per-value counts via groupBy + BROADCAST join, total as a driver
@@ -178,9 +194,13 @@ final case class Encode(
     OpResult(out, Seq(s"encoded [${targets.mkString(",")}] method=$method"))
   }
 
-  private def labelEncode(df: DataFrame, c: String): DataFrame = {
+  /** Encode one column of `df`, building the dictionary from `source`
+    * (the ORIGINAL frame — column c's values are untouched there, and
+    * scanning it avoids replaying the fold's earlier joins). */
+  private def labelEncode(df: DataFrame, source: DataFrame, c: String,
+      small: Boolean): DataFrame = {
     val filled = coalesce(col(c).cast(StringType), lit("__MISSING__"))
-    val (dict, small) = Encode.sortedCodes(df, c, maxLabelBroadcast)
+    val dict = Encode.labelDict(source, c, small)
     val keyed = dict.withColumnRenamed("value", "__lbl_key")
       .withColumnRenamed("code", s"${c}__code")
     val joined = df.withColumn("__lbl_key", filled)

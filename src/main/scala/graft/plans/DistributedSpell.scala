@@ -30,7 +30,13 @@ import graft.ops.TypoFix
   *     0.14 but Ratcliff 0.8.) Keys carry a width-3 length band so the
   *     |Δlen| ≤ 2 constraint prunes at the JOIN KEY, bounding the
   *     worst-case block; the reference's |Δlen| ≤ 2 prefilter still
-  *     applies exactly at the join.
+  *     applies exactly at the join. Coverage bound: the three keys are
+  *     provably complete for SINGLE-edit pairs; a multi-edit pair that a
+  *     low threshold admits on long words (levSim ≥ 0.8 allows 2 edits
+  *     from length 10) can miss all three blocks. The all-pairs oracle
+  *     twins (q_spell_corrections / q_typofix_spell_lev) re-derive the
+  *     map exhaustively, so any such divergence on real data surfaces as
+  *     a correctness diff rather than silently.
   *  4. per rare word: the most similar vocabulary word with ratio ≥
   *     threshold (tie: lexicographically smallest — the reference's
   *     deterministic sort), via one window.
