@@ -81,6 +81,14 @@ class PlanQualitySpec extends SparkSpec {
       s"ivf candidate join must be a key join:\n$p")
   }
 
+  test("lsh topk candidates come from a band key join, never a cross join") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val p = plan(graft.sim.Similarity.lshTopK(e, e.where($"vec_id" < 3), 5,
+      dim = 64, planes = 32, bands = 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"corpus x queries must join on (band, bandbits):\n$p")
+  }
+
   test("spell correction map is a key join, never a cross join") {
     val d = Tables.load(spark, sf, "documents")
     val p = plan(graft.plans.DistributedSpell.corrections(d, "text",
