@@ -2,6 +2,22 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
+object Dedup {
+  /** Structured Streaming twin of exact dedup for a continuously
+    * ingested corpus: duplicates are dropped ACROSS micro-batches with
+    * BOUNDED state — a key's state lives only until the event-time
+    * watermark passes it (`dropDuplicatesWithinWatermark`), the only
+    * formulation that runs forever on an unbounded stream (a plain
+    * streaming `dropDuplicates` accumulates key state without bound).
+    * `keys` is the duplicate identity — e.g. a content fingerprint
+    * column ([[graft.text.TextAnalysis.fingerprint]]) for near-exact
+    * document dedup at ingest time. */
+  def streamingExact(stream: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+}
+
 /** Exact duplicate removal (reference U1,
   * `/root/reference/methods/duplicate.py:17-69`, SURVEY.md §2.8).
   *

@@ -209,4 +209,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(0).getLong(2) == 2 && rows(0).getDouble(3) == 2.0)
     assert(rows(1).getLong(2) == 1)
   }
+
+  test("streaming exact dedup drops duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val stream = mem.toDF.toDF("ts", "doc_id", "text")
+    val q = graft.ops.Dedup.streamingExact(stream, "ts", "30 minutes",
+        Seq("text"))
+      .writeStream.format("memory").queryName("stream_dedup_test")
+      .outputMode("append").start()
+    mem.addData((ts(0), 1L, "aa"), (ts(1), 2L, "bb"), (ts(2), 3L, "aa"))
+    q.processAllAvailable()
+    mem.addData((ts(3), 4L, "aa"), (ts(5), 5L, "cc")) // dup across batches
+    q.processAllAvailable()
+    val rows = spark.table("stream_dedup_test").collect()
+    q.stop()
+    assert(rows.map(_.getString(2)).sorted.toSeq == Seq("aa", "bb", "cc"))
+  }
 }
