@@ -554,6 +554,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
+    // minhash pair list via min-label propagation — a chain of pairwise
+    // near-dups resolves to ONE cluster even where the endpoints' own
+    // similarity sits below threshold. The oracle rebuilds the exact
+    // pair set (shared CTEs with q_neardup_minhash) and closes it with
+    // a recursive CTE.
+    "q_neardup_clusters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
+        regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
+          .as("text"))
+      NearDup.clusters(NearDup.minhashPairs(d.unionAll(mutated), "text",
+        "doc_id", threshold = 0.5)).orderBy("id")
+    }),
+
     // SimHash: planted near-dup pairs differ in few bits. Uses the 56-bit
     // md5-token-hash variant so the signature itself is value-checkable by
     // an external SQL engine (the 64-bit xxhash64 default is not).
@@ -711,6 +726,29 @@ object SparkEntry {
   private val normTextSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+
+  /** The exact minhash-pair ground truth shared by q_neardup_minhash and
+    * q_neardup_clusters: planted last-word-dropped mutations, word-3-gram
+    * shingles, all-pairs exact Jaccard thresholded at 0.5. Ends at the
+    * `mh` CTE (id_a, id_b, j). */
+  private lazy val minhashPairCtes =
+    s"""u AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    regexp_replace($normTextSql, '\\s+\\S+$$', '') AS text
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+       |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM u)
+       |  WHERE len(toks) >= 3),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(a.grams, b.grams))) AS j
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
+       |mh AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.5)""".stripMargin
 
   /** The levSim correction-map rebuild shared VERBATIM by
     * q_spell_corrections and q_typofix_spell_lev — one definition so the
@@ -912,24 +950,23 @@ object SparkEntry {
     // this corpus (verified: 600/600 pairs at sf0.01) and the exact-Jaccard
     // verification step makes precision exact by construction.
     "q_neardup_minhash" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 1000000,
-         |    regexp_replace($normTextSql, '\\s+\\S+$$', '') AS text
-         |  FROM documents),
-         |t AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(toks) - 1),
-         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
-         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM u)
-         |  WHERE len(toks) >= 3),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-         |      / len(list_distinct(list_concat(a.grams, b.grams))) AS j
-         |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b, round(j, 6) AS jaccard FROM mh
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // The same exact pair ground truth, closed transitively with a
+    // recursive CTE — every paired id maps to the smallest id reachable
+    // through the pair graph, the cluster representative a dedup keeps.
+    "q_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mh
+         |  UNION SELECT id_b, id_a FROM mh),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     // Full value-level simhash recompute: md5-hex -> 56-bit token hash via
     // base-16 fold, per-bit ±1 vote sums, bit_or reassembly — identical

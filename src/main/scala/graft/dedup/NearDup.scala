@@ -232,6 +232,65 @@ object NearDup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over a near-dup pair list — the resolution step
+    * between "similar pairs" and "which copies to drop": every paired id
+    * maps to the SMALLEST id reachable through the pair graph (the
+    * canonical representative a dedup keeps; survivors = rows where
+    * `id == cluster`, joined back to the corpus). Transitivity matters:
+    * pairs (a,b),(b,c) must land a, b, c in ONE cluster even when (a,c)
+    * itself scored under the threshold.
+    *
+    * Iterative min-label propagation: each round is one key-join +
+    * aggregate over the (persisted) edge list — no driver-side graph.
+    * Rounds = longest min-label path; near-dup components are shallow
+    * (copies of one source document), so convergence is a handful of
+    * rounds, capped at `maxIters` (adversarial long chains would need a
+    * path-doubling variant — large-star/small-star — before the cap
+    * binds). Convergence is detected by the label sum (labels only
+    * decrease; decimal sum cannot overflow), one tiny aggregate per
+    * round. Output is one row per id that appears in a pair; it is left
+    * persisted for the caller's downstream joins. */
+  def clusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).cast(LongType).as("src"),
+      col(bCol).cast(LongType).as("dst"))
+    val und = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
+        .head().getDecimal(0)
+    // initial label = least(self, min neighbor): the first propagation
+    // round fused into a single groupBy over the edge list — shallow
+    // (diameter-1) components are already converged here, so the loop
+    // below runs exactly one confirming round for them
+    var labels = und.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("cluster"))
+      .withColumnRenamed("src", "id").persist()
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src").agg(min("cluster").as("nmin"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cluster"))
+        .persist()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+
   /** SimHash over whitespace tokens: bit b is set when the sum of ±1 votes
     * (token hash bit b) is positive. Near-dups differ in few bits (compare
     * with Hamming distance via bit_count(a ^ b)).

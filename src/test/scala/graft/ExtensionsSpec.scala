@@ -57,6 +57,18 @@ class ExtensionsSpec extends SparkSpec {
     assert((0 until 30).forall(i => pairs.contains((i.toLong, i + 1000L))))
   }
 
+  test("near-dup clusters close transitively to the smallest id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = NearDup.clusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // a chain needing multiple propagation rounds: 5-6, 6-7, 7-8 → all 5
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    val c = NearDup.clusters(chain).collect().map(_.getLong(1)).toSet
+    assert(c == Set(5L))
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq((1L,
       "one two three four five six seven eight nine ten eleven twelve")).toDF("id", "t")
