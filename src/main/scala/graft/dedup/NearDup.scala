@@ -254,9 +254,11 @@ object NearDup {
       bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).cast(LongType).as("src"),
       col(bCol).cast(LongType).as("dst"))
+    // no distinct: duplicate edges cannot change a min aggregate, so the
+    // dedup shuffle would be pure cost
     val und = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .persist()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
         .head().getDecimal(0)
