@@ -554,6 +554,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // §7.6 deterministic stratified sampling (corpus mixing): per-lang
+    // keep rates via a salted-md5 threshold — partitioning-independent,
+    // monotone in rate, reproducible by any engine with md5. Thresholds
+    // are %08x(rate * 2^32): 0.5 -> 80000000, 0.25 -> 40000000,
+    // 0.1 -> 19999999 (mirrored in the oracle CASE).
+    "q_sample_stratified" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.stratifiedSample(d, "lang", "doc_id",
+        Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -953,6 +965,14 @@ object SparkEntry {
       s"""WITH $minhashPairCtes
          |SELECT id_a, id_b, round(j, 6) AS jaccard FROM mh
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN lang = 'en' THEN '80000000'
+        |       WHEN lang = 'fr' THEN '40000000'
+        |       ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
 
     // The same exact pair ground truth, closed transitively with a
     // recursive CTE — every paired id maps to the smallest id reachable

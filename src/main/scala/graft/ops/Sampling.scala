@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic stratified sampling — the corpus-mixing primitive of a
+  * training-data pipeline (down-weight one language / domain / source,
+  * keep another whole) that `df.sample` cannot provide: its RNG draw is
+  * per-partition-seeded, so the KEPT SET changes whenever partitioning
+  * does, and it cannot vary the rate by stratum.
+  *
+  * A row survives iff the first 8 hex chars of `md5(salt ':' id)` sort
+  * below its stratum's threshold — fixed-width lowercase hex compares
+  * lexicographically as a 32-bit number, so the threshold string
+  * `%08x(rate · 2³²)` admits exactly a `rate` fraction of the uniform
+  * hash space. Properties a per-row uniform draw cannot give:
+  *
+  *  - deterministic: the same (salt, id) always decides the same way,
+  *    independent of partitioning, cluster size, or execution order —
+  *    reruns and incremental loads agree on the kept set;
+  *  - monotone: raising a rate only ADDS rows (sample(0.2) ⊆
+  *    sample(0.5) under one salt) — growing a data mix keeps every row
+  *    already trained on;
+  *  - independent per salt: a new salt is a fresh draw.
+  *
+  * Pure codegen'd projection + filter — no shuffle, no RNG state, no
+  * UDF; thresholds are literals resolved at plan build.
+  */
+object Sampling {
+
+  private def thresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g" // every hex digit sorts below 'g': keep all
+    else if (rate <= 0.0) "0" // prefix of every hash: keep none
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** The surviving-row predicate: stratum-dependent literal threshold
+    * compared against the salted id hash. */
+  def keep(strataCol: Column, idCol: Column, rates: Map[String, Double],
+      defaultRate: Double, salt: String): Column = {
+    val frac = substring(
+      md5(concat_ws(":", lit(salt), idCol.cast(StringType))), 1, 8)
+    val thr = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (k, v)) =>
+        when(strataCol === lit(k), lit(thresholdHex(v))).otherwise(acc)
+    }
+    frac < thr
+  }
+
+  /** Filter `df` to its deterministic stratified sample. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame =
+    df.where(keep(col(strataCol), col(idCol), rates, defaultRate, salt))
+}

@@ -57,6 +57,26 @@ class ExtensionsSpec extends SparkSpec {
     assert((0 until 30).forall(i => pairs.contains((i.toLong, i + 1000L))))
   }
 
+  test("stratified sample is deterministic, rate-scaled, monotone") {
+    import graft.ops.Sampling
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr")).toDF("id", "lang")
+    def ids(rates: Map[String, Double]) =
+      Sampling.stratifiedSample(df, "lang", "id", rates)
+        .collect().map(_.getLong(0)).toSet
+    val s1 = ids(Map("en" -> 0.5, "fr" -> 0.1))
+    assert(s1 == ids(Map("en" -> 0.5, "fr" -> 0.1))) // deterministic
+    val en = s1.count(_ % 2 == 0) // ~0.5 of 1000
+    val fr = s1.count(_ % 2 == 1) // ~0.1 of 1000
+    assert(en > 420 && en < 580, s"en kept $en of 1000 at rate 0.5")
+    assert(fr > 60 && fr < 140, s"fr kept $fr of 1000 at rate 0.1")
+    // raising rates only ADDS rows (same salt ⇒ nested thresholds)
+    assert(s1.subsetOf(ids(Map("en" -> 0.8, "fr" -> 0.5))))
+    // rate 1.0 keeps everything, 0.0 nothing
+    assert(ids(Map("en" -> 1.0, "fr" -> 1.0)).size == 2000)
+    assert(ids(Map("en" -> 0.0, "fr" -> 0.0)).isEmpty)
+  }
+
   test("near-dup clusters close transitively to the smallest id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = NearDup.clusters(pairs).orderBy("id").collect()
