@@ -30,17 +30,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // The stdout line alone outgrew the driver's capture buffer (r3: 5 of
-    // 64 query rows truncated, "parsed": null) — also persist the full
-    // JSON to a file so every row stays machine-readable.
+    // The driver keeps only the LAST 2000 chars of stdout (measured from
+    // BENCH_r06.json "tail": exactly 2000, JSON truncated from the front,
+    // "parsed": null). Millisecond precision keeps the full 67-query line
+    // ≈1.5k chars — inside the window even with sbt's trailing [success]
+    // line — so the driver can finally parse it. Full precision still goes
+    // to the results file below.
+    def js(v: Double, prec: Int): String = {
+      val bd = new java.math.BigDecimal(v)
+        .setScale(prec, java.math.RoundingMode.HALF_UP)
+      bd.stripTrailingZeros.toPlainString
+    }
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + js(v, prec) }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      s"""{"metric":"total","value":${js(total, prec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    println(line(3))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line(9))
     catch { case e: Throwable =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }

@@ -247,6 +247,9 @@ object NearDup {
   private def verifyUdf(numHashes: Int, threshold: Double) =
     udf { (sigA: Seq[Long], sigB: Seq[Long],
            shA: Seq[Long], shB: Seq[Long]) =>
+      require(sigA.length >= numHashes && sigB.length >= numHashes,
+        s"signature shorter than numHashes=$numHashes: " +
+          s"${sigA.length}/${sigB.length}")
       var agree = 0
       var i = 0
       while (i < numHashes) { if (sigA(i) == sigB(i)) agree += 1; i += 1 }
@@ -289,12 +292,21 @@ object NearDup {
     * persisted for the caller's downstream joins. */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).cast(LongType).as("src"),
-      col(bCol).cast(LongType).as("dst"))
-    // no distinct: duplicate edges cannot change a min aggregate, so the
-    // dedup shuffle would be pure cost
-    val und = edges.union(
-        edges.select(col("dst").as("src"), col("src").as("dst")))
+    // Undirected edge list in ONE scan of `pairs`: a union of the forward
+    // and reversed projections would execute the caller's (possibly
+    // expensive, possibly un-cached) pair pipeline once per branch before
+    // the persist materializes — with minhashPairs upstream that re-runs
+    // the whole LSH bucket join + verify twice. explode doubles rows
+    // inside the same scan instead.
+    // No distinct: duplicate edges cannot change a min aggregate, so the
+    // dedup shuffle would be pure cost.
+    val und = pairs
+      .select(explode(array(
+        struct(col(aCol).cast(LongType).as("src"),
+          col(bCol).cast(LongType).as("dst")),
+        struct(col(bCol).cast(LongType).as("src"),
+          col(aCol).cast(LongType).as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist()
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))

@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.dedup.NearDup
 
-// Throwaway profiling probe — not part of the library surface.
+// Throwaway profiling probe — test scope only, never ships in the library
+// artifact. Run with: sbt "Test/runMain graft.ProbeMain".
+// Stage timings use queryExecution.toRdd.count() — a plain count() lets
+// Catalyst prune the very projections being measured.
 object ProbeMain {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
@@ -39,39 +42,25 @@ object ProbeMain {
       s
     }
     time("ophSignatures cached pass") {
-      println(s"[probe]   sig rows = ${s"ignore".length + sigDf.queryExecution.toRdd.count()}")
-    }
-    val r = 4
-    val buckets = sigDf.select(col("__id"),
-      explode(array((0 until 16).map(b =>
-        struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
-        .as("__bucket"))
-    val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"))
-    val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"))
-    val pairs = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    time("band join + distinct") {
-      println(s"[probe]   candidate pairs = ${pairs.queryExecution.toRdd.count()}")
-    }
-    val pairsCached = pairs.cache()
-    time("pairs materialize cache") {
-      println(s"[probe]   pairs = ${pairsCached.queryExecution.toRdd.count()}")
-    }
-    val withSig = pairsCached
-      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
-        col("__sh").as("sh_a")), "id_a")
-      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
-        col("__sh").as("sh_b")), "id_b")
-    time("verify joins (cached pairs)") {
-      println(s"[probe]   joined = ${withSig.queryExecution.toRdd.count()}")
+      println(s"[probe]   sig rows = ${sigDf.queryExecution.toRdd.count()}")
     }
     val full = time("full minhashPairs") {
       val p = NearDup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
+        .cache()
       println(s"[probe]   pairs = ${p.queryExecution.toRdd.count()}")
       p
     }
+    // pairs are cached above, so this really is propagation-only cost
     time("clusters (propagation only)") {
       val c = NearDup.clusters(full)
+      println(s"[probe]   labels = ${c.queryExecution.toRdd.count()}")
+    }
+    // CacheManager matches canonicalized plans — the rebuilt pipeline would
+    // silently reuse the caches above unless they are dropped first
+    spark.catalog.clearCache()
+    time("clusters end-to-end (uncached)") {
+      val p = NearDup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
+      val c = NearDup.clusters(p)
       println(s"[probe]   labels = ${c.queryExecution.toRdd.count()}")
     }
     spark.stop()
