@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the tail of sbt stdout.
+// Default LoggedOutput prefixes every forked-process line with "[info] ",
+// which breaks json.loads on that line; StdoutOutput passes the child's
+// stdout through verbatim. showSuccess=false drops sbt's trailing
+// "[success] Total time..." line so the JSON can be the final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

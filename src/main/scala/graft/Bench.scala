@@ -30,12 +30,15 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // The driver keeps only the LAST 2000 chars of stdout (measured from
-    // BENCH_r06.json "tail": exactly 2000, JSON truncated from the front,
-    // "parsed": null). Millisecond precision keeps the full 67-query line
-    // ≈1.5k chars — inside the window even with sbt's trailing [success]
-    // line — so the driver can finally parse it. Full precision still goes
-    // to the results file below.
+    // The driver keeps only the LAST 2000 chars of stdout and json-parses
+    // the tail. Two past failure modes, both fixed: (r6) full-precision
+    // line overflowed the 2000-char window — ms precision keeps the
+    // 67-query line ≈1.5k chars; (r7) sbt's LoggedOutput prefixed the line
+    // with "[info] " and appended a "[success]" line — build.sbt now uses
+    // StdoutOutput + showSuccess=false, and the JSON is printed AFTER
+    // spark.stop() at ERROR log level so no shutdown chatter can land
+    // after it even in a merged stdout+stderr capture. Full precision
+    // still goes to the results file below.
     def js(v: Double, prec: Int): String = {
       val bd = new java.math.BigDecimal(v)
         .setScale(prec, java.math.RoundingMode.HALF_UP)
@@ -44,15 +47,24 @@ object Bench {
     def line(prec: Int): String = {
       val qs = results.map { case (k, v) => s"\"" + k + "\":" + js(v, prec) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // Sum the ROUNDED per-query values so consumers that re-sum the
+      // "queries" map reproduce "value" exactly (ADVICE r7).
+      val total = results.values
+        .map(v => BigDecimal(js(v, prec))).sum.toDouble
       s"""{"metric":"total","value":${js(total, prec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     }
-    println(line(3))
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line(9))
     catch { case e: Throwable =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
+    val out = line(3)
+    if (out.length > 1800)
+      System.err.println(s"[bench] WARNING stdout line ${out.length} chars " +
+        "approaches the driver's 2000-char tail window; drop precision or " +
+        "shorten query names")
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(out)
   }
 }
