@@ -670,6 +670,16 @@ object SparkEntry {
       Events.sessionize(Events.load(s, dir))
         .orderBy("user_id", "session_id")),
 
+    // batch twin of the streaming ingest-dedup (Dedup.streamingExact):
+    // first event per (user, type) in event-time order. ts emitted as
+    // epoch micros so both engines compare the identical integer.
+    "q_dedup_stream_twin" -> ((s, dir) =>
+      graft.ops.Dedup.streamTwinExact(Events.load(s, dir), "ts",
+        Seq("user_id", "event_type"), "event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("user_id", "event_type")),
+
     // multimodal: binary content + byte-level features (decode is stubbed)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asMedia(
@@ -1108,6 +1118,13 @@ object SparkEntry {
         | round(max(tsec) - min(tsec), 6) AS duration_sec
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_dedup_stream_twin" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -203,8 +203,20 @@ object NearDup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
-    val sigDf = ophSignatures(df, textCol, idCol, numHashes, k)
-      .select("__id", "__sig", "__sh").cache()
+    val sigAll = ophSignatures(df, textCol, idCol, numHashes, k)
+    // Memory holds ONLY (id, signature) — the hot store the banding pass
+    // and the prefilter join read repeatedly. The per-doc gram-hash SETS
+    // (~50+ longs/doc, the dominant payload) go to DISK: they are touched
+    // exactly once, by the survivor verify join, and pinning an O(corpus)
+    // array store in executor memory for the session would be the one
+    // scale-killer in this pipeline (same staging as [[embeddingPairs]],
+    // which caches 16 B/row and re-derives vectors for survivors).
+    // DISK_ONLY persist (not recompute-from-source) because re-deriving
+    // grams means re-tokenizing + re-hashing the full text corpus once per
+    // join branch — the stored sets are ~5× smaller than the text.
+    val sigDf = sigAll.select("__id", "__sig").cache()
+    val shDf = sigAll.select("__id", "__sh")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val buckets = sigDf.select(col("__id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
@@ -214,61 +226,66 @@ object NearDup {
     // a pair can collide in many bands — dedup BEFORE any similarity work
     val pairs = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // Fused verification: signature-agreement prefilter + exact Jaccard in
-    // ONE primitive pass per candidate. The prefilter (64 long compares,
-    // estimator std at 64 samples ≈ 0.06, 0.15 margin keeps true borderline
-    // pairs) prunes the candidate mass before the set intersection; the
-    // intersection is a merge over the two SORTED gram-hash arrays
+    // Signature-agreement prefilter (64 long compares, estimator std at 64
+    // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
+    // candidate mass using only the memory-cached signatures; only the
+    // survivors pay the disk read for their gram sets.
+    val survivors = pairs
+      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .where(prefilterUdf(numHashes, threshold)(col("sig_a"), col("sig_b")))
+      .select("id_a", "id_b")
+    // Exact verification: a merge over the two SORTED gram-hash arrays
     // (ophSignatures emits TreeSet order), O(|A|+|B|) with no allocation.
-    // A zip_with/aggregate formulation of the same prefilter ran
-    // INTERPRETED (per-element InternalRow wrapping) and array_intersect/
-    // array_union materialize hash sets per pair — measured ~2× slower on
-    // the sf0.1 candidate mass than this fused UDF.
-    val withSig = pairs
-      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
-        col("__sh").as("sh_a")), "id_a")
-      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
-        col("__sh").as("sh_b")), "id_b")
-    val verify = verifyUdf(numHashes, threshold)
-    withSig
+    // A zip_with/aggregate formulation of the prefilter ran INTERPRETED
+    // (per-element InternalRow wrapping) and array_intersect/array_union
+    // materialize hash sets per pair — measured ~2× slower on the sf0.1
+    // candidate mass than these primitive-loop UDFs.
+    survivors
+      .join(shDf.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(shDf.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        verify(col("sig_a"), col("sig_b"), col("sh_a"), col("sh_b"))
-          .as("jaccard"))
+        exactJaccardUdf(threshold)(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard").isNotNull)
   }
 
-  /** Candidate verification for [[minhashPairs]]: returns the exact
-    * Jaccard when the pair passes both the signature-agreement prefilter
-    * (`est ≥ threshold − 0.15`) and the exact test (`J ≥ threshold`),
-    * else null. Both gram-hash arrays MUST be sorted ascending (signed),
-    * which [[ophSignatures]] guarantees. Semantics are identical to the
-    * previous est-filter → array_intersect/array_union formulation:
-    * sets are distinct, so |A∪B| = |A|+|B|−|A∩B|. */
-  private def verifyUdf(numHashes: Int, threshold: Double) =
-    udf { (sigA: Seq[Long], sigB: Seq[Long],
-           shA: Seq[Long], shB: Seq[Long]) =>
-      require(sigA.length >= numHashes && sigB.length >= numHashes,
-        s"signature shorter than numHashes=$numHashes: " +
-          s"${sigA.length}/${sigB.length}")
+  /** Signature-agreement prefilter for [[minhashPairs]]: true when the
+    * estimated Jaccard (fraction of agreeing signature positions) is at
+    * least `threshold − 0.15`. Fails loudly (with the formatted message,
+    * including the null case) on malformed signatures — an internal
+    * invariant, not data-dependent. */
+  private def prefilterUdf(numHashes: Int, threshold: Double) =
+    udf { (sigA: Seq[Long], sigB: Seq[Long]) =>
+      require(sigA != null && sigB != null &&
+        sigA.length >= numHashes && sigB.length >= numHashes,
+        s"signature null or shorter than numHashes=$numHashes: " +
+          s"${if (sigA == null) "null" else sigA.length.toString}/" +
+          s"${if (sigB == null) "null" else sigB.length.toString}")
       var agree = 0
       var i = 0
       while (i < numHashes) { if (sigA(i) == sigB(i)) agree += 1; i += 1 }
-      if (agree.toDouble / numHashes < threshold - 0.15) None
+      agree.toDouble / numHashes >= threshold - 0.15
+    }
+
+  /** Exact Jaccard for [[minhashPairs]] survivors: the merge-intersection
+    * of two SORTED (signed ascending) distinct gram-hash arrays, which
+    * [[ophSignatures]] guarantees. Returns the Jaccard when ≥ threshold,
+    * else null. Sets are distinct, so |A∪B| = |A|+|B|−|A∩B|. */
+  private def exactJaccardUdf(threshold: Double) =
+    udf { (shA: Seq[Long], shB: Seq[Long]) =>
+      var a = 0; var b = 0; var inter = 0
+      val la = shA.length; val lb = shB.length
+      while (a < la && b < lb) {
+        val x = shA(a); val y = shB(b)
+        if (x == y) { inter += 1; a += 1; b += 1 }
+        else if (x < y) a += 1
+        else b += 1
+      }
+      val union = la + lb - inter
+      if (union == 0) None
       else {
-        var a = 0; var b = 0; var inter = 0
-        val la = shA.length; val lb = shB.length
-        while (a < la && b < lb) {
-          val x = shA(a); val y = shB(b)
-          if (x == y) { inter += 1; a += 1; b += 1 }
-          else if (x < y) a += 1
-          else b += 1
-        }
-        val union = la + lb - inter
-        if (union == 0) None
-        else {
-          val j = inter.toDouble / union
-          if (j >= threshold) Some(j) else None
-        }
+        val j = inter.toDouble / union
+        if (j >= threshold) Some(j) else None
       }
     }
 

@@ -1,8 +1,23 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 object Dedup {
+  /** Batch twin of [[streamingExact]]: replaying the stream in event-time
+    * order (no late data), the survivor per key is the EARLIEST row by
+    * (tsCol, tieBreak) — a keyed row_number window, one hash shuffle on
+    * the dedup key. This is the oracle-checkable form of the ingest-time
+    * dedup semantics; ExtensionsSpec pins the equivalence by feeding the
+    * same rows through [[streamingExact]] in event-time arrival order. */
+  def streamTwinExact(df: DataFrame, tsCol: String, keys: Seq[String],
+      tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
   /** Structured Streaming twin of exact dedup for a continuously
     * ingested corpus: duplicates are dropped ACROSS micro-batches with
     * BOUNDED state — a key's state lives only until the event-time

@@ -260,4 +260,32 @@ class ExtensionsSpec extends SparkSpec {
     q.stop()
     assert(rows.map(_.getString(2)).sorted.toSeq == Seq("aa", "bb", "cc"))
   }
+
+  test("streamTwinExact matches streamingExact under event-time arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // duplicates spread across keys; id is the tie-break for equal ts
+    val data = Seq(
+      (ts(0), 1L, "aa"), (ts(1), 2L, "bb"), (ts(2), 3L, "aa"),
+      (ts(3), 4L, "cc"), (ts(3), 5L, "bb"), (ts(6), 6L, "aa"))
+    val stream = mem.toDF.toDF("ts", "doc_id", "text")
+    val q = graft.ops.Dedup.streamingExact(stream, "ts", "30 minutes",
+        Seq("text"))
+      .writeStream.format("memory").queryName("stream_twin_test")
+      .outputMode("append").start()
+    // one micro-batch per row = arrival order IS event-time order, the
+    // regime the batch twin models
+    data.foreach { r => mem.addData(r); q.processAllAvailable() }
+    val streamed = spark.table("stream_twin_test")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    q.stop()
+    val twin = graft.ops.Dedup.streamTwinExact(
+        data.toDF("ts", "doc_id", "text"), "ts", Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twin == Seq(1L, 2L, 4L))
+    assert(streamed == twin)
+  }
 }
