@@ -22,49 +22,157 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .groupBy("n_regionkey").agg(count("*")).collect()
     } catch { case _: Throwable => () }
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // Previous run's per-query seconds (from the full-precision results
+    // file, if one survives from a prior round): the reference for the
+    // contention re-time below. We wrote the file, so a targeted regex is
+    // a safe parse; only q_-prefixed keys can match a query name.
+    val prev: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outFile))
+        // only comparable when the previous run used the same sf dir
+        val sameSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sameSf) Map.empty
+        else "\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg()
+
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
     // Optional query-name filter for isolating one query's cost
     // (full-suite runs share JVM warmup across queries; single-query
     // numbers still include some first-query residue).
     val results = SparkEntry.selectedQueries().map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val before = graft.util.CacheHygiene.snapshot(spark)
+      val t = timeOne(fn)
+      // release result caches the pair operators hand back (contract:
+      // caller unpersists) — outside the timed region, it's harness
+      // bookkeeping, and it keeps query N's storage out of query N+1.
+      graft.util.CacheHygiene.releaseNew(spark, before)
+      name -> t
     }
+    // Contention self-diagnosis (four rounds of driver benches have had
+    // single-query rows poisoned by sandbox load): any query ≥3× its
+    // previous-round time AND over a second is re-timed once; both values
+    // go in the results file so a contended first run is machine-
+    // detectable instead of a phantom regression.
+    val retimed: Map[String, (Double, Double)] = results.flatMap {
+      case (name, t) => prev.get(name) match {
+        case Some(p) if p > 0 && t > 1.0 && t > 3 * p =>
+          val before = graft.util.CacheHygiene.snapshot(spark)
+          val t2 = timeOne(SparkEntry.queries(name))
+          graft.util.CacheHygiene.releaseNew(spark, before)
+          Some(name -> (t, t2))
+        case _ => None
+      }
+    }
+    val loadAfter = loadAvg()
+    val rddsLeft = graft.util.CacheHygiene.persistedCount(spark)
+
     // The driver keeps only the LAST 2000 chars of stdout and json-parses
-    // the tail. Two past failure modes, both fixed: (r6) full-precision
-    // line overflowed the 2000-char window — ms precision keeps the
-    // 67-query line ≈1.5k chars; (r7) sbt's LoggedOutput prefixed the line
-    // with "[info] " and appended a "[success]" line — build.sbt now uses
-    // StdoutOutput + showSuccess=false, and the JSON is printed AFTER
-    // spark.stop() at ERROR log level so no shutdown chatter can land
-    // after it even in a merged stdout+stderr capture. Full precision
-    // still goes to the results file below.
+    // the tail. Past failure modes, all fixed: (r6) full-precision line
+    // overflowed the window; (r7) sbt log prefixes (build.sbt now uses
+    // StdoutOutput + showSuccess=false, JSON printed after spark.stop()
+    // at ERROR level); (r8) ms precision + q_ prefixes left only 132
+    // chars of headroom. The stdout encoding is now structural: q_
+    // prefix stripped, 2-decimal precision, and an automatic precision/
+    // content fallback ladder below — the full-precision, full-name map
+    // always goes to the results file.
     def js(v: Double, prec: Int): String = {
       val bd = new java.math.BigDecimal(v)
         .setScale(prec, java.math.RoundingMode.HALF_UP)
       bd.stripTrailingZeros.toPlainString
     }
-    def line(prec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + js(v, prec) }
-        .mkString("{", ",", "}")
+    // Decode table for the stdout map's abbreviated keys (stdout only —
+    // the results file carries FULL names at full precision, in the SAME
+    // order, so entries also correspond positionally). Measured on the r8
+    // timings: full q_ names at ms precision = 1868 chars; stripped +
+    // 2-decimal = 1682; abbreviated = ~1230 — headroom for ~20 more
+    // queries inside the judge's 1500-char bar.
+    val abbrev = Map(
+      "missing" -> "mis", "normalize" -> "nrm", "outlier" -> "out",
+      "typofix" -> "tf", "encode" -> "enc", "textclean" -> "tcl",
+      "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "thr",
+      "columns" -> "cols", "events" -> "ev", "dedup" -> "dd",
+      "typeconvert" -> "tcv", "roundtrip" -> "rt", "fingerprint" -> "fp",
+      "sessionize" -> "sess", "categorical" -> "cat", "summary" -> "sum",
+      "corrections" -> "corr", "stratified" -> "strat", "features" -> "feat",
+      "remove" -> "rm", "median" -> "med", "scaling" -> "scal",
+      "sample" -> "smp", "quality" -> "qual", "pipeline" -> "pipe",
+      "datetime" -> "dt", "cosine" -> "cos", "jaccard" -> "jac",
+      "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
+      "profile" -> "prof", "common" -> "com", "fuzzy" -> "fz",
+      "spell" -> "sp", "stream" -> "st", "window" -> "win",
+      "standard" -> "std", "robust" -> "rob", "iforest" -> "if",
+      "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
+      "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
+      "special" -> "spc")
+    def shortKey(k: String): String =
+      k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))
+        .mkString("_")
+    // two future queries must never abbreviate onto the same key — on
+    // collision fall back to the un-abbreviated stripped names (longer
+    // but unambiguous; the precision fallback ladder still bounds length)
+    val shortKeys: Map[String, String] = {
+      val m = results.keys.map(k => k -> shortKey(k)).toMap
+      if (m.values.toSet.size == m.size) m
+      else results.keys.map(k => k -> k.stripPrefix("q_")).toMap
+    }
+    def line(prec: Int, strip: Boolean, withQueries: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (strip) shortKeys(k) else k
+        s"\"" + key + "\":" + js(v, prec)
+      }.mkString("{", ",", "}")
       // Sum the ROUNDED per-query values so consumers that re-sum the
       // "queries" map reproduce "value" exactly (ADVICE r7).
       val total = results.values
         .map(v => BigDecimal(js(v, prec))).sum.toDouble
-      s"""{"metric":"total","value":${js(total, prec)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val q = if (withQueries) s""","queries":$qs""" else ""
+      s"""{"metric":"total","value":${js(total, prec)},"unit":"sec"$q,""" +
+        s""""load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],"sf":"$sfDir"}"""
     }
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line(9))
+    val fileJson = {
+      val qs = results.map { case (k, v) => s"\"$k\":${js(v, 9)}" }
+        .mkString("{", ",", "}")
+      val total = results.values.map(v => BigDecimal(js(v, 9))).sum.toDouble
+      val rt = retimed.map { case (k, (a, b)) =>
+        s"\"$k\":[${js(a, 9)},${js(b, 9)}]" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${js(total, 9)},"unit":"sec","queries":$qs,""" +
+        s""""retimed":$rt,"load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],""" +
+        s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
-    val out = line(3)
-    if (out.length > 1800)
-      System.err.println(s"[bench] WARNING stdout line ${out.length} chars " +
-        "approaches the driver's 2000-char tail window; drop precision or " +
-        "shorten query names")
+    // Fallback ladder: 2-decimal stripped (normal, ~1.5k chars headroom) →
+    // 1-decimal → no queries map at all. The line can no longer outgrow
+    // the driver's tail window however many queries are added.
+    val out = {
+      val l2 = line(2, strip = true, withQueries = true)
+      if (l2.length <= 1500) l2
+      else {
+        val l1 = line(1, strip = true, withQueries = true)
+        if (l1.length <= 1800) l1 else line(2, strip = true, withQueries = false)
+      }
+    }
     spark.sparkContext.setLogLevel("ERROR")
-    spark.stop()
+    // stop() failures (shutdown races) must not eat the driver-parseable
+    // line — the benchmark itself already completed (ADVICE r8).
+    try spark.stop()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] spark.stop failed: ${e.getMessage}")
+    }
     println(out)
   }
 }

