@@ -355,13 +355,17 @@ object NearDup {
     // Lineage truncation: every round references the previous labels
     // frame THREE times (self, neighbor-min, parent lookup), so the
     // LOGICAL plan grows 3^rounds even though the data is persisted —
-    // plan-string rendering alone OOMs past ~6 rounds. Rebasing each
-    // round's result on its materialized RDD keeps the plan O(1) per
-    // round; the persisted handle is kept separately for unpersisting.
-    // (On a real cluster with executor loss, `checkpoint()` to reliable
-    // storage every few rounds is the durable variant of this.)
+    // plan-string rendering alone OOMs past ~6 rounds. Rebasing on the
+    // materialized RDD resets the plan, but the Row round-trip
+    // de-optimizes the next round's input, so it runs every FOURTH round
+    // only: growth is bounded at 3⁴ ≈ 81 small nodes per segment, and
+    // the common shallow near-dup component (1 round + 1 confirm) pays
+    // no conversion at all. (On a real cluster with executor loss,
+    // `checkpoint()` to reliable storage at the same cadence is the
+    // durable variant of this.)
     def truncated(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema)
+    val truncateEvery = 4
     // initial label = least(self, min neighbor): the first propagation
     // round fused into a single groupBy over the edge list — shallow
     // (diameter-1) components are already converged here, so the loop
@@ -369,7 +373,7 @@ object NearDup {
     var persisted = und.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .withColumnRenamed("src", "id").persist()
-    var labels = truncated(persisted)
+    var labels: DataFrame = persisted
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -393,7 +397,8 @@ object NearDup {
             coalesce(col("__pc"), col("cluster")))
             .as("cluster"))
         .persist()
-      val next = truncated(nextPersisted)
+      val next = if ((iter + 1) % truncateEvery == 0) truncated(nextPersisted)
+                 else nextPersisted
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
