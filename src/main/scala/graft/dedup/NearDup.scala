@@ -348,9 +348,13 @@ object NearDup {
           col(aCol).cast(LongType).as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .persist()
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
+    // sum() over zero rows is null — an empty pair list (a corpus with no
+    // near-dups) must read as already-converged, not NPE in compareTo
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val s = l.agg(sum(col("cluster").cast(DecimalType(38, 0))).as("s"))
         .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     val spark = pairs.sparkSession
     // Lineage truncation: every round references the previous labels
     // frame THREE times (self, neighbor-min, parent lookup), so the

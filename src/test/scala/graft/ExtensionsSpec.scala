@@ -106,6 +106,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("clusters and minhash are safe on empty input") {
+    // a corpus with no near-dup pairs is a normal outcome, not an error
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(NearDup.clusters(noPairs).count() == 0)
+    // docs all shorter than the gram width produce no signatures
+    val tiny = Seq((1L, "one two"), (2L, "three")).toDF("id", "t")
+    assert(NearDup.minhashPairs(tiny, "t", "id", k = 3).count() == 0)
+  }
+
   test("pair operators release intermediates; caller releases the result") {
     val before = graft.util.CacheHygiene.snapshot(spark)
     val base = (0 until 20).map(i =>
