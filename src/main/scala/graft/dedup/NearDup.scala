@@ -480,8 +480,11 @@ object NearDup {
     // vectors too would pin a full copy of the embedding column in
     // executor storage for the life of the session. The vector join-back
     // for survivors re-derives from the source (one extra pruned scan).
-    val vecDf = df.select(col(idCol).as("__id"),
-      toDoubleArr(col(vecCol)).as("__v"))
+    // rows without a vector cannot be scored — dropped, not errored (a
+    // single null embedding would NPE the signature kernel and kill the
+    // job; dirty rows are the norm at corpus scale)
+    val vecDf = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__v"))
     val sigDf = vecDf
       .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
       .select("__id", "__sig")

@@ -24,6 +24,13 @@ object Similarity {
 
   def toDoubleArr(a: Column): Column = transform(a, _.cast(DoubleType))
 
+  /** Rows whose vector is present. A single null embedding — dirty data
+    * is the norm at corpus scale — would otherwise NPE the
+    * signature/cosine kernels and kill the whole job; a row without a
+    * vector cannot be scored, so it is dropped, not errored. */
+  private def withVec(df: DataFrame, vecCol: String): DataFrame =
+    df.where(col(vecCol).isNotNull)
+
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
     val na = sqrt(dot(a, a)); val nb = sqrt(dot(b, b))
@@ -64,10 +71,10 @@ object Similarity {
     // norms hoisted to per-ROW projections before the join — inlining
     // cosine() would recompute both norms once per PAIR. Same arithmetic
     // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
-    val c = corpus.select(col(idCol).as("c_id"),
+    val c = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = withVec(queries, vecCol).select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val scored = c.crossJoin(broadcast(q))
@@ -137,11 +144,11 @@ object Similarity {
     val r = planes / bands
     // band key = (band index, the band's bits of the signature)
     val sig = signatureUdf(dim, planes)
-    val cSig = corpus.select(col(idCol).as("c_id"),
+    val cSig = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
       toDoubleArr(col(vecCol)).as("c_vec"))
       .withColumn("__sig", sig(col("c_vec")))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val qSig = queries.select(col(idCol).as("query_id"),
+    val qSig = withVec(queries, vecCol).select(col(idCol).as("query_id"),
       toDoubleArr(col(vecCol)).as("q_vec"))
       .withColumn("__sig", sig(col("q_vec")))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
@@ -248,7 +255,7 @@ object Similarity {
     // distributed fit (e.g. MLlib KMeans) buys nothing here and costs
     // several extra jobs per build.
     val sample: Array[Array[Double]] =
-      corpus.select(toDoubleArr(col(vecCol)).as("__v"),
+      withVec(corpus, vecCol).select(toDoubleArr(col(vecCol)).as("__v"),
           xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
         .orderBy(col("__h"), col("__id"))
         .limit(math.max(nlist * 256, 4096))
@@ -270,11 +277,11 @@ object Similarity {
         .sortBy(i => dist2(v, bc.value(i)))
         .take(math.min(nprobe, bc.value.length))
     }
-    val c = corpus.select(col(idCol).as("c_id"),
+    val c = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
         toDoubleArr(col(vecCol)).as("c_vec"))
       .withColumn("__cell", assignUdf(col("c_vec")))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = withVec(queries, vecCol).select(col(idCol).as("query_id"),
         toDoubleArr(col(vecCol)).as("q_vec"))
       .withColumn("__cell", explode(probeUdf(col("q_vec"))))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))

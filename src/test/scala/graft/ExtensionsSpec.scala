@@ -115,6 +115,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(NearDup.minhashPairs(tiny, "t", "id", k = 3).count() == 0)
   }
 
+  test("null embeddings are dropped, not fatal, in every vector operator") {
+    // a single null vector in 100 TB of embeddings must not kill the job
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, null.asInstanceOf[Seq[Double]]),
+      (3L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val pairs = NearDup.embeddingPairs(df, "embedding", "vec_id",
+      dim = 2, threshold = 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    val q = df.where($"vec_id" === 1)
+    assert(Similarity.bruteForceTopK(df, q, 2).count() == 1) // only id 3 scores
+    assert(Similarity.lshTopK(df, q, 2, dim = 2).count() <= 1)
+    assert(Similarity.ivfTopK(df, q, 2, nlist = 1, nprobe = 1).count() == 1)
+  }
+
   test("pair operators release intermediates; caller releases the result") {
     val before = graft.util.CacheHygiene.snapshot(spark)
     val base = (0 until 20).map(i =>
