@@ -1,0 +1,49 @@
+package graft
+
+import graft.dedup.NearDup
+
+/** Property check for cluster resolution: on random pair graphs, the
+  * distributed pointer-jumping min-label propagation must agree exactly
+  * with a driver-side union-find — every node labeled with the smallest
+  * id reachable in its connected component. Random graphs exercise the
+  * shapes the planted fixtures don't: multiple merging chains, rings,
+  * stars colliding mid-propagation, isolated pairs. Seeded, so failures
+  * reproduce. */
+class ClustersPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFindLabels(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    // root chosen as min via ordered union, but path compression can lag:
+    // normalize by re-finding every seen node
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("random graphs: clusters equals union-find min-label (20 seeds)") {
+    for (seed <- 0 until 20) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(60)
+      val m = 1 + rnd.nextInt(2 * n)
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        if (a == b) (a, (b + 1) % n) else (a, b)
+      }
+      val expected = unionFindLabels(n, edges)
+      val got = NearDup.clusters(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"seed=$seed n=$n m=$m mismatch: " +
+          (got.toSet diff expected.toSet).take(5).toString)
+    }
+  }
+}
