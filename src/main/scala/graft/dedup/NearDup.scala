@@ -198,10 +198,23 @@ object NearDup {
       .select(col("__id"), col("__s._1").as("__sig"), col("__s._2").as("__sh"))
   }
 
+  /** @param maxBucket LSH skew guard, the one remaining way this
+    *   pipeline could go quadratic at corpus scale: a boilerplate
+    *   document with millions of copies puts every copy in the SAME
+    *   band-bucket, and the all-pairs candidate join inside that bucket
+    *   is O(copies²). Buckets larger than `maxBucket` switch to
+    *   star-shaped candidates — bucket-min ↔ member, O(copies) — which
+    *   preserves exactly what dedup consumes (the connected component:
+    *   [[clusters]] unifies the family through the star center) at the
+    *   cost of pair-list completeness inside mass-duplicate families.
+    *   Default Int.MaxValue = disabled: zero extra cost, exact pair
+    *   list. At 100 TB set it to ~10⁴ (the count pass it enables is one
+    *   extra shuffle of the bucket list). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
+    require(maxBucket > 1, "a star needs a center and at least one member")
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
     // DISK, so every downstream branch (banding, prefilter, survivor
@@ -226,11 +239,37 @@ object NearDup {
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
         .as("__bucket"))
-    val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"))
-    val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"))
     // a pair can collide in many bands — dedup BEFORE any similarity work
-    val pairs = a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = {
+      val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"))
+      val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"))
+      if (maxBucket == Int.MaxValue)
+        a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      else {
+        // Oversized buckets are FEW (each is a mass-duplicate family), so
+        // the flag frame broadcasts; normal buckets keep the exact
+        // all-pairs join, oversized ones emit only (bucket min, member).
+        val big = buckets.groupBy("__bucket")
+          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+          .where(col("__n") > maxBucket)
+          .select(col("__bucket").as("kb2"), col("__min"))
+        val flagged = buckets
+          .join(broadcast(big), col("__bucket") === col("kb2"), "left")
+        val normal = {
+          val na = flagged.where(col("__min").isNull)
+            .select(col("__bucket").as("ka"), col("__id").as("id_a"))
+          val nb = flagged.where(col("__min").isNull)
+            .select(col("__bucket").as("kb"), col("__id").as("id_b"))
+          na.join(nb, col("ka") === col("kb") && col("id_a") < col("id_b"))
+            .select("id_a", "id_b")
+        }
+        val star = flagged.where(col("__min").isNotNull &&
+            col("__id") =!= col("__min"))
+          .select(col("__min").as("id_a"), col("__id").as("id_b"))
+        normal.unionAll(star).distinct()
+      }
+    }
     // Signature-agreement prefilter (64 long compares, estimator std at 64
     // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
     // candidate mass using only the memory-cached signatures; only the

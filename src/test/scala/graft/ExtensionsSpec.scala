@@ -106,6 +106,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("minhash bucket skew guard keeps mass-duplicate families linear and connected") {
+    // 40 identical docs: every copy lands in the same bucket in all 16
+    // bands — the unguarded candidate join emits C(40,2)=780 pairs; the
+    // guard emits the 39 star pairs and cluster resolution still unifies
+    // the whole family
+    val fam = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val other = Seq((100L, "completely unrelated content about distributed query engines here"))
+    val df = (fam ++ other).toDF("id", "t")
+    val pairs = NearDup.minhashPairs(df, "t", "id", threshold = 0.5, maxBucket = 8)
+    val collected = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collected == (1 until 40).map(i => (0L, i.toLong)).toSet,
+      s"expected the 39 star pairs, got ${collected.size}")
+    val labels = NearDup.clusters(pairs).collect().map(_.getLong(1)).toSet
+    assert(labels == Set(0L), "family must resolve to one cluster")
+    pairs.unpersist()
+  }
+
   test("clusters and minhash are safe on empty input") {
     // a corpus with no near-dup pairs is a normal outcome, not an error
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
