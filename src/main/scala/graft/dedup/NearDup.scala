@@ -505,12 +505,21 @@ object NearDup {
     * angle) is a ≥3× Chernoff margin — at planes=32, threshold=0.95 that
     * is 12 of 32 bits vs the expected 3.2, drop probability < 1e-6 per
     * true pair; exact duplicates have Hamming 0 and are never at risk.
-    * Survivors re-join their vectors by id for the exact cosine verify. */
+    * Survivors re-join their vectors by id for the exact cosine verify.
+    *
+    * @param maxBucket same LSH skew guard as [[minhashPairs]]: a mass
+    *   family of identical embeddings fills one (band, bits) bucket and
+    *   the within-bucket candidate join goes O(copies²). Over the
+    *   threshold, buckets emit star candidates (bucket-min ↔ member,
+    *   linear); [[clusters]] still unifies the family. Default disabled —
+    *   exact pair list, zero extra cost. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95,
-      planes: Int = 16, bands: Int = 4): DataFrame = {
+      planes: Int = 16, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.sim.Similarity._
     require(planes % bands == 0)
+    require(maxBucket > 1, "a star needs a center and at least one member")
     val r = planes / bands
     val hammingMax = math.min(planes - 1, math.ceil(
       3.0 * planes * math.acos(math.max(-1.0, math.min(1.0, threshold)))
@@ -533,14 +542,45 @@ object NearDup {
       .withColumn("__bits",
         call_function("shiftright", col("__sig"), col("__band") * r)
           .bitwiseAND(lit((1L << r) - 1)))
-    val a = buckets.select(col("__band").as("ba"), col("__bits").as("bia"),
-      col("__id").as("id_a"), col("__sig").as("sa"))
-    val b = buckets.select(col("__band").as("bb"), col("__bits").as("bib"),
-      col("__id").as("id_b"), col("__sig").as("sb"))
-    val pairs = a.join(b, col("ba") === col("bb") && col("bia") === col("bib") &&
-        col("id_a") < col("id_b"))
-      .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
-      .select("id_a", "id_b").distinct()
+    val pairs = {
+      val a = buckets.select(col("__band").as("ba"), col("__bits").as("bia"),
+        col("__id").as("id_a"), col("__sig").as("sa"))
+      val b = buckets.select(col("__band").as("bb"), col("__bits").as("bib"),
+        col("__id").as("id_b"), col("__sig").as("sb"))
+      val allPairs = a.join(b,
+          col("ba") === col("bb") && col("bia") === col("bib") &&
+            col("id_a") < col("id_b"))
+        .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
+        .select("id_a", "id_b")
+      if (maxBucket == Int.MaxValue) allPairs.distinct()
+      else {
+        // oversized buckets are few (each a mass-duplicate family) → the
+        // flag frame broadcasts; the Hamming prefilter is skipped for
+        // star pairs (the exact cosine verify below still gates them)
+        val big = buckets.groupBy("__band", "__bits")
+          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+          .where(col("__n") > maxBucket)
+          .select(col("__band").as("gb"), col("__bits").as("gi"), col("__min"))
+        val flagged = buckets.join(broadcast(big),
+          col("__band") === col("gb") && col("__bits") === col("gi"), "left")
+        val normal = {
+          val na = flagged.where(col("__min").isNull)
+            .select(col("__band").as("ba"), col("__bits").as("bia"),
+              col("__id").as("id_a"), col("__sig").as("sa"))
+          val nb = flagged.where(col("__min").isNull)
+            .select(col("__band").as("bb"), col("__bits").as("bib"),
+              col("__id").as("id_b"), col("__sig").as("sb"))
+          na.join(nb, col("ba") === col("bb") && col("bia") === col("bib") &&
+              col("id_a") < col("id_b"))
+            .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
+            .select("id_a", "id_b")
+        }
+        val star = flagged.where(col("__min").isNotNull &&
+            col("__id") =!= col("__min"))
+          .select(col("__min").as("id_a"), col("__id").as("id_b"))
+        normal.unionAll(star).distinct()
+      }
+    }
     val out = pairs
       .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")

@@ -124,6 +124,19 @@ class ExtensionsSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("embedding bucket skew guard keeps identical-vector families linear") {
+    val fam = (0 until 30).map(i => (i.toLong, Seq(1.0, 0.0, 0.5, 0.25)))
+    val other = Seq((100L, Seq(-1.0, 0.3, -0.7, 0.9)))
+    val df = (fam ++ other).toDF("vec_id", "embedding")
+    val pairs = NearDup.embeddingPairs(df, "embedding", "vec_id",
+      dim = 4, threshold = 0.99, maxBucket = 8)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1 until 30).map(i => (0L, i.toLong)).toSet,
+      s"expected 29 star pairs, got ${got.size}")
+    assert(NearDup.clusters(pairs).collect().map(_.getLong(1)).toSet == Set(0L))
+    pairs.unpersist()
+  }
+
   test("clusters and minhash are safe on empty input") {
     // a corpus with no near-dup pairs is a normal outcome, not an error
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
