@@ -93,37 +93,47 @@ object Bench {
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg()
 
-    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Returns (elapsed, succeeded): a query that THROWS still gets a time
+    // (the driver sums the map), but that time measures the failure, not
+    // the query — it must never enter the best-known history or gate
+    // re-times (a fast crash would otherwise poison the baseline
+    // permanently: min-only updates can't recover, and every later
+    // healthy run would read as a 3x "regression" and re-time forever).
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Optional query-name filter for isolating one query's cost
     // (full-suite runs share JVM warmup across queries; single-query
     // numbers still include some first-query residue).
-    val results = SparkEntry.selectedQueries().map { case (name, fn) =>
+    val timed = SparkEntry.selectedQueries().map { case (name, fn) =>
       val before = graft.util.CacheHygiene.snapshot(spark)
-      val t = timeOne(fn)
+      val r = timeOne(fn)
       // release result caches the pair operators hand back (contract:
       // caller unpersists) — outside the timed region, it's harness
       // bookkeeping, and it keeps query N's storage out of query N+1.
       graft.util.CacheHygiene.releaseNew(spark, before)
-      name -> t
+      name -> r
     }
+    val results = timed.map { case (k, (t, _)) => k -> t }
+    val failed = timed.collect { case (k, (_, false)) => k }.toSeq
     // Contention self-diagnosis (four rounds of driver benches have had
-    // single-query rows poisoned by sandbox load): any query ≥3× its
-    // previous-round time AND over a second is re-timed once; both values
-    // go in the results file so a contended first run is machine-
+    // single-query rows poisoned by sandbox load): any SUCCESSFUL query
+    // ≥3× its best-known time AND over a second is re-timed once; both
+    // values go in the results file so a contended first run is machine-
     // detectable instead of a phantom regression.
-    val retimed: Map[String, (Double, Double)] = results.flatMap {
-      case (name, t) => prev.get(name) match {
+    val retimed: Map[String, (Double, Double)] = timed.flatMap {
+      case (name, (t, true)) => prev.get(name) match {
         case Some(p) if p > 0 && t > 1.0 && t > 3 * p =>
           val before = graft.util.CacheHygiene.snapshot(spark)
-          val t2 = timeOne(SparkEntry.queries(name))
+          val (t2, ok2) = timeOne(SparkEntry.queries(name))
           graft.util.CacheHygiene.releaseNew(spark, before)
-          Some(name -> (t, t2))
+          if (ok2) Some(name -> (t, t2)) else None
         case _ => None
       }
+      case _ => None
     }
     val loadAfter = loadAvg()
     val rddsLeft = graft.util.CacheHygiene.persistedCount(spark)
@@ -162,8 +172,10 @@ object Bench {
       val total = results.values.map(v => BigDecimal(js(v, 9))).sum.toDouble
       val rt = retimed.map { case (k, (a, b)) =>
         s"\"$k\":[${js(a, 9)},${js(b, 9)}]" }.mkString("{", ",", "}")
+      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${js(total, 9)},"unit":"sec","queries":$qs,""" +
-        s""""retimed":$rt,"load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],""" +
+        s""""retimed":$rt,"failed":$fl,""" +
+        s""""load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],""" +
         s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
@@ -176,7 +188,9 @@ object Bench {
     // a contended row never raises the bar for later rounds. Skipped for
     // partial (SPARK_GRAFT_ONLY) runs, whose times carry warmup skew.
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
-      val best = results.map { case (k, v) =>
+      // prev entries survive for queries that failed this run (their
+      // crash time is not a measurement); successful ones re-minimize
+      val best = prev ++ timed.collect { case (k, (v, true)) =>
         val r = retimed.get(k).map(_._2).getOrElse(v)
         k -> (Seq(v, r) ++ prev.get(k)).min
       }

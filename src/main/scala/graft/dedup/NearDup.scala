@@ -203,18 +203,15 @@ object NearDup {
     *   document with millions of copies puts every copy in the SAME
     *   band-bucket, and the all-pairs candidate join inside that bucket
     *   is O(copies²). Buckets larger than `maxBucket` switch to
-    *   star-shaped candidates — bucket-min ↔ member, O(copies) — which
-    *   preserves exactly what dedup consumes (the connected component:
-    *   [[clusters]] unifies the family through the star center) at the
-    *   cost of pair-list completeness inside mass-duplicate families.
-    *   Default Int.MaxValue = disabled: zero extra cost, exact pair
-    *   list. At 100 TB set it to ~10⁴ (the count pass it enables is one
-    *   extra shuffle of the bucket list). */
+    *   star-shaped candidates — bucket-min ↔ member, O(copies) — see
+    *   [[bucketCandidates]] for the exact recall trade-off. Default
+    *   Int.MaxValue = disabled: zero extra cost, exact pair list. At
+    *   100 TB set it to ~10⁴ (the count pass it enables is one extra
+    *   shuffle of the bucket list). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0)
-    require(maxBucket > 1, "a star needs a center and at least one member")
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
     // DISK, so every downstream branch (banding, prefilter, survivor
@@ -240,36 +237,7 @@ object NearDup {
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
         .as("__bucket"))
     // a pair can collide in many bands — dedup BEFORE any similarity work
-    val pairs = {
-      val a = buckets.select(col("__bucket").as("ka"), col("__id").as("id_a"))
-      val b = buckets.select(col("__bucket").as("kb"), col("__id").as("id_b"))
-      if (maxBucket == Int.MaxValue)
-        a.join(b, col("ka") === col("kb") && col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-      else {
-        // Oversized buckets are FEW (each is a mass-duplicate family), so
-        // the flag frame broadcasts; normal buckets keep the exact
-        // all-pairs join, oversized ones emit only (bucket min, member).
-        val big = buckets.groupBy("__bucket")
-          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
-          .where(col("__n") > maxBucket)
-          .select(col("__bucket").as("kb2"), col("__min"))
-        val flagged = buckets
-          .join(broadcast(big), col("__bucket") === col("kb2"), "left")
-        val normal = {
-          val na = flagged.where(col("__min").isNull)
-            .select(col("__bucket").as("ka"), col("__id").as("id_a"))
-          val nb = flagged.where(col("__min").isNull)
-            .select(col("__bucket").as("kb"), col("__id").as("id_b"))
-          na.join(nb, col("ka") === col("kb") && col("id_a") < col("id_b"))
-            .select("id_a", "id_b")
-        }
-        val star = flagged.where(col("__min").isNotNull &&
-            col("__id") =!= col("__min"))
-          .select(col("__min").as("id_a"), col("__id").as("id_b"))
-        normal.unionAll(star).distinct()
-      }
-    }
+    val pairs = bucketCandidates(buckets, Seq("__bucket"), Nil, maxBucket)(identity)
     // Signature-agreement prefilter (64 long compares, estimator std at 64
     // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
     // candidate mass using only the memory-cached signatures; only the
@@ -293,7 +261,6 @@ object NearDup {
       .select(col("id_a"), col("id_b"),
         exactJaccardUdf(threshold)(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard").isNotNull)
-      .cache()
     // Eager materialization + release: the pair list (tiny — candidates
     // that survived LSH + verify) is computed NOW, then the O(corpus)
     // signature/gram stores are dropped. Without this, every call pinned
@@ -301,10 +268,70 @@ object NearDup {
     // hygiene"). The RETURNED frame stays cached — the caller unpersists
     // it once consumed (Bench/Verify sweep new persists per query via
     // [[graft.util.CacheHygiene]]).
-    out.count()
-    sigDf.unpersist(false)
-    sigAll.unpersist(false)
-    out
+    materializeAndRelease(out, Seq(sigDf, sigAll))
+  }
+
+  /** Eagerly materializes `out` (cached), then releases the operator's
+    * corpus-sized `intermediates` — ALWAYS, including when a job inside
+    * the materialization throws (an executor failure or a loud internal
+    * invariant must not pin the DISK_ONLY stores for the session). On
+    * failure the result cache is dropped too and the error propagates. */
+  private def materializeAndRelease(out: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val cached = out.cache()
+    try { cached.count(); cached }
+    catch { case e: Throwable => cached.unpersist(false); throw e }
+    finally intermediates.foreach(_.unpersist(false))
+  }
+
+  /** Candidate pairs from an LSH bucket list — the shared core of
+    * [[minhashPairs]] and [[embeddingPairs]].
+    *
+    * `buckets` carries `__id`, the `keyCols` bucket key, and any `carry`
+    * columns a candidate filter needs on both sides (suffixed `_a`/`_b`).
+    * Normal buckets emit exact all-pairs (`id_a < id_b`) through
+    * `candFilter`; when `maxBucket` is set, oversized buckets emit
+    * star candidates (bucket-min ↔ member) instead — linear in bucket
+    * size, UNfiltered (the caller's exact verify still gates them).
+    *
+    * Star recall trade-off, stated precisely: two members of an
+    * oversized bucket pair up (directly or transitively in [[clusters]])
+    * only through members within threshold of the bucket CENTER. A
+    * mass-duplicate family (the case the guard exists for) satisfies
+    * that by construction; a drift chain whose fringe members score
+    * below threshold against the center loses its fringe links if NO
+    * normal-sized bucket elsewhere catches them. Size `maxBucket` well
+    * above any legitimate family (~10⁴) so the guard only fires where
+    * the alternative is a quadratic blow-up. */
+  private def bucketCandidates(buckets: DataFrame, keyCols: Seq[String],
+      carry: Seq[String], maxBucket: Int)(
+      candFilter: DataFrame => DataFrame): DataFrame = {
+    require(maxBucket > 1, "a star needs a center and at least one member")
+    def side(df: DataFrame, suf: String) =
+      df.select(keyCols.map(c => col(c).as(s"$c$suf")) ++
+        (col("__id").as(s"id$suf") +: carry.map(c => col(c).as(s"$c$suf"))): _*)
+    def allPairs(df: DataFrame) = {
+      val joined = side(df, "_a").join(side(df, "_b"),
+        keyCols.map(c => col(s"${c}_a") === col(s"${c}_b")).reduce(_ && _) &&
+          col("id_a") < col("id_b"))
+      candFilter(joined).select("id_a", "id_b")
+    }
+    if (maxBucket == Int.MaxValue) allPairs(buckets).distinct()
+    else {
+      // oversized buckets are FEW (each a mass-duplicate family), so the
+      // flag frame broadcasts; ReuseExchange dedups the build across legs
+      val big = buckets.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+        .where(col("__n") > maxBucket)
+        .select(keyCols.map(c => col(c).as(s"${c}__g")) :+ col("__min"): _*)
+      val flagged = buckets.join(broadcast(big),
+        keyCols.map(c => col(c) === col(s"${c}__g")).reduce(_ && _), "left")
+      val normal = allPairs(flagged.where(col("__min").isNull))
+      val star = flagged.where(col("__min").isNotNull &&
+          col("__id") =!= col("__min"))
+        .select(col("__min").as("id_a"), col("__id").as("id_b"))
+      normal.unionAll(star).distinct()
+    }
   }
 
   /** Signature-agreement prefilter for [[minhashPairs]]: true when the
@@ -416,49 +443,59 @@ object NearDup {
     var persisted = und.groupBy("src")
       .agg(least(col("src"), min(col("dst"))).as("cluster"))
       .withColumnRenamed("src", "id").persist()
-    var labels: DataFrame = persisted
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = und
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy("src").agg(min("cluster").as("nmin"))
-        .withColumnRenamed("src", "id")
-      // pointer jump: label(label(id)). Every label value is itself an id
-      // with a labels row (labels are minima over ids seen in `und`, and
-      // every such id is a `src`), so the parent lookup is a total key
-      // join; the left join + coalesce only guards the invariant. Both
-      // joins read the SAME persisted `labels`, so the round stays one
-      // materialization.
-      val parent = labels
-        .select(col("id").as("__pid"), col("cluster").as("__pc"))
-      val nextPersisted = labels.join(nbrMin, Seq("id"), "left")
-        .join(parent, col("cluster") === col("__pid"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")),
-            coalesce(col("__pc"), col("cluster")))
-            .as("cluster"))
-        .persist()
-      val next = if ((iter + 1) % truncateEvery == 0) truncated(nextPersisted)
-                 else nextPersisted
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      persisted.unpersist()
-      persisted = nextPersisted
-      labels = next
-      iter += 1
+    var ok = false
+    try {
+      var labels: DataFrame = persisted
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = und
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy("src").agg(min("cluster").as("nmin"))
+          .withColumnRenamed("src", "id")
+        // pointer jump: label(label(id)). Every label value is itself an
+        // id with a labels row (labels are minima over ids seen in `und`,
+        // and every such id is a `src`), so the parent lookup is a total
+        // key join; the left join + coalesce only guards the invariant.
+        // Both joins read the SAME persisted `labels`, so the round stays
+        // one materialization.
+        val parent = labels
+          .select(col("id").as("__pid"), col("cluster").as("__pc"))
+        val nextPersisted = labels.join(nbrMin, Seq("id"), "left")
+          .join(parent, col("cluster") === col("__pid"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster")),
+              coalesce(col("__pc"), col("cluster")))
+              .as("cluster"))
+          .persist()
+        val next = if ((iter + 1) % truncateEvery == 0) truncated(nextPersisted)
+                   else nextPersisted
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+        persisted.unpersist()
+        persisted = nextPersisted
+        labels = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"near-dup clusters did not converge within maxIters=$maxIters " +
+            "pointer-jumping rounds — component diameter exceeds 2^maxIters; " +
+            "raise maxIters (labels would be silently wrong if returned)")
+      ok = true
+      // return the PERSISTED handle, not a truncated wrapper: when the
+      // loop happens to end on a truncation round, unpersist() on the
+      // wrapper would be a CacheManager no-op and the label cache would
+      // leak past the documented caller-unpersists contract
+      persisted
+    } finally {
+      // a mid-loop job failure (or the non-convergence throw) must not
+      // pin the edge list or the in-flight labels for the session
+      und.unpersist()
+      if (!ok) persisted.unpersist()
     }
-    und.unpersist()
-    if (!converged) {
-      persisted.unpersist()
-      throw new IllegalStateException(
-        s"near-dup clusters did not converge within maxIters=$maxIters " +
-          "pointer-jumping rounds — component diameter exceeds 2^maxIters; " +
-          "raise maxIters (labels would be silently wrong if returned)")
-    }
-    labels
   }
 
   /** SimHash over whitespace tokens: bit b is set when the sum of ±1 votes
@@ -511,15 +548,14 @@ object NearDup {
     *   family of identical embeddings fills one (band, bits) bucket and
     *   the within-bucket candidate join goes O(copies²). Over the
     *   threshold, buckets emit star candidates (bucket-min ↔ member,
-    *   linear); [[clusters]] still unifies the family. Default disabled —
-    *   exact pair list, zero extra cost. */
+    *   linear) — see [[bucketCandidates]] for the exact recall
+    *   trade-off. Default disabled — exact pair list, zero extra cost. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.sim.Similarity._
     require(planes % bands == 0)
-    require(maxBucket > 1, "a star needs a center and at least one member")
     val r = planes / bands
     val hammingMax = math.min(planes - 1, math.ceil(
       3.0 * planes * math.acos(math.max(-1.0, math.min(1.0, threshold)))
@@ -528,10 +564,8 @@ object NearDup {
     // vectors too would pin a full copy of the embedding column in
     // executor storage for the life of the session. The vector join-back
     // for survivors re-derives from the source (one extra pruned scan).
-    // rows without a vector cannot be scored — dropped, not errored (a
-    // single null embedding would NPE the signature kernel and kill the
-    // job; dirty rows are the norm at corpus scale)
-    val vecDf = df.where(col(vecCol).isNotNull)
+    // withVec drops rows without a vector (unscoreable, must not be fatal).
+    val vecDf = withVec(df, vecCol)
       .select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__v"))
     val sigDf = vecDf
       .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
@@ -542,57 +576,18 @@ object NearDup {
       .withColumn("__bits",
         call_function("shiftright", col("__sig"), col("__band") * r)
           .bitwiseAND(lit((1L << r) - 1)))
-    val pairs = {
-      val a = buckets.select(col("__band").as("ba"), col("__bits").as("bia"),
-        col("__id").as("id_a"), col("__sig").as("sa"))
-      val b = buckets.select(col("__band").as("bb"), col("__bits").as("bib"),
-        col("__id").as("id_b"), col("__sig").as("sb"))
-      val allPairs = a.join(b,
-          col("ba") === col("bb") && col("bia") === col("bib") &&
-            col("id_a") < col("id_b"))
-        .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
-        .select("id_a", "id_b")
-      if (maxBucket == Int.MaxValue) allPairs.distinct()
-      else {
-        // oversized buckets are few (each a mass-duplicate family) → the
-        // flag frame broadcasts; the Hamming prefilter is skipped for
-        // star pairs (the exact cosine verify below still gates them)
-        val big = buckets.groupBy("__band", "__bits")
-          .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
-          .where(col("__n") > maxBucket)
-          .select(col("__band").as("gb"), col("__bits").as("gi"), col("__min"))
-        val flagged = buckets.join(broadcast(big),
-          col("__band") === col("gb") && col("__bits") === col("gi"), "left")
-        val normal = {
-          val na = flagged.where(col("__min").isNull)
-            .select(col("__band").as("ba"), col("__bits").as("bia"),
-              col("__id").as("id_a"), col("__sig").as("sa"))
-          val nb = flagged.where(col("__min").isNull)
-            .select(col("__band").as("bb"), col("__bits").as("bib"),
-              col("__id").as("id_b"), col("__sig").as("sb"))
-          na.join(nb, col("ba") === col("bb") && col("bia") === col("bib") &&
-              col("id_a") < col("id_b"))
-            .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= hammingMax)
-            .select("id_a", "id_b")
-        }
-        val star = flagged.where(col("__min").isNotNull &&
-            col("__id") =!= col("__min"))
-          .select(col("__min").as("id_a"), col("__id").as("id_b"))
-        normal.unionAll(star).distinct()
-      }
-    }
+    val pairs = bucketCandidates(buckets, Seq("__band", "__bits"),
+      Seq("__sig"), maxBucket)(
+      _.where(bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))) <= hammingMax))
     val out = pairs
       .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
-      .cache()
     // Same contract as [[minhashPairs]]: compute the small pair list now,
-    // release the signature cache, return the cached result (caller
-    // unpersists once consumed).
-    out.count()
-    sigDf.unpersist(false)
-    out
+    // release the signature cache (even on failure), return the cached
+    // result (caller unpersists once consumed).
+    materializeAndRelease(out, Seq(sigDf))
   }
 }

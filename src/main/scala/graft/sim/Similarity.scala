@@ -27,8 +27,9 @@ object Similarity {
   /** Rows whose vector is present. A single null embedding — dirty data
     * is the norm at corpus scale — would otherwise NPE the
     * signature/cosine kernels and kill the whole job; a row without a
-    * vector cannot be scored, so it is dropped, not errored. */
-  private def withVec(df: DataFrame, vecCol: String): DataFrame =
+    * vector cannot be scored, so it is dropped, not errored. Shared with
+    * [[graft.dedup.NearDup.embeddingPairs]]. */
+  private[graft] def withVec(df: DataFrame, vecCol: String): DataFrame =
     df.where(col(vecCol).isNotNull)
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
