@@ -42,6 +42,64 @@ object Bench {
     else names.map(k => k -> k.stripPrefix("q_")).toMap
   }
 
+  /** `v` as a JSON number at `prec` decimals, trailing zeros stripped. */
+  private[graft] def jsNum(v: Double, prec: Int): String = {
+    val bd = new java.math.BigDecimal(v)
+      .setScale(prec, java.math.RoundingMode.HALF_UP)
+    bd.stripTrailingZeros.toPlainString
+  }
+
+  /** Per-query seconds from a history or results-file JSON text we wrote
+    * (targeted regex — only q_-prefixed keys can match a query name).
+    * `requireSf` rejects a results file recorded at a different sf.
+    * Entries named in the file's "failed" list are EXCLUDED: a results
+    * file records a crashed query's elapsed-to-crash in its queries map,
+    * and a failure time must never become a re-time baseline (min-only
+    * history updates could never recover from it). */
+  private[graft] def parseQueryTimes(txt: String,
+      requireSf: Option[String]): Map[String, Double] = {
+    val sfOk = requireSf.forall(sf =>
+      "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sf))
+    if (!sfOk) Map.empty
+    else {
+      val crashed: Set[String] =
+        "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+          .map(_.group(1)).toSeq
+          .flatMap("\"(q_[A-Za-z0-9_]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+          .toSet
+      "\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap -- crashed
+    }
+  }
+
+  /** The per-query map and its total, rendered once for BOTH the stdout
+    * line and the results file (one formatter — the two outputs cannot
+    * drift). The total re-sums the ROUNDED values so consumers that
+    * re-sum the map reproduce "value" exactly. */
+  private[graft] def queriesJson(results: Seq[(String, Double)], prec: Int,
+      keyOf: String => String): (String, String) = {
+    val qs = results.map { case (k, v) =>
+      "\"" + keyOf(k) + "\":" + jsNum(v, prec) }.mkString("{", ",", "}")
+    val total = results.map { case (_, v) => BigDecimal(jsNum(v, prec)) }
+      .sum.toDouble
+    (qs, jsNum(total, prec))
+  }
+
+  /** The driver-parseable stdout line — pure, so BenchLineSpec pins its
+    * worst-case length against the real renderer instead of a mirror.
+    * `failedCount` makes a crashed run machine-detectable in the same
+    * tail window (a failed query's elapsed-to-crash otherwise reads as a
+    * speedup in the total). */
+  private[graft] def stdoutLine(results: Seq[(String, Double)], prec: Int,
+      keyOf: String => String, withQueries: Boolean, failedCount: Int,
+      loadBefore: Double, loadAfter: Double, sfDir: String): String = {
+    val (qs, total) = queriesJson(results, prec, keyOf)
+    val q = if (withQueries) s""","queries":$qs""" else ""
+    s"""{"metric":"total","value":$total,"unit":"sec"$q,""" +
+      s""""failed":$failedCount,""" +
+      s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -74,18 +132,14 @@ object Bench {
     val sfBase = new java.io.File(sfDir).getName
     val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST",
       s"bench_history_$sfBase.json")
-    def parseQueryTimes(path: String, requireSf: Option[String]): Map[String, Double] =
-      try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-        val sfOk = requireSf.forall(sf =>
-          "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sf))
-        if (!sfOk) Map.empty
-        else "\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
     val prev: Map[String, Double] = {
-      val h = parseQueryTimes(histFile, None)
-      if (h.nonEmpty) h else parseQueryTimes(outFile, Some(sfDir))
+      def parse(path: String, requireSf: Option[String]) =
+        try parseQueryTimes(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(path)),
+          requireSf)
+        catch { case _: Throwable => Map.empty[String, Double] }
+      val h = parse(histFile, None)
+      if (h.nonEmpty) h else parse(outFile, Some(sfDir))
     }
 
     def loadAvg(): Double =
@@ -144,38 +198,20 @@ object Bench {
     // StdoutOutput + showSuccess=false, JSON printed after spark.stop()
     // at ERROR level); (r8) ms precision + q_ prefixes left only 132
     // chars of headroom. The stdout encoding is now structural: q_
-    // prefix stripped, 2-decimal precision, and an automatic precision/
-    // content fallback ladder below — the full-precision, full-name map
-    // always goes to the results file.
-    def js(v: Double, prec: Int): String = {
-      val bd = new java.math.BigDecimal(v)
-        .setScale(prec, java.math.RoundingMode.HALF_UP)
-      bd.stripTrailingZeros.toPlainString
-    }
+    // prefix stripped + abbreviated keys, 2-decimal precision, and an
+    // automatic precision/content fallback ladder below — [[stdoutLine]]
+    // and [[queriesJson]] render it, the full-precision full-name map
+    // goes to the results file through the same formatter.
+    val resultSeq = results.toSeq
     val keyOf = shortKeys(results.keys)
-    def line(prec: Int, strip: Boolean, withQueries: Boolean): String = {
-      val qs = results.map { case (k, v) =>
-        val key = if (strip) keyOf(k) else k
-        s"\"" + key + "\":" + js(v, prec)
-      }.mkString("{", ",", "}")
-      // Sum the ROUNDED per-query values so consumers that re-sum the
-      // "queries" map reproduce "value" exactly (ADVICE r7).
-      val total = results.values
-        .map(v => BigDecimal(js(v, prec))).sum.toDouble
-      val q = if (withQueries) s""","queries":$qs""" else ""
-      s"""{"metric":"total","value":${js(total, prec)},"unit":"sec"$q,""" +
-        s""""load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],"sf":"$sfDir"}"""
-    }
     val fileJson = {
-      val qs = results.map { case (k, v) => s"\"$k\":${js(v, 9)}" }
-        .mkString("{", ",", "}")
-      val total = results.values.map(v => BigDecimal(js(v, 9))).sum.toDouble
+      val (qs, total) = queriesJson(resultSeq, 9, identity)
       val rt = retimed.map { case (k, (a, b)) =>
-        s"\"$k\":[${js(a, 9)},${js(b, 9)}]" }.mkString("{", ",", "}")
+        s"\"$k\":[${jsNum(a, 9)},${jsNum(b, 9)}]" }.mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${js(total, 9)},"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"failed":$fl,""" +
-        s""""load":[${js(loadBefore, 2)},${js(loadAfter, 2)}],""" +
+        s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
         s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
@@ -194,7 +230,7 @@ object Bench {
         val r = retimed.get(k).map(_._2).getOrElse(v)
         k -> (Seq(v, r) ++ prev.get(k)).min
       }
-      val histJson = best.map { case (k, v) => s"\"$k\":${js(v, 9)}" }
+      val histJson = best.map { case (k, v) => s"\"$k\":${jsNum(v, 9)}" }
         .mkString("{", ",", "}")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(histFile), histJson)
@@ -202,15 +238,17 @@ object Bench {
         System.err.println(s"[bench] history write failed: ${e.getMessage}")
       }
     }
-    // Fallback ladder: 2-decimal stripped (normal, ~1.5k chars headroom) →
+    // Fallback ladder: 2-decimal abbreviated (normal, ~1.2k chars) →
     // 1-decimal → no queries map at all. The line can no longer outgrow
     // the driver's tail window however many queries are added.
     val out = {
-      val l2 = line(2, strip = true, withQueries = true)
+      def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
+        prec, keyOf, withQueries, failed.size, loadBefore, loadAfter, sfDir)
+      val l2 = line(2, withQueries = true)
       if (l2.length <= 1500) l2
       else {
-        val l1 = line(1, strip = true, withQueries = true)
-        if (l1.length <= 1800) l1 else line(2, strip = true, withQueries = false)
+        val l1 = line(1, withQueries = true)
+        if (l1.length <= 1800) l1 else line(2, withQueries = false)
       }
     }
     spark.sparkContext.setLogLevel("ERROR")

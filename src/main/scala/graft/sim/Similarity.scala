@@ -24,13 +24,17 @@ object Similarity {
 
   def toDoubleArr(a: Column): Column = transform(a, _.cast(DoubleType))
 
-  /** Rows whose vector is present. A single null embedding — dirty data
-    * is the norm at corpus scale — would otherwise NPE the
-    * signature/cosine kernels and kill the whole job; a row without a
-    * vector cannot be scored, so it is dropped, not errored. Shared with
+  /** Rows whose vector is fully present — non-null AND with no null
+    * elements (a partially-null array survives an isNotNull check but
+    * still reaches the primitive Seq[Double] kernels). Dirty rows are
+    * the norm at corpus scale; a row without a scoreable vector is
+    * dropped, not errored — one null embedding must never kill the job.
+    * The element scan is one codegen'd pass over dim values, ~1/planes
+    * of the signature work it protects. Shared with
     * [[graft.dedup.NearDup.embeddingPairs]]. */
   private[graft] def withVec(df: DataFrame, vecCol: String): DataFrame =
-    df.where(col(vecCol).isNotNull)
+    df.where(col(vecCol).isNotNull &&
+      !exists(col(vecCol), _.isNull))
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {

@@ -21,13 +21,28 @@ class BenchLineSpec extends AnyFunSuite {
       "collision fallback engaged — extend the abbrev table instead")
   }
 
+  test("crashed queries are excluded from re-time baselines; sf must match") {
+    val txt = """{"metric":"total","value":3.1,"unit":"sec",""" +
+      """"queries":{"q_good":1.5,"q_crashed":0.05,"q_also_bad":1.55},""" +
+      """"retimed":{"q_good":[1.5,1.4]},"failed":["q_crashed","q_also_bad"],""" +
+      """"load":[1.0,2.0],"sf":"/root/testdata/sf0.1"}"""
+    // the retimed [a,b] arrays don't match the key:number shape, so only
+    // the queries-map entry for q_good survives, minus the crashed names
+    val parsed = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
+    assert(parsed == Map("q_good" -> 1.5),
+      s"crash times must not become baselines: $parsed")
+    assert(Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.01")).isEmpty,
+      "a results file from a different sf is not comparable")
+  }
+
   test("worst-case stdout line stays under 1500 chars") {
     // every value at the widest 2-decimal rendering a realistic suite can
-    // produce (xx.xx); fixed overhead mirrors Bench.line + load + sf
+    // produce (xx.xx), through the REAL renderer — no hand-mirrored format
     val keys = Bench.shortKeys(names)
-    val qs = names.map(n => s""""${keys(n)}":99.99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$qs,""" +
-      s""""load":[99.99,99.99],"sf":"/root/testdata/sf0.1"}"""
+    val line = Bench.stdoutLine(names.map(_ -> 99.99), 2, keys,
+      withQueries = true, failedCount = 68,
+      loadBefore = 99.99, loadAfter = 99.99,
+      sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1500,
       s"worst-case bench stdout line is ${line.length} chars — extend the " +
         "abbrev table or tighten precision before adding more queries")

@@ -147,9 +147,14 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("null embeddings are dropped, not fatal, in every vector operator") {
-    // a single null vector in 100 TB of embeddings must not kill the job
-    val df = Seq((1L, Seq(1.0, 0.0)), (2L, null.asInstanceOf[Seq[Double]]),
-      (3L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    // a single null vector — or a vector with a null ELEMENT — in 100 TB
+    // of embeddings must not kill the job
+    def v(xs: java.lang.Double*): Seq[java.lang.Double] = xs
+    val df = Seq(
+      (1L, v(1.0, 0.0)),
+      (2L, null.asInstanceOf[Seq[java.lang.Double]]),
+      (3L, v(1.0, 0.0)),
+      (4L, v(1.0, null))).toDF("vec_id", "embedding")
     val pairs = NearDup.embeddingPairs(df, "embedding", "vec_id",
       dim = 2, threshold = 0.9).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
