@@ -303,7 +303,7 @@ object NearDup {
     * normal-sized bucket elsewhere catches them. Size `maxBucket` well
     * above any legitimate family (~10⁴) so the guard only fires where
     * the alternative is a quadratic blow-up. */
-  private def bucketCandidates(buckets: DataFrame, keyCols: Seq[String],
+  private[graft] def bucketCandidates(buckets: DataFrame, keyCols: Seq[String],
       carry: Seq[String], maxBucket: Int)(
       candFilter: DataFrame => DataFrame): DataFrame = {
     require(maxBucket > 1, "a star needs a center and at least one member")

@@ -105,6 +105,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
   }
 
+  test("skew-guarded candidates broadcast the bucket flags, never cross-join") {
+    import spark.implicits._
+    val buckets = (0 until 100).map(i => (i.toLong, i % 7))
+      .toDF("__id", "__bucket")
+    val p = plan(NearDup.bucketCandidates(buckets, Seq("__bucket"), Nil,
+      maxBucket = 10)(identity))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the oversized-bucket flag frame must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"candidates must come from key joins only:\n$p")
+  }
+
   test("ivf rerank broadcasts the probed queries, corpus never cross-joins") {
     val e = Tables.load(spark, sf, "embeddings")
     val p = plan(graft.sim.Similarity.ivfTopK(e, e.where($"vec_id" < 3), 5,
