@@ -24,17 +24,29 @@ object Similarity {
 
   def toDoubleArr(a: Column): Column = transform(a, _.cast(DoubleType))
 
+  /** True when the vector is fully scoreable: non-null with no null
+    * elements. Boxed parameter so element nulls are observable; a tight
+    * JVM loop like the other fused kernels here (the expression-level
+    * `exists` alternative runs interpreted per element). */
+  private val vecOkUdf = udf { v: Seq[java.lang.Double] =>
+    v != null && {
+      var i = 0
+      var ok = true
+      while (ok && i < v.length) { ok = v(i) != null; i += 1 }
+      ok
+    }
+  }
+
   /** Rows whose vector is fully present — non-null AND with no null
-    * elements (a partially-null array survives an isNotNull check but
-    * still reaches the primitive Seq[Double] kernels). Dirty rows are
-    * the norm at corpus scale; a row without a scoreable vector is
-    * dropped, not errored — one null embedding must never kill the job.
-    * The element scan is one codegen'd pass over dim values, ~1/planes
-    * of the signature work it protects. Shared with
-    * [[graft.dedup.NearDup.embeddingPairs]]. */
+    * elements. The check runs on the CAST array (same cast family every
+    * kernel consumes), so an element that only becomes null at cast time
+    * is caught too; a partially-null array would otherwise survive an
+    * isNotNull check and NPE the primitive Seq[Double] kernels. Dirty
+    * rows are the norm at corpus scale; a row without a scoreable vector
+    * is dropped, not errored — one bad embedding must never kill the
+    * job. Shared with [[graft.dedup.NearDup.embeddingPairs]]. */
   private[graft] def withVec(df: DataFrame, vecCol: String): DataFrame =
-    df.where(col(vecCol).isNotNull &&
-      !exists(col(vecCol), _.isNull))
+    df.where(vecOkUdf(toDoubleArr(col(vecCol))))
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {

@@ -40,7 +40,7 @@ class BenchLineSpec extends AnyFunSuite {
     // produce (xx.xx), through the REAL renderer — no hand-mirrored format
     val keys = Bench.shortKeys(names)
     val line = Bench.stdoutLine(names.map(_ -> 99.99), 2, keys,
-      withQueries = true, failedCount = 68,
+      withQueries = true, failedCount = names.size,
       loadBefore = 99.99, loadAfter = 99.99,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1500,
