@@ -8,11 +8,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
 /** Primitive value→count histogram: open-addressing hash map keyed by raw
   * double bits with long counts — no per-update boxing, array-backed
-  * serialize/merge. The buffer for [[ExactPercentile]].
+  * serialize/merge. The exact-mode buffer for [[ExactPercentile]].
   */
 final class DoubleCounts(initialCapacity: Int = 1 << 10) {
   // capacity is a power of two; EMPTY slots are marked by count == 0
@@ -60,24 +61,252 @@ final class DoubleCounts(initialCapacity: Int = 1 << 10) {
     }
   }
 
-  def serialize(): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(8 + used * 16)
-    val out = new DataOutputStream(bos)
+  def writeTo(out: DataOutputStream): Unit = {
     out.writeInt(used)
     foreach { (k, n) => out.writeLong(k); out.writeLong(n) }
-    out.flush()
-    bos.toByteArray
   }
 }
 
 object DoubleCounts {
-  def deserialize(bytes: Array[Byte]): DoubleCounts = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+  def readFrom(in: DataInputStream): DoubleCounts = {
     val n = in.readInt()
     val m = new DoubleCounts(math.max(n * 2, 16))
     var i = 0
     while (i < n) { m.add(in.readLong(), in.readLong()); i += 1 }
     m
+  }
+}
+
+/** Fixed-size weighted histogram — the bounded spill target once a
+  * percentile buffer exceeds its exact-distinct budget. A merging digest
+  * with a UNIFORM scale function: finite values accumulate in an
+  * insertion buffer; on flush the buffer is sorted, 2-way-merged with the
+  * existing (sorted) centroids, and recompacted in one pass, closing a
+  * bin once its weight reaches ceil(total/maxBins). Quantile error
+  * is therefore ~1/maxBins of the mass (maxBins = 2048 → ≲0.05 %), memory
+  * is O(maxBins) forever, and weighted adds are O(1) amortized — so
+  * migrating a skewed exact histogram (one value with 10^9 count) costs
+  * one add, not 10^9.
+  *
+  * Ordering semantics mirror the exact path's total order
+  * (-Inf < finite < +Inf < NaN): non-finite mass is tracked in exact side
+  * counters, and the true finite min/max are kept so p=0/p=1 stay exact.
+  */
+final class BinnedDigest(val maxBins: Int) {
+  private var centroids = new Array[Double](0)
+  private var weights = new Array[Long](0)
+  private var nBins = 0
+  private val bufV = new Array[Double](maxBins)
+  private val bufW = new Array[Long](maxBins)
+  private var nBuf = 0
+
+  var negInf = 0L
+  var posInf = 0L
+  var nan = 0L
+  var finiteTotal = 0L
+  var finiteMin = Double.PositiveInfinity
+  var finiteMax = Double.NegativeInfinity
+
+  def totalCount: Long = negInf + finiteTotal + posInf + nan
+  def binCount: Int = { flush(); nBins }
+
+  def add(v: Double, w: Long): Unit = {
+    if (w <= 0) return
+    if (v != v) nan += w
+    else if (v == Double.PositiveInfinity) posInf += w
+    else if (v == Double.NegativeInfinity) negInf += w
+    else {
+      if (v < finiteMin) finiteMin = v
+      if (v > finiteMax) finiteMax = v
+      finiteTotal += w
+      bufV(nBuf) = v; bufW(nBuf) = w; nBuf += 1
+      if (nBuf == maxBins) flush()
+    }
+  }
+
+  def flush(): Unit = {
+    if (nBuf == 0) return
+    // sort the insertion buffer by value (maxBins is small; index sort)
+    val order = Array.range(0, nBuf).sortBy(bufV(_))
+    val mergedV = new Array[Double](nBins + nBuf)
+    val mergedW = new Array[Long](nBins + nBuf)
+    var i = 0; var j = 0; var m = 0
+    while (i < nBins || j < nBuf) {
+      val takeOld = j >= nBuf || (i < nBins && centroids(i) <= bufV(order(j)))
+      if (takeOld) { mergedV(m) = centroids(i); mergedW(m) = weights(i); i += 1 }
+      else { mergedV(m) = bufV(order(j)); mergedW(m) = bufW(order(j)); j += 1 }
+      m += 1
+    }
+    nBuf = 0
+    // one-pass recompaction: close a bin as soon as it REACHES the uniform
+    // weight limit. Every closed bin then carries ≥ limit weight, so the
+    // output has ≤ total/limit + 1 ≤ maxBins + 1 bins — a hard bound even
+    // for adversarial weight sequences.
+    val limit = math.max(1L, (finiteTotal + maxBins - 1) / maxBins)
+    val outV = new Array[Double](maxBins + 1)
+    val outW = new Array[Long](maxBins + 1)
+    var outN = 0
+    var accW = 0L
+    var accVW = 0.0 // weighted value sum of the open bin
+    var k = 0
+    while (k < m) {
+      accW += mergedW(k); accVW += mergedV(k) * mergedW(k)
+      if (accW >= limit) {
+        outV(outN) = accVW / accW; outW(outN) = accW; outN += 1
+        accW = 0L; accVW = 0.0
+      }
+      k += 1
+    }
+    if (accW > 0) { outV(outN) = accVW / accW; outW(outN) = accW; outN += 1 }
+    centroids = java.util.Arrays.copyOf(outV, outN)
+    weights = java.util.Arrays.copyOf(outW, outN)
+    nBins = outN
+  }
+
+  /** Absorb another digest: counters exactly, bins as weighted adds (the
+    * true min/max are merged explicitly — centroid means would shrink them). */
+  def mergeFrom(other: BinnedDigest): Unit = {
+    other.flush()
+    negInf += other.negInf; posInf += other.posInf; nan += other.nan
+    val oMin = other.finiteMin; val oMax = other.finiteMax
+    var i = 0
+    while (i < other.nBins) { add(other.centroids(i), other.weights(i)); i += 1 }
+    if (oMin < finiteMin) finiteMin = oMin
+    if (oMax > finiteMax) finiteMax = oMax
+  }
+
+  /** Estimated value at 0-based rank `r` within the FINITE mass, by
+    * piecewise-linear interpolation over centroid midpoints, anchored at
+    * the exact finite min (rank mass 0) and max (rank mass finiteTotal). */
+  def finiteValueAtRank(r: Long): Double = {
+    flush()
+    if (r <= 0L) return finiteMin // p=0 stays exact
+    if (r >= finiteTotal - 1) return finiteMax // p=1 stays exact
+    if (nBins == 1) return centroids(0)
+    val pos = r + 0.5 // center of this unit of mass in [0, finiteTotal]
+    var cum = 0L
+    var prevPos = 0.0
+    var prevVal = finiteMin
+    var i = 0
+    while (i < nBins) {
+      val mid = cum + weights(i) / 2.0
+      if (pos <= mid) {
+        val span = mid - prevPos
+        return if (span <= 0) centroids(i)
+        else prevVal + (pos - prevPos) / span * (centroids(i) - prevVal)
+      }
+      prevPos = mid; prevVal = centroids(i)
+      cum += weights(i); i += 1
+    }
+    val span = finiteTotal - prevPos
+    if (span <= 0) finiteMax
+    else prevVal + (pos - prevPos) / span * (finiteMax - prevVal)
+  }
+
+  /** Value at 0-based rank over ALL mass in the total order
+    * -Inf < finite < +Inf < NaN. */
+  def valueAtRank(r: Long): Double = {
+    if (r < negInf) Double.NegativeInfinity
+    else if (r < negInf + finiteTotal) finiteValueAtRank(r - negInf)
+    else if (r < negInf + finiteTotal + posInf) Double.PositiveInfinity
+    else Double.NaN
+  }
+
+  def writeTo(out: DataOutputStream): Unit = {
+    flush()
+    out.writeInt(maxBins)
+    out.writeLong(negInf); out.writeLong(posInf); out.writeLong(nan)
+    out.writeLong(finiteTotal)
+    out.writeDouble(finiteMin); out.writeDouble(finiteMax)
+    out.writeInt(nBins)
+    var i = 0
+    while (i < nBins) {
+      out.writeDouble(centroids(i)); out.writeLong(weights(i)); i += 1
+    }
+  }
+}
+
+object BinnedDigest {
+  /** ~0.05 % worst-case quantile error; 32 KiB per buffer. */
+  val DefaultBins = 2048
+
+  def readFrom(in: DataInputStream): BinnedDigest = {
+    val d = new BinnedDigest(in.readInt())
+    d.negInf = in.readLong(); d.posInf = in.readLong(); d.nan = in.readLong()
+    val finTotal = in.readLong()
+    d.finiteMin = in.readDouble(); d.finiteMax = in.readDouble()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val v = in.readDouble(); val w = in.readLong()
+      d.add(v, w); i += 1
+    }
+    // bin weights sum exactly to finiteTotal and centroids sit inside
+    // [finiteMin, finiteMax], so the adds above restored both; assign the
+    // serialized total anyway to keep the invariant explicit
+    d.finiteTotal = finTotal
+    d
+  }
+}
+
+/** Aggregation buffer for [[ExactPercentile]]: an exact value→count
+  * histogram up to `maxDistinct` distinct doubles, spilling irreversibly
+  * to a [[BinnedDigest]] beyond it. The spill walks the exact histogram's
+  * (value, count) pairs as WEIGHTED digest adds — O(maxDistinct), never
+  * O(row count) — so a skewed column can't stall migration. Once either
+  * side of a merge is approximate the merged buffer is approximate.
+  */
+final class PctBuffer(val maxDistinct: Int) {
+  var exact: DoubleCounts = new DoubleCounts()
+  var digest: BinnedDigest = null
+
+  def isApprox: Boolean = digest != null
+
+  def add(bits: Long, n: Long): Unit = {
+    if (digest != null) digest.add(java.lang.Double.longBitsToDouble(bits), n)
+    else {
+      exact.add(bits, n)
+      if (exact.size > maxDistinct) spill()
+    }
+  }
+
+  private def spill(): Unit = {
+    val d = new BinnedDigest(BinnedDigest.DefaultBins)
+    exact.foreach((k, n) => d.add(java.lang.Double.longBitsToDouble(k), n))
+    digest = d
+    exact = null
+  }
+
+  def merge(other: PctBuffer): Unit = {
+    if (other.digest != null) {
+      if (digest == null) spill()
+      digest.mergeFrom(other.digest)
+    } else if (digest != null) {
+      other.exact.foreach((k, n) =>
+        digest.add(java.lang.Double.longBitsToDouble(k), n))
+    } else {
+      other.exact.foreach((k, n) => add(k, n))
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(64)
+    val out = new DataOutputStream(bos)
+    out.writeInt(maxDistinct)
+    if (digest != null) { out.writeByte(1); digest.writeTo(out) }
+    else { out.writeByte(0); exact.writeTo(out) }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object PctBuffer {
+  def deserialize(bytes: Array[Byte]): PctBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val b = new PctBuffer(in.readInt())
+    if (in.readByte() == 1) { b.digest = BinnedDigest.readFrom(in); b.exact = null }
+    else b.exact = DoubleCounts.readFrom(in)
+    b
   }
 }
 
@@ -90,18 +319,31 @@ object DoubleCounts {
   * cardinality numeric columns (where the map holds ~one entry per row)
   * this is the difference between an allocation per input row and none.
   *
-  * Interpolation parity with the built-in is pinned by a randomized
-  * equality spec (PropertySpec) and by the five oracle queries whose
-  * values flow through it (IQR/MAD/iforest outliers, fill_median,
-  * scaling stats). Callers cast the child to DOUBLE, matching how
-  * `graft.ops.Stats` always invoked the built-in.
+  * The buffer is BOUNDED (SURVEY §4.2's 100 TB profile): beyond
+  * `maxDistinct` distinct values it spills to a fixed-size merging digest
+  * (±~0.05 % of the mass per quantile) instead of growing without limit —
+  * a continuous double column with billions of distincts costs O(2048)
+  * per partial, not an executor OOM. The bound is the optional third
+  * argument `graft_percentile(col, p, maxDistinct)`; two-argument calls
+  * read `spark.graft.percentile.maxDistinct` (default 2^20 ≈ 10^6, ~32 MiB
+  * peak per column-partial) at resolution time. Oracle-facing runs stay
+  * exact because TPC-H-ish column cardinalities sit far below the bound;
+  * set the conf lower only when approximate quantiles are acceptable.
+  *
+  * Interpolation parity with the built-in (exact mode) is pinned by a
+  * randomized equality spec (PropertySpec) and by the five oracle queries
+  * whose values flow through it (IQR/MAD/iforest outliers, fill_median,
+  * scaling stats); the spill path is pinned by ApproxPercentileSpec.
+  * Callers cast the child to DOUBLE, matching how `graft.ops.Stats`
+  * always invoked the built-in.
   */
 case class ExactPercentile(
     child: Expression,
     percentageExpression: Expression,
+    maxDistinct: Int = ExactPercentile.DefaultMaxDistinct,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DoubleCounts] {
+  extends TypedImperativeAggregate[PctBuffer] {
 
   private lazy val returnArray =
     percentageExpression.dataType.isInstanceOf[ArrayType]
@@ -123,6 +365,8 @@ case class ExactPercentile(
       TypeCheckResult.TypeCheckFailure("percentage must be foldable")
     else if (percentages.exists(p => p < 0.0 || p > 1.0))
       TypeCheckResult.TypeCheckFailure("percentage must be in [0, 1]")
+    else if (maxDistinct < 1)
+      TypeCheckResult.TypeCheckFailure("maxDistinct must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -131,9 +375,9 @@ case class ExactPercentile(
   override def nullable: Boolean = true
   override def prettyName: String = "graft_percentile"
 
-  override def createAggregationBuffer(): DoubleCounts = new DoubleCounts()
+  override def createAggregationBuffer(): PctBuffer = new PctBuffer(maxDistinct)
 
-  override def update(buffer: DoubleCounts, input: InternalRow): DoubleCounts = {
+  override def update(buffer: PctBuffer, input: InternalRow): PctBuffer = {
     val v = child.eval(input)
     if (v != null) {
       buffer.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
@@ -141,20 +385,23 @@ case class ExactPercentile(
     buffer
   }
 
-  override def merge(buffer: DoubleCounts, other: DoubleCounts): DoubleCounts = {
-    other.foreach { (k, n) => buffer.add(k, n) }
+  override def merge(buffer: PctBuffer, other: PctBuffer): PctBuffer = {
+    buffer.merge(other)
     buffer
   }
 
-  override def eval(buffer: DoubleCounts): Any = {
-    val m = buffer.size
+  override def eval(buffer: PctBuffer): Any =
+    if (buffer.isApprox) evalApprox(buffer.digest) else evalExact(buffer.exact)
+
+  private def evalExact(hist: DoubleCounts): Any = {
+    val m = hist.size
     if (m == 0) return null
     // sort distinct values ascending (total order: -0.0 < 0.0, NaN last —
     // same result positions as the built-in's physical double ordering)
     val vals = new Array[Double](m)
     val cnts = new Array[Long](m)
     var i = 0
-    buffer.foreach { (k, n) =>
+    hist.foreach { (k, n) =>
       vals(i) = java.lang.Double.longBitsToDouble(k); cnts(i) = n; i += 1
     }
     val idx = (0 until m).sortBy(i => vals(i))(Ordering.Double.TotalOrdering)
@@ -189,9 +436,26 @@ case class ExactPercentile(
     if (returnArray) new GenericArrayData(out) else out(0)
   }
 
-  override def serialize(buffer: DoubleCounts): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): DoubleCounts =
-    DoubleCounts.deserialize(bytes)
+  private def evalApprox(d: BinnedDigest): Any = {
+    val total = d.totalCount
+    if (total == 0) return null
+    def at(position: Double): Double = {
+      val lower = math.floor(position).toLong
+      val higher = math.ceil(position).toLong
+      val lowerVal = d.valueAtRank(lower)
+      if (lower == higher) return lowerVal
+      val higherVal = d.valueAtRank(higher)
+      if (higherVal == lowerVal) lowerVal
+      else (higher - position) * lowerVal + (position - lower) * higherVal
+    }
+    val maxPosition = total - 1
+    val out = percentages.map(p => at(p * maxPosition))
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  override def serialize(buffer: PctBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): PctBuffer =
+    PctBuffer.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentile =
     copy(mutableAggBufferOffset = newOffset)
@@ -203,12 +467,35 @@ case class ExactPercentile(
 }
 
 object ExactPercentile {
-  /** Idempotently register `graft_percentile(col, p | array<p>)` in the
+  /** Exact-mode distinct budget per column-partial (~32 MiB peak). */
+  val DefaultMaxDistinct: Int = 1 << 20
+
+  /** Conf key for two-argument `graft_percentile` calls. */
+  val MaxDistinctKey = "spark.graft.percentile.maxDistinct"
+
+  private def confMaxDistinct: Int =
+    try SQLConf.get.getConfString(MaxDistinctKey, DefaultMaxDistinct.toString).toInt
+    catch { case _: NumberFormatException => DefaultMaxDistinct }
+
+  /** Idempotently register
+    * `graft_percentile(col, p | array<p> [, maxDistinct])` in the
     * session's function registry so expression code can reach it via
     * `call_function`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_percentile",
-      (args: Seq[Expression]) => ExactPercentile(args.head, args(1)),
+      (args: Seq[Expression]) => {
+        val bound = if (args.length >= 3) {
+          args(2).eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"maxDistinct must be a foldable integer, got $other")
+          }
+        } else confMaxDistinct
+        ExactPercentile(args.head, args(1), bound)
+      },
       "scala_udf")
 }

@@ -18,9 +18,12 @@ import graft.util.Exprs._
   * nulls at pipeline runtime.
   *
   * Scale notes: all medians for all numeric columns are collected in ONE
-  * aggregation job (exact `percentile`; switch to `percentile_approx` for
-  * the 100 TB profile where a 0.1% error is acceptable), then applied as a
-  * single projection — two Spark jobs total regardless of column count.
+  * aggregation job, then applied as a single projection — two Spark jobs
+  * total regardless of column count. The percentile buffer is BOUNDED:
+  * beyond `spark.graft.percentile.maxDistinct` distinct values per column
+  * it spills to a fixed-size digest (±~0.05 % — see
+  * [[graft.functions.ExactPercentile]]), so a continuous double column at
+  * the 100 TB profile cannot OOM an executor; small/oracle runs stay exact.
   */
 object Sanitize extends Op {
   val name = "sanitize"

@@ -13,8 +13,10 @@ import graft.util.Exprs._
   * job count is bounded by the operator, not by the column count, which is
   * what keeps a 1000-column 100 TB table at O(1) scans per operator.
   *
-  * Statistics are NEED-based: exact `percentile` is an object-hash
-  * aggregate holding a value→count map per column, so an operator that
+  * Statistics are NEED-based: the percentile aggregate holds a value→count
+  * histogram per column (bounded — it spills to a fixed-size digest above
+  * `spark.graft.percentile.maxDistinct` distincts, see
+  * [[graft.functions.ExactPercentile]]), so an operator that
   * only needs mean/std must not pay for three quantile buffers. All
   * requested quantiles of a column share ONE buffer via
   * `percentile(col, array(...))`.

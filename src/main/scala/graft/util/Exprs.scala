@@ -115,8 +115,10 @@ object Exprs {
   }
 
   /** Exact interpolating percentile (pandas/duckdb `quantile_cont`
-    * semantics). Exact by design for oracle parity — `percentile_approx`
-    * is the documented 100 TB switch (SURVEY.md §4.2). Routed through
+    * semantics). Exact by design for oracle parity up to
+    * `spark.graft.percentile.maxDistinct` distinct values per buffer,
+    * beyond which it degrades to a bounded digest (the 100 TB guard,
+    * SURVEY.md §4.2). Routed through
     * [[graft.functions.ExactPercentile]], the primitive-buffer twin of the
     * built-in (same interpolation, no per-row boxing). */
   def pctl(c: Column, p: Double): Column = {
