@@ -130,8 +130,24 @@ object Bench {
     // results file. We wrote both formats, so a targeted regex is a safe
     // parse; only q_-prefixed keys can match a query name.
     val sfBase = new java.io.File(sfDir).getName
-    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST",
-      s"bench_history_$sfBase.json")
+    // The default history path is repo-root-anchored, not CWD-relative:
+    // running Bench from another directory must not silently read an
+    // empty baseline (disabling the contention re-time) and strand a new
+    // history file elsewhere. Walk up from CWD to the first directory
+    // holding build.sbt; warn and fall back to CWD if none is found.
+    val histFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_HIST", {
+      def findRoot(d: java.io.File): Option[java.io.File] =
+        if (d == null) None
+        else if (new java.io.File(d, "build.sbt").exists()) Some(d)
+        else findRoot(d.getParentFile)
+      val cwd = new java.io.File(".").getAbsoluteFile
+      val root = findRoot(cwd).getOrElse {
+        System.err.println(
+          s"[bench] no build.sbt above $cwd; bench history is CWD-relative")
+        cwd
+      }
+      new java.io.File(root, s"bench_history_$sfBase.json").getPath
+    })
     val prev: Map[String, Double] = {
       def parse(path: String, requireSf: Option[String]) =
         try parseQueryTimes(
@@ -175,12 +191,14 @@ object Bench {
     val failed = timed.collect { case (k, (_, false)) => k }.toSeq
     // Contention self-diagnosis (four rounds of driver benches have had
     // single-query rows poisoned by sandbox load): any SUCCESSFUL query
-    // ≥3× its best-known time AND over a second is re-timed once; both
+    // ≥2× its best-known time AND over a second is re-timed once; both
     // values go in the results file so a contended first run is machine-
-    // detectable instead of a phantom regression.
+    // detectable instead of a phantom regression. (Gate lowered from 3×
+    // after a 2.9× row escaped diagnosis in a prior round — a few extra
+    // re-runs buy attribution for every ≥2× outlier.)
     val retimed: Map[String, (Double, Double)] = timed.flatMap {
       case (name, (t, true)) => prev.get(name) match {
-        case Some(p) if p > 0 && t > 1.0 && t > 3 * p =>
+        case Some(p) if p > 0 && t > 1.0 && t > 2 * p =>
           val before = graft.util.CacheHygiene.snapshot(spark)
           val (t2, ok2) = timeOne(SparkEntry.queries(name))
           graft.util.CacheHygiene.releaseNew(spark, before)

@@ -61,6 +61,13 @@ final class DoubleCounts(initialCapacity: Int = 1 << 10) {
     }
   }
 
+  /** Count for `bits` (0 when absent). */
+  def get(bits: Long): Long = {
+    var i = mix(bits)
+    while (counts(i) != 0 && keys(i) != bits) i = (i + 1) & (cap - 1)
+    counts(i)
+  }
+
   def writeTo(out: DataOutputStream): Unit = {
     out.writeInt(used)
     foreach { (k, n) => out.writeLong(k); out.writeLong(n) }
@@ -396,20 +403,28 @@ case class ExactPercentile(
   private def evalExact(hist: DoubleCounts): Any = {
     val m = hist.size
     if (m == 0) return null
-    // sort distinct values ascending (total order: -0.0 < 0.0, NaN last —
-    // same result positions as the built-in's physical double ordering)
-    val vals = new Array[Double](m)
-    val cnts = new Array[Long](m)
+    // Sort distinct values ascending (total order: -0.0 < 0.0, NaN last —
+    // same result positions as the built-in's physical double ordering).
+    // The raw-bits keys are made SIGNED-sortable (negatives: flip the 63
+    // value bits) so a primitive Arrays.sort replaces a boxed sortBy —
+    // on a ~600 k-distinct column that removes ~1.2 M boxed allocations
+    // per eval; counts are re-read from the open hash map afterwards.
+    val sortKeys = new Array[Long](m)
     var i = 0
-    hist.foreach { (k, n) =>
-      vals(i) = java.lang.Double.longBitsToDouble(k); cnts(i) = n; i += 1
+    hist.foreach { (k, _) =>
+      sortKeys(i) = if (k < 0) k ^ 0x7fffffffffffffffL else k; i += 1
     }
-    val idx = (0 until m).sortBy(i => vals(i))(Ordering.Double.TotalOrdering)
-      .toArray
+    java.util.Arrays.sort(sortKeys)
+    val vals = new Array[Double](m)
     val cum = new Array[Long](m)
     var total = 0L
     i = 0
-    while (i < m) { total += cnts(idx(i)); cum(i) = total; i += 1 }
+    while (i < m) {
+      val bits = if (sortKeys(i) < 0) sortKeys(i) ^ 0x7fffffffffffffffL
+                 else sortKeys(i)
+      vals(i) = java.lang.Double.longBitsToDouble(bits)
+      total += hist.get(bits); cum(i) = total; i += 1
+    }
 
     // first sorted index whose cumulative count reaches `target`
     def indexAt(target: Long): Int = {
@@ -424,9 +439,9 @@ case class ExactPercentile(
     def at(position: Double): Double = {
       val lower = math.floor(position).toLong
       val higher = math.ceil(position).toLong
-      val lowerVal = vals(idx(indexAt(lower + 1)))
+      val lowerVal = vals(indexAt(lower + 1))
       if (lower == higher) return lowerVal
-      val higherVal = vals(idx(indexAt(higher + 1)))
+      val higherVal = vals(indexAt(higher + 1))
       if (higherVal == lowerVal) lowerVal
       else (higher - position) * lowerVal + (position - lower) * higherVal
     }

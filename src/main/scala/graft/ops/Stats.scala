@@ -39,25 +39,49 @@ object Stats {
       min: Option[Double], max: Option[Double],
       nNull: Long, n: Long)
 
-  /** ONE aggregation job over all `cols`, computing only what `need` asks. */
+  /** One aggregation SCAN PLAN over all `cols`, computing only what `need`
+    * asks — with one structural exception: when percentiles are requested
+    * ALONGSIDE moments/extremes, the statistics run as TWO agg jobs, not
+    * one. Mixing a typed-imperative aggregate (the percentile buffer) into
+    * the same Aggregate forces ObjectHashAggregateExec, which evaluates
+    * EVERY aggregate interpreted — avg/stddev/min/max lose whole-stage
+    * codegen and the combined pass costs more than both passes separately
+    * (measured at sf0.1 lineitem ×3 cols: 2.6 s combined vs 0.25 s codegen
+    * declarative + 1.2 s percentile). The split keeps the declarative job
+    * codegen'd; both jobs scan only the pruned columns, so the job count
+    * per operator stays O(1). */
   def numeric(df: DataFrame, cols: Seq[String], need: Need): Map[String, Num] = {
     if (cols.isEmpty) return Map.empty
     val wantQ = need.quantiles
     val wantMed = need.median || wantQ
     val pcts = if (wantQ) Seq(0.25, 0.5, 0.75) else Seq(0.5)
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+    val declAggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
       Seq(count(d).as(s"${c}__nn")) ++
         (if (need.moments) Seq(avg(d).as(s"${c}__mean"),
           stddev_samp(d).as(s"${c}__ssd"), stddev_pop(d).as(s"${c}__psd"))
          else Nil) ++
         (if (need.extremes) Seq(min(d).as(s"${c}__min"), max(d).as(s"${c}__max"))
-         else Nil) ++
-        (if (wantMed) Seq(call_function("graft_percentile", d,
-          array(pcts.map(lit): _*)).as(s"${c}__pct")) else Nil)
+         else Nil)
     }
+    val pctAggs =
+      if (wantMed) cols.map { c =>
+        call_function("graft_percentile", col(c).cast(DoubleType),
+          array(pcts.map(lit): _*)).as(s"${c}__pct")
+      } else Nil
     graft.functions.ExactPercentile.register(df.sparkSession)
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val split = pctAggs.nonEmpty && (need.moments || need.extremes)
+    val (row, pctRow) =
+      if (split)
+        (df.agg(declAggs.head, declAggs.tail: _*).head(),
+          df.agg(pctAggs.head, pctAggs.tail: _*).head())
+      else {
+        // single job: either no percentile, or percentile + counts only
+        // (counts are cheap even interpreted; a second scan isn't)
+        val aggs = declAggs ++ pctAggs
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        (r, r)
+      }
     val total = row.getLong(row.fieldIndex("__n"))
     def get(n: String): Option[Double] = {
       val i = row.fieldIndex(n)
@@ -67,9 +91,9 @@ object Stats {
       val pct: Seq[Option[Double]] =
         if (!wantMed) Nil
         else {
-          val i = row.fieldIndex(s"${c}__pct")
-          if (row.isNullAt(i)) pcts.map(_ => None)
-          else row.getSeq[Double](i).map(Option(_))
+          val i = pctRow.fieldIndex(s"${c}__pct")
+          if (pctRow.isNullAt(i)) pcts.map(_ => None)
+          else pctRow.getSeq[Double](i).map(Option(_))
         }
       val (q1, med, q3) =
         if (wantQ) (pct(0), pct(1), pct(2))

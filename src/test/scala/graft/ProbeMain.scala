@@ -2,17 +2,19 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.dedup.NearDup
+import org.apache.spark.sql.types.DoubleType
+import graft.ops.Stats
 
 // Throwaway profiling probe — test scope only, never ships in the library
 // artifact. Run with: sbt "Test/runMain graft.ProbeMain".
-// Stage timings use queryExecution.toRdd.count() — a plain count() lets
-// Catalyst prune the very projections being measured.
+// Current target: q_scaling_stats (3.6 s idle vs 1.79 s best-known) —
+// attribute the regression between the Stats.numeric percentile pass and
+// the skew/kurtosis pass, vs the built-in percentile as the yardstick.
 object ProbeMain {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val r = f
-    println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    println(f"[probe] $label%-36s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     r
   }
   def main(args: Array[String]): Unit = {
@@ -24,44 +26,59 @@ object ProbeMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup
     spark.read.parquet(s"$dir/nation.parquet").groupBy("n_regionkey")
       .agg(count("*")).collect()
 
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text")
-    val mutated = d.select((col("doc_id") + 1000000).as("doc_id"),
-      regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
-        .as("text"))
-    val corpus = d.unionAll(mutated)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    println(s"[probe] rows = ${li.count()}")
+    val distinct = li.agg(
+      countDistinct(col("l_quantity")).as("q"),
+      countDistinct(col("l_extendedprice")).as("p"),
+      countDistinct(col("l_discount")).as("d")).head()
+    println(s"[probe] distincts = $distinct")
 
-    val sigDf = time("ophSignatures materialize") {
-      val s = NearDup.ophSignatures(corpus, "text", "doc_id", 64, 3)
-        .select("__id", "__sig", "__sh").cache()
-      println(s"[probe]   sig rows = ${s.queryExecution.toRdd.count()}")
-      s
-    }
-    time("ophSignatures cached pass") {
-      println(s"[probe]   sig rows = ${sigDf.queryExecution.toRdd.count()}")
-    }
-    val full = time("full minhashPairs") {
-      val p = NearDup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
-        .cache()
-      println(s"[probe]   pairs = ${p.queryExecution.toRdd.count()}")
-      p
-    }
-    // pairs are cached above, so this really is propagation-only cost
-    time("clusters (propagation only)") {
-      val c = NearDup.clusters(full)
-      println(s"[probe]   labels = ${c.queryExecution.toRdd.count()}")
-    }
-    // CacheManager matches canonicalized plans — the rebuilt pipeline would
-    // silently reuse the caches above unless they are dropped first
-    spark.catalog.clearCache()
-    time("clusters end-to-end (uncached)") {
-      val p = NearDup.minhashPairs(corpus, "text", "doc_id", threshold = 0.5)
-      val c = NearDup.clusters(p)
-      println(s"[probe]   labels = ${c.queryExecution.toRdd.count()}")
+    for (round <- 1 to 3) {
+      time(s"[$round] q_scaling_stats e2e") {
+        SparkEntry.queries("q_scaling_stats")(spark, dir).count()
+      }
+      time(s"[$round] q_datetime_parse e2e") {
+        SparkEntry.queries("q_datetime_parse")(spark, dir).count()
+      }
+      time(s"[$round] Stats.numeric full need") {
+        Stats.numeric(li, cols,
+          Stats.Need(moments = true, extremes = true, quantiles = true))
+      }
+      time(s"[$round] Stats.numeric moments only") {
+        Stats.numeric(li, cols, Stats.Need(moments = true, extremes = true))
+      }
+      time(s"[$round] Stats.numeric quantiles only") {
+        Stats.numeric(li, cols, Stats.Need(quantiles = true))
+      }
+      time(s"[$round] builtin percentile x3") {
+        li.agg(
+          percentile_approx(col(cols.head).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pa"),
+          call_function("percentile", col(cols(1)).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("p1"),
+          call_function("percentile", col(cols(2)).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("p2")).head()
+      }
+      time(s"[$round] builtin percentile all3") {
+        li.agg(
+          call_function("percentile", col(cols.head).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("p0"),
+          call_function("percentile", col(cols(1)).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("p1"),
+          call_function("percentile", col(cols(2)).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("p2")).head()
+      }
+      time(s"[$round] skew/kurt agg") {
+        val aggs = cols.flatMap(c => Seq(
+          skewness(col(c).cast(DoubleType)).as(s"${c}__sk"),
+          kurtosis(col(c).cast(DoubleType)).as(s"${c}__ku")))
+        li.agg(aggs.head, aggs.tail: _*).head()
+      }
     }
     spark.stop()
   }
