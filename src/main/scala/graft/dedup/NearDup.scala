@@ -565,8 +565,8 @@ object NearDup {
     // executor storage for the life of the session. The vector join-back
     // for survivors re-derives from the source (one extra pruned scan).
     // withVec drops rows without a vector (unscoreable, must not be fatal).
-    val vecDf = withVec(df, vecCol)
-      .select(col(idCol).as("__id"), toDoubleArr(col(vecCol)).as("__v"))
+    val vecDf = withVec(df, vecCol, "__v")
+      .select(col(idCol).as("__id"), col("__v"))
     val sigDf = vecDf
       .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
       .select("__id", "__sig")

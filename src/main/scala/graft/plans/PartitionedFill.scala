@@ -25,10 +25,16 @@ import graft.util.Exprs
   *     carry(p) — embarrassingly parallel, one row at a time, no window.
   *
   * Backward fill is the same algorithm over the reversed range order.
-  * Cost: two range-shuffle+sort passes (pass 1 and 2 each recompute the
-  * sort; at real scale persist the sorted frame between them). The per-row
-  * loop is genuine per-partition imperative logic — the one place
-  * SURVEY.md §7.4 calls for dropping below the DataFrame API.
+  * Cost: ONE range-shuffle+sort — the sorted RDD is staged DISK_ONLY
+  * (the NearDup convention for corpus-sized intermediates) before pass 1,
+  * whose collect materializes every partition, so pass 2 reads the staged
+  * copy instead of re-shuffling the table. The staged RDD follows the
+  * caller-unpersists contract ([[graft.util.CacheHygiene]]): Bench and
+  * Verify sweep it after consuming the result; an unswept copy ages out
+  * with the app, and re-evaluating the result after a sweep just
+  * recomputes the lineage. The per-row loop is genuine per-partition
+  * imperative logic — the one place SURVEY.md §7.4 calls for dropping
+  * below the DataFrame API.
   */
 object PartitionedFill {
 
@@ -56,9 +62,16 @@ object PartitionedFill {
     val fillIdx: Array[Int] = schema.fields.zipWithIndex
       .collect { case (f, i) if targets(f.name) => i }
 
+    // ONE shuffle+sort for both passes: pass 1's collect touches every
+    // partition, so the DISK_ONLY staging is fully written before pass 2
+    // reads it — at 100 TB the second range-shuffle this replaces IS the
+    // dominant cost of the operator
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
     // pass 1: last non-null per column per partition (raw values — the
     // carry INTO partition p is by definition a raw value from before it)
-    val lasts: Map[Int, Array[Any]] = sorted.rdd.mapPartitionsWithIndex {
+    val lasts: Map[Int, Array[Any]] = sortedRdd.mapPartitionsWithIndex {
       (pid, it) =>
         val last = Array.fill[Any](fillIdx.length)(null)
         it.foreach { r =>
@@ -81,8 +94,8 @@ object PartitionedFill {
     }
     val bc = spark.sparkContext.broadcast(carry)
 
-    // pass 2: seeded scan-carry fill
-    val filled = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // pass 2: seeded scan-carry fill, reading the staged sort
+    val filled = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val cur = bc.value(pid).clone()
       it.map { r =>
         val vals = r.toSeq.toArray

@@ -38,15 +38,20 @@ object Similarity {
   }
 
   /** Rows whose vector is fully present — non-null AND with no null
-    * elements. The check runs on the CAST array (same cast family every
-    * kernel consumes), so an element that only becomes null at cast time
-    * is caught too; a partially-null array would otherwise survive an
-    * isNotNull check and NPE the primitive Seq[Double] kernels. Dirty
-    * rows are the norm at corpus scale; a row without a scoreable vector
-    * is dropped, not errored — one bad embedding must never kill the
-    * job. Shared with [[graft.dedup.NearDup.embeddingPairs]]. */
-  private[graft] def withVec(df: DataFrame, vecCol: String): DataFrame =
-    df.where(vecOkUdf(toDoubleArr(col(vecCol))))
+    * elements — with the CAST array projected ONCE as `castAs`. The check
+    * runs on the cast array (same cast family every kernel consumes), so
+    * an element that only becomes null at cast time is caught too; a
+    * partially-null array would otherwise survive an isNotNull check and
+    * NPE the primitive Seq[Double] kernels. Callers consume `castAs`
+    * downstream instead of re-casting — the cast/transform must not run
+    * twice per corpus row on hot scan paths. Dirty rows are the norm at
+    * corpus scale; a row without a scoreable vector is dropped, not
+    * errored — one bad embedding must never kill the job. Shared with
+    * [[graft.dedup.NearDup.embeddingPairs]]. */
+  private[graft] def withVec(df: DataFrame, vecCol: String,
+      castAs: String): DataFrame =
+    df.withColumn(castAs, toDoubleArr(col(vecCol)))
+      .where(vecOkUdf(col(castAs)))
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
@@ -88,11 +93,11 @@ object Similarity {
     // norms hoisted to per-ROW projections before the join — inlining
     // cosine() would recompute both norms once per PAIR. Same arithmetic
     // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
-    val c = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
-      toDoubleArr(col(vecCol)).as("c_vec"))
+    val c = withVec(corpus, vecCol, "c_vec")
+      .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val q = withVec(queries, vecCol).select(col(idCol).as("query_id"),
-      toDoubleArr(col(vecCol)).as("q_vec"))
+    val q = withVec(queries, vecCol, "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec"))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("query_id"))
@@ -161,12 +166,12 @@ object Similarity {
     val r = planes / bands
     // band key = (band index, the band's bits of the signature)
     val sig = signatureUdf(dim, planes)
-    val cSig = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
-      toDoubleArr(col(vecCol)).as("c_vec"))
+    val cSig = withVec(corpus, vecCol, "c_vec")
+      .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__sig", sig(col("c_vec")))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val qSig = withVec(queries, vecCol).select(col(idCol).as("query_id"),
-      toDoubleArr(col(vecCol)).as("q_vec"))
+    val qSig = withVec(queries, vecCol, "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec"))
       .withColumn("__sig", sig(col("q_vec")))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val cBand = cSig.withColumn("__band",
@@ -272,7 +277,7 @@ object Similarity {
     // distributed fit (e.g. MLlib KMeans) buys nothing here and costs
     // several extra jobs per build.
     val sample: Array[Array[Double]] =
-      withVec(corpus, vecCol).select(toDoubleArr(col(vecCol)).as("__v"),
+      withVec(corpus, vecCol, "__v").select(col("__v"),
           xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
         .orderBy(col("__h"), col("__id"))
         .limit(math.max(nlist * 256, 4096))
@@ -294,12 +299,12 @@ object Similarity {
         .sortBy(i => dist2(v, bc.value(i)))
         .take(math.min(nprobe, bc.value.length))
     }
-    val c = withVec(corpus, vecCol).select(col(idCol).as("c_id"),
-        toDoubleArr(col(vecCol)).as("c_vec"))
+    val c = withVec(corpus, vecCol, "c_vec")
+      .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__cell", assignUdf(col("c_vec")))
       .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
-    val q = withVec(queries, vecCol).select(col(idCol).as("query_id"),
-        toDoubleArr(col(vecCol)).as("q_vec"))
+    val q = withVec(queries, vecCol, "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec"))
       .withColumn("__cell", explode(probeUdf(col("q_vec"))))
       .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
     val scored = c.join(broadcast(q), Seq("__cell"))

@@ -39,8 +39,12 @@ class ClustersPropSpec extends SparkSpec {
         if (a == b) (a, (b + 1) % n) else (a, b)
       }
       val expected = unionFindLabels(n, edges)
-      val got = NearDup.clusters(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // clusters returns its labels frame CACHED (caller-unpersists
+      // contract) — release per iteration or the suite JVM accumulates
+      // 20 pinned frames
+      val labels = NearDup.clusters(edges.toDF("id_a", "id_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.unpersist(false)
       assert(got == expected,
         s"seed=$seed n=$n m=$m mismatch: " +
           (got.toSet diff expected.toSet).take(5).toString)

@@ -10,6 +10,16 @@ import graft.streaming.Events
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Several tests consume pair/cluster results that come back CACHED
+    * (caller-unpersists contract) — sweep after every test so persisted
+    * frames can't accumulate across the suite JVM. The hygiene test below
+    * still sees its own persists: the sweep runs after each test body. */
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try super.withFixture(test)
+    finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("token counts, ratios, fingerprint") {
     val df = Seq((1L, "Hello world!"), (2L, ""), (3L, "a  b   c")).toDF("id", "t")
     val out = df.select($"id",

@@ -7,6 +7,13 @@ import graft.plans.PartitionedFill
 class PartitionedFillSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Every fill stages its sorted RDD (caller-unpersists contract) — sweep
+    * so persisted storage can't accumulate across the suite JVM. */
+  private def sweeping[A](f: => A): A = {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try f finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   // long null runs force carries across several partition boundaries; the
   // leading run checks the "no carry yet" seed; mixed types check the
   // generic row path
@@ -27,26 +34,49 @@ class PartitionedFillSpec extends SparkSpec {
       orderCol = Some("id"))(frame.coalesce(1)).df
 
   test("partitioned ffill matches the global-window fill exactly") {
-    val expect = windowed(forward = true).orderBy("id").collect()
-    val got = PartitionedFill.ffill(frame, "id", numPartitions = 7)
-      .orderBy("id").collect()
-    assert(got.toSeq == expect.toSeq)
+    sweeping {
+      val expect = windowed(forward = true).orderBy("id").collect()
+      val got = PartitionedFill.ffill(frame, "id", numPartitions = 7)
+        .orderBy("id").collect()
+      assert(got.toSeq == expect.toSeq)
+    }
   }
 
   test("partitioned bfill matches the global-window fill exactly") {
-    val expect = windowed(forward = false).orderBy("id").collect()
-    val got = PartitionedFill.bfill(frame, "id", numPartitions = 7)
-      .orderBy("id").collect()
-    assert(got.toSeq == expect.toSeq)
+    sweeping {
+      val expect = windowed(forward = false).orderBy("id").collect()
+      val got = PartitionedFill.bfill(frame, "id", numPartitions = 7)
+        .orderBy("id").collect()
+      assert(got.toSeq == expect.toSeq)
+    }
   }
 
   test("no single-partition exchange in the partitioned plan") {
-    val plan = PartitionedFill.ffill(frame, "id", numPartitions = 7)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"))
+    sweeping {
+      val plan = PartitionedFill.ffill(frame, "id", numPartitions = 7)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"))
+    }
+  }
+
+  test("the sorted stage is persisted DISK_ONLY once and sweepable") {
+    import org.apache.spark.storage.StorageLevel
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val out = PartitionedFill.ffill(frame, "id", numPartitions = 7)
+    val fresh = spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+    // exactly ONE staged intermediate (the sorted frame shared by both
+    // passes), on disk only — never executor memory at corpus size
+    assert(fresh.size == 1, s"expected 1 staged RDD, got ${fresh.size}")
+    assert(fresh.values.head.getStorageLevel == StorageLevel.DISK_ONLY)
+    out.count() // pass 2 consumes the staged copy
+    assert(graft.util.CacheHygiene.releaseNew(spark, before) == 1)
+    // result survives the sweep (lineage recompute)
+    assert(out.orderBy("id").count() == 200)
   }
 
   test("fill op routes by partition count: window only when single-partition") {
+    sweeping {
     val multi = MissingValues("forward_fill", orderCol = Some("id"))(frame).df
     assert(!multi.queryExecution.executedPlan.toString.contains("Window"))
     val single = MissingValues("forward_fill",
@@ -55,13 +85,16 @@ class PartitionedFillSpec extends SparkSpec {
     // routed result still equals the windowed result
     assert(multi.orderBy("id").collect().toSeq ==
       windowed(forward = true).orderBy("id").collect().toSeq)
+    }
   }
 
   test("more partitions than rows degrades gracefully") {
-    val tiny = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 5.0))
-      .toDF("id", "x")
-    val out = PartitionedFill.bfill(tiny, "id", numPartitions = 8)
-      .orderBy("id").collect()
-    assert(out.map(_.getDouble(1)).toSeq == Seq(5.0, 5.0))
+    sweeping {
+      val tiny = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 5.0))
+        .toDF("id", "x")
+      val out = PartitionedFill.bfill(tiny, "id", numPartitions = 8)
+        .orderBy("id").collect()
+      assert(out.map(_.getDouble(1)).toSeq == Seq(5.0, 5.0))
+    }
   }
 }

@@ -131,6 +131,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("partitioned fill equals the window fill on random null patterns") {
+    val before = graft.util.CacheHygiene.snapshot(spark)
     val gen = Gen.listOfN(60, Gen.option(Gen.chooseNum(-100.0, 100.0)))
     for ((xs, round) <- samples(gen, 4).zipWithIndex) {
       val df = xs.zipWithIndex.map { case (x, i) =>
@@ -146,6 +147,8 @@ class PropertySpec extends SparkSpec {
       val gotB = graft.plans.PartitionedFill.bfill(df, "id",
         numPartitions = 3 + round).orderBy("id").collect().toSeq
       assert(gotB == expectB, s"bfill mismatch, round $round")
+      // each fill stages its sorted RDD (caller-unpersists contract)
+      graft.util.CacheHygiene.releaseNew(spark, before)
     }
   }
 
