@@ -65,6 +65,41 @@ object Profile {
     DatasetProfile(nRows, cs.length, nDup, cols.map(_.estBytes).sum, cols, sample)
   }
 
+  /** The sample-rows + dtypes half of the profile envelope
+    * (`pipeline.py:459-475` returns `head(5)` and per-column dtypes) as an
+    * oracle-able long frame: `kind` = "dtype" rows carry each column's
+    * Spark simpleString type, `kind` = "sample" rows melt the first
+    * `sampleRows` rows one (row_idx, column_name) per output row. Numeric
+    * values travel in `value_num` (native doubles — no string-format
+    * drift against an external engine), everything else stringifies into
+    * `value_str`. Pass an ORDERED frame for a deterministic sample — an
+    * orderBy upstream turns the limit into TakeOrderedAndProject, which
+    * is also the 100 TB shape (per-partition top-N, no global sort). */
+  def sampleAsDataFrame(df: DataFrame, sampleRows: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cs = df.columns.toSeq
+    val rows = df.limit(sampleRows).collect()
+    val dtypes = cs.map(c => ("dtype", 0L, c, Option.empty[Double],
+      Option(df.schema(c).dataType.simpleString)))
+    val samples = rows.toSeq.zipWithIndex.flatMap { case (r, i) =>
+      cs.map { c =>
+        val v = r.get(r.fieldIndex(c))
+        df.schema(c).dataType match {
+          case _: NumericType =>
+            ("sample", i + 1L, c,
+              Option(v).map(_.asInstanceOf[Number].doubleValue()),
+              Option.empty[String])
+          case _ =>
+            ("sample", i + 1L, c, Option.empty[Double],
+              Option(v).map(_.toString))
+        }
+      }
+    }
+    (dtypes ++ samples)
+      .toDF("kind", "row_idx", "column_name", "value_num", "value_str")
+  }
+
   /** DataFrame form of the per-column profile — oracle-able: one row per
     * column (column_name, n_missing) plus pseudo-rows for the row,
     * duplicate and estimated-content-byte counts. */

@@ -400,6 +400,13 @@ object SparkEntry {
       Profile.asDataFrame(c).orderBy("column_name")
     }),
 
+    // §2.1 profiler sample rows + dtypes (the rest of the S4 envelope,
+    // pipeline.py:459-475) — ordered input makes the 5-row sample
+    // deterministic and oracle-able
+    "q_profile_sample" -> ((s, dir) =>
+      Profile.sampleAsDataFrame(tbl(s, dir, "customer").orderBy("c_custkey"))
+        .orderBy("kind", "row_idx", "column_name")),
+
     // §2.9 drop_rows_threshold (keep rows with >= int(t*ncols) non-null)
     "q_missing_drop_rows_threshold" -> ((s, dir) =>
       MissingValues("drop_rows_threshold", threshold = 0.7)(
@@ -1494,6 +1501,28 @@ object SparkEntry {
          |   + COALESCE(sum(strlen(c_name)), 0)
          |   + COALESCE(sum(strlen(c_mktsegment)), 0) AS BIGINT) FROM t
          |) ORDER BY column_name""".stripMargin
-    }
+    },
+
+    // dtype literals below assert the profiler's reported Spark types for
+    // the parquet physical types (int64->bigint, int32->int, ...); sample
+    // values are compared natively (value_num as DOUBLE) so no float
+    // string-format drift
+    "q_profile_sample" ->
+      """WITH i AS (SELECT *, row_number() OVER (ORDER BY c_custkey) AS rid
+        |           FROM (SELECT * FROM customer ORDER BY c_custkey LIMIT 5))
+        |SELECT kind, row_idx, column_name, value_num, value_str FROM (
+        | SELECT 'dtype' AS kind, CAST(0 AS BIGINT) AS row_idx,
+        |   'c_custkey' AS column_name, CAST(NULL AS DOUBLE) AS value_num,
+        |   'bigint' AS value_str
+        | UNION ALL SELECT 'dtype', 0, 'c_name', NULL, 'string'
+        | UNION ALL SELECT 'dtype', 0, 'c_nationkey', NULL, 'int'
+        | UNION ALL SELECT 'dtype', 0, 'c_acctbal', NULL, 'double'
+        | UNION ALL SELECT 'dtype', 0, 'c_mktsegment', NULL, 'string'
+        | UNION ALL SELECT 'sample', rid, 'c_custkey', CAST(c_custkey AS DOUBLE), NULL FROM i
+        | UNION ALL SELECT 'sample', rid, 'c_name', NULL, c_name FROM i
+        | UNION ALL SELECT 'sample', rid, 'c_nationkey', CAST(c_nationkey AS DOUBLE), NULL FROM i
+        | UNION ALL SELECT 'sample', rid, 'c_acctbal', CAST(c_acctbal AS DOUBLE), NULL FROM i
+        | UNION ALL SELECT 'sample', rid, 'c_mktsegment', NULL, c_mktsegment FROM i
+        |) ORDER BY kind, row_idx, column_name""".stripMargin
   )
 }

@@ -43,6 +43,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out.where($"s" === "OTHER").count() == 1)
   }
 
+  test("fuzzy over-guard column is a no-op after one probe job, no collect") {
+    // 5000 distinct values, guard at 50: the HLL probe must reject the
+    // column in ONE job — without the groupBy shuffle + 51-row collect the
+    // pre-probe code paid just to discover the same no-op
+    val df = spark.range(5000)
+      .select($"id", concat(lit("val_"), $"id").as("s"))
+    def jobCount = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length
+    // AQE materializes each shuffle stage as its own job, which would make
+    // the count depend on planner internals — off, the probe agg is
+    // exactly one job and the skipped groupBy+collect would be a second
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val before = jobCount
+    val r = try TypoFix("fuzzy_match", columns = Seq("s"), maxDistinct = 50)(df)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the status store is fed asynchronously — wait for the probe job to
+    // land, then settle so an unexpected second job would surface
+    val deadline = System.currentTimeMillis + 5000
+    while (jobCount - before < 1 && System.currentTimeMillis < deadline)
+      Thread.sleep(50)
+    Thread.sleep(250)
+    assert(jobCount - before == 1,
+      s"expected only the HLL probe job, got ${jobCount - before}")
+    // the op returns the input frame unchanged (no replacement applied)
+    assert(r.df eq df)
+  }
+
   test("type conversion auto-detects numeric, boolean, datetime, category") {
     val df = Seq(
       ("1.5", "yes", "2024-01-02", "x"),
