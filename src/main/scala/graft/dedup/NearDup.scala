@@ -204,13 +204,14 @@ object NearDup {
     *   band-bucket, and the all-pairs candidate join inside that bucket
     *   is O(copies²). Buckets larger than `maxBucket` switch to
     *   star-shaped candidates — bucket-min ↔ member, O(copies) — see
-    *   [[bucketCandidates]] for the exact recall trade-off. Default
-    *   Int.MaxValue = disabled: zero extra cost, exact pair list. At
-    *   100 TB set it to ~10⁴ (the count pass it enables is one extra
-    *   shuffle of the bucket list). */
+    *   [[bucketCandidates]] for the exact recall trade-off. Default 0 =
+    *   AUTO ([[autoMaxBucket]] from the corpus row count): a caller at
+    *   100 TB no longer has to remember the guard to avoid the quadratic
+    *   path. Pass Int.MaxValue to disable (exact all-pairs, zero guard
+    *   cost), or an explicit bound to override the heuristic. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = Int.MaxValue): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
@@ -231,13 +232,17 @@ object NearDup {
     // sides re-read it.
     val sigAll = ophSignatures(df, textCol, idCol, numHashes, k)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // resolving the auto guard counts sigAll — which just materializes
+    // the DISK_ONLY store every downstream branch reads anyway
+    val mb = if (maxBucket > 0) maxBucket else autoMaxBucket(sigAll.count())
     val sigDf = sigAll.select("__id", "__sig").cache()
     val buckets = sigDf.select(col("__id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
         .as("__bucket"))
     // a pair can collide in many bands — dedup BEFORE any similarity work
-    val pairs = bucketCandidates(buckets, Seq("__bucket"), Nil, maxBucket)(identity)
+    val (pairs, staged) =
+      bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
     // Signature-agreement prefilter (64 long compares, estimator std at 64
     // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
     // candidate mass using only the memory-cached signatures; only the
@@ -268,8 +273,18 @@ object NearDup {
     // hygiene"). The RETURNED frame stays cached — the caller unpersists
     // it once consumed (Bench/Verify sweep new persists per query via
     // [[graft.util.CacheHygiene]]).
-    materializeAndRelease(out, Seq(sigDf, sigAll))
+    materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
   }
+
+  /** Skew-guard default when the caller passes `maxBucket = 0`: buckets
+    * beyond max(4096, min(65536, n/64)) members go star-shaped. The floor
+    * keeps the guard out of the way of any legitimate near-dup family at
+    * small corpus sizes; the ceiling says that at ANY corpus size a
+    * bucket with >65536 members is mass duplication (no real near-dup
+    * family has 65 k members) and caps the worst single-bucket all-pairs
+    * cost the engine will ever attempt. */
+  private[graft] def autoMaxBucket(n: Long): Int =
+    math.max(4096L, math.min(1L << 16, n / 64)).toInt
 
   /** Eagerly materializes `out` (cached), then releases the operator's
     * corpus-sized `intermediates` — ALWAYS, including when a job inside
@@ -302,10 +317,20 @@ object NearDup {
     * below threshold against the center loses its fringe links if NO
     * normal-sized bucket elsewhere catches them. Size `maxBucket` well
     * above any legitimate family (~10⁴) so the guard only fires where
-    * the alternative is a quadratic blow-up. */
+    * the alternative is a quadratic blow-up.
+    *
+    * Returns the pair frame plus the staged flag frame(s) the caller must
+    * release after its result materializes (the
+    * [[materializeAndRelease]] intermediates list). The flag frame is
+    * counted while staged and only BROADCAST under
+    * [[MaxFlagBroadcastRows]] — on a corpus where very many buckets sit
+    * just over `maxBucket`, an unconditional broadcast would itself be
+    * the driver/executor OOM; above the bound the join degrades to a
+    * plain shuffle join on the bucket key, which is always safe. */
   private[graft] def bucketCandidates(buckets: DataFrame, keyCols: Seq[String],
-      carry: Seq[String], maxBucket: Int)(
-      candFilter: DataFrame => DataFrame): DataFrame = {
+      carry: Seq[String], maxBucket: Int,
+      maxFlagBroadcast: Long = MaxFlagBroadcastRows)(
+      candFilter: DataFrame => DataFrame): (DataFrame, Seq[DataFrame]) = {
     require(maxBucket > 1, "a star needs a center and at least one member")
     def side(df: DataFrame, suf: String) =
       df.select(keyCols.map(c => col(c).as(s"$c$suf")) ++
@@ -316,23 +341,34 @@ object NearDup {
           col("id_a") < col("id_b"))
       candFilter(joined).select("id_a", "id_b")
     }
-    if (maxBucket == Int.MaxValue) allPairs(buckets).distinct()
+    if (maxBucket == Int.MaxValue) (allPairs(buckets).distinct(), Nil)
     else {
-      // oversized buckets are FEW (each a mass-duplicate family), so the
-      // flag frame broadcasts; ReuseExchange dedups the build across legs
+      // oversized buckets are normally FEW (each a mass-duplicate
+      // family); the flag frame is staged + counted so the broadcast
+      // decision is based on its actual size, and the count's agg pass is
+      // not re-run when the join consumes the staged copy
       val big = buckets.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
         .where(col("__n") > maxBucket)
         .select(keyCols.map(c => col(c).as(s"${c}__g")) :+ col("__min"): _*)
-      val flagged = buckets.join(broadcast(big),
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bigSide = if (big.count() <= maxFlagBroadcast) broadcast(big)
+                    else big
+      val flagged = buckets.join(bigSide,
         keyCols.map(c => col(c) === col(s"${c}__g")).reduce(_ && _), "left")
       val normal = allPairs(flagged.where(col("__min").isNull))
       val star = flagged.where(col("__min").isNotNull &&
           col("__id") =!= col("__min"))
         .select(col("__min").as("id_a"), col("__id").as("id_b"))
-      normal.unionAll(star).distinct()
+      (normal.unionAll(star).distinct(), Seq(big))
     }
   }
+
+  /** Flag-frame rows above which the skew guard stops broadcasting and
+    * shuffle-joins instead: 1 M (key + min-id) rows ≈ tens of MB — the
+    * README invariant that every broadcast is cardinality-guarded holds
+    * for the guard's own build side too. */
+  private[graft] val MaxFlagBroadcastRows = 1000000L
 
   /** Signature-agreement prefilter for [[minhashPairs]]: true when the
     * estimated Jaccard (fraction of agreeing signature positions) is at
@@ -549,11 +585,13 @@ object NearDup {
     *   the within-bucket candidate join goes O(copies²). Over the
     *   threshold, buckets emit star candidates (bucket-min ↔ member,
     *   linear) — see [[bucketCandidates]] for the exact recall
-    *   trade-off. Default disabled — exact pair list, zero extra cost. */
+    *   trade-off. Default 0 = AUTO ([[autoMaxBucket]] from the corpus
+    *   row count); Int.MaxValue disables (exact pair list, zero guard
+    *   cost). */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95,
       planes: Int = 16, bands: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = 0): DataFrame = {
     import graft.sim.Similarity._
     require(planes % bands == 0)
     val r = planes / bands
@@ -571,13 +609,16 @@ object NearDup {
       .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
       .select("__id", "__sig")
       .cache()
+    // resolving the auto guard counts sigDf — which just materializes the
+    // 16 B/row signature cache every downstream branch reads anyway
+    val mb = if (maxBucket > 0) maxBucket else autoMaxBucket(sigDf.count())
     val buckets = sigDf.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(lit): _*)).as("__band"))
       .withColumn("__bits",
         call_function("shiftright", col("__sig"), col("__band") * r)
           .bitwiseAND(lit((1L << r) - 1)))
-    val pairs = bucketCandidates(buckets, Seq("__band", "__bits"),
-      Seq("__sig"), maxBucket)(
+    val (pairs, staged) = bucketCandidates(buckets, Seq("__band", "__bits"),
+      Seq("__sig"), mb)(
       _.where(bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))) <= hammingMax))
     val out = pairs
       .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
@@ -588,6 +629,6 @@ object NearDup {
     // Same contract as [[minhashPairs]]: compute the small pair list now,
     // release the signature cache (even on failure), return the cached
     // result (caller unpersists once consumed).
-    materializeAndRelease(out, Seq(sigDf))
+    materializeAndRelease(out, Seq(sigDf) ++ staged)
   }
 }

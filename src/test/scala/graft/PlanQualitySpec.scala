@@ -109,12 +109,49 @@ class PlanQualitySpec extends SparkSpec {
     import spark.implicits._
     val buckets = (0 until 100).map(i => (i.toLong, i % 7))
       .toDF("__id", "__bucket")
-    val p = plan(NearDup.bucketCandidates(buckets, Seq("__bucket"), Nil,
-      maxBucket = 10)(identity))
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val (pairs, staged) = NearDup.bucketCandidates(buckets, Seq("__bucket"),
+      Nil, maxBucket = 10)(identity)
+    val p = plan(pairs)
     assert(p.contains("BroadcastHashJoin"),
       s"the oversized-bucket flag frame must broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"candidates must come from key joins only:\n$p")
+    assert(staged.size == 1, "the guard stages exactly the flag frame")
+    graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
+  test("auto maxBucket heuristic: floor 4096, n/64 midrange, ceiling 65536") {
+    assert(NearDup.autoMaxBucket(0) == 4096)
+    assert(NearDup.autoMaxBucket(1000) == 4096)
+    assert(NearDup.autoMaxBucket(1000000) == 15625)
+    assert(NearDup.autoMaxBucket(100000000L) == 65536)
+  }
+
+  test("an over-bound flag frame shuffle-joins instead of broadcasting") {
+    import spark.implicits._
+    // every 3-member bucket is "oversized" at maxBucket=2, so the flag
+    // frame has ~100 rows — over a 10-row broadcast bound it must fall
+    // back to a plain key join (the guard's own build side is
+    // cardinality-guarded like every other broadcast in the library)
+    val buckets = (0 until 300).map(i => (i.toLong, i % 100))
+      .toDF("__id", "__bucket")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    // auto-broadcast off: any tiny frame would otherwise broadcast by
+    // size estimate and mask whether the explicit hint was withheld
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (pairs, _) = NearDup.bucketCandidates(buckets, Seq("__bucket"),
+        Nil, maxBucket = 2, maxFlagBroadcast = 10)(identity)
+      val p = plan(pairs)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"an over-bound flag frame must not broadcast:\n$p")
+      // star semantics survive the strategy change: min ↔ member per bucket
+      assert(pairs.count() == 200)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      graft.util.CacheHygiene.releaseNew(spark, before)
+    }
   }
 
   test("ivf rerank broadcasts the probed queries, corpus never cross-joins") {
