@@ -410,6 +410,14 @@ object NearDup {
       }
     }
 
+  /** Edge bound under which [[clusters]] resolves on the driver: 2^21
+    * (id_a, id_b) longs ≈ 32 MB collected — the pair list is the SMALL
+    * output of the pair operators (already driver-safe to count), and a
+    * union-find over it beats log-diameter rounds of distributed joins
+    * by an order of magnitude in wall-clock. Above the bound the
+    * distributed propagation runs unchanged. */
+  private[graft] val MaxDriverEdges = 1L << 21
+
   /** Connected components over a near-dup pair list — the resolution step
     * between "similar pairs" and "which copies to drop": every paired id
     * maps to the SMALLEST id reachable through the pair graph (the
@@ -418,7 +426,17 @@ object NearDup {
     * pairs (a,b),(b,c) must land a, b, c in ONE cluster even when (a,c)
     * itself scored under the threshold.
     *
-    * Iterative min-label propagation WITH pointer jumping: each round
+    * Pair lists up to [[MaxDriverEdges]] resolve as a DRIVER union-find
+    * (path-halving + min-root union — the same guarded-driver-path
+    * pattern as the fuzzy dictionary): near-dup pair lists are tiny
+    * relative to their corpus, and at that size the distributed loop's
+    * per-round scheduling dominates its actual work. The count that
+    * routes is one job over a frame the pair operators return already
+    * cached. Larger graphs run the distributed propagation below;
+    * ClustersPropSpec drives BOTH paths against an independent oracle.
+    *
+    * Distributed path — iterative min-label propagation WITH pointer
+    * jumping: each round
     * takes the least of (own label, min neighbor label, label OF the
     * label). The third term is path doubling — label(label(id)) jumps
     * twice as far along the label chain every round — so rounds =
@@ -433,7 +451,10 @@ object NearDup {
     * row per id that appears in a pair; it is left persisted for the
     * caller's downstream joins (caller unpersists). */
   def clusters(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIters: Int = 20): DataFrame = {
+      bCol: String = "id_b", maxIters: Int = 20,
+      maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
+    if (pairs.count() <= maxDriverEdges)
+      return driverClusters(pairs, aCol, bCol)
     // Undirected edge list in ONE scan of `pairs`: a union of the forward
     // and reversed projections would execute the caller's (possibly
     // expensive, possibly un-cached) pair pipeline once per branch before
@@ -532,6 +553,44 @@ object NearDup {
       und.unpersist()
       if (!ok) persisted.unpersist()
     }
+  }
+
+  /** Driver-side resolution for pair lists under [[MaxDriverEdges]]:
+    * union-find with path halving, roots kept at the component MINIMUM so
+    * find() IS the canonical label. Same output contract as the
+    * distributed path — one (id, cluster) row per paired id, returned
+    * persisted and materialized (caller unpersists). */
+  private def driverClusters(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs
+      .select(col(aCol).cast(LongType), col(bCol).cast(LongType)).collect()
+    val parent = new scala.collection.mutable.LongMap[Long](
+      math.max(16, edges.length * 2))
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        val p = parent(x)
+        parent(x) = parent(p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      // min root wins: the representative is the smallest reachable id
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val ids = parent.keys.toArray // find() mutates; snapshot keys first
+    val out = ids.sorted.map(id => (id, find(id))).toSeq
+      .toDF("id", "cluster").persist()
+    out.count()
+    out
   }
 
   /** SimHash over whitespace tokens: bit b is set when the sum of ±1 votes

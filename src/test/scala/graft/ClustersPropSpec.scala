@@ -39,15 +39,21 @@ class ClustersPropSpec extends SparkSpec {
         if (a == b) (a, (b + 1) % n) else (a, b)
       }
       val expected = unionFindLabels(n, edges)
-      // clusters returns its labels frame CACHED (caller-unpersists
-      // contract) — release per iteration or the suite JVM accumulates
-      // 20 pinned frames
-      val labels = NearDup.clusters(edges.toDF("id_a", "id_b"))
-      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      labels.unpersist(false)
-      assert(got == expected,
-        s"seed=$seed n=$n m=$m mismatch: " +
-          (got.toSet diff expected.toSet).take(5).toString)
+      // BOTH resolution paths against the same oracle: the default
+      // driver union-find and the forced-distributed propagation
+      // (maxDriverEdges = -1 routes past the driver gate). clusters
+      // returns its labels frame CACHED (caller-unpersists contract) —
+      // release per iteration or the suite JVM accumulates pinned frames
+      for (forceDistributed <- Seq(false, true)) {
+        val labels = NearDup.clusters(edges.toDF("id_a", "id_b"),
+          maxDriverEdges =
+            if (forceDistributed) -1L else NearDup.MaxDriverEdges)
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        labels.unpersist(false)
+        assert(got == expected,
+          s"seed=$seed n=$n m=$m distributed=$forceDistributed mismatch: " +
+            (got.toSet diff expected.toSet).take(5).toString)
+      }
     }
   }
 }

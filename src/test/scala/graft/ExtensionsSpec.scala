@@ -104,14 +104,16 @@ class ExtensionsSpec extends SparkSpec {
     // the pre-r9 code returned silently WRONG labels at the 20-round cap;
     // pointer jumping converges in O(log 50) ≈ 6 rounds + 1 confirm
     val longChain = (0 until 50).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val labels = NearDup.clusters(longChain).collect()
+    // maxDriverEdges = -1 forces the DISTRIBUTED loop — pointer jumping
+    // and the convergence throw are its properties, not the driver path's
+    val labels = NearDup.clusters(longChain, maxDriverEdges = -1L).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(labels.length == 51 && labels.forall(_._2 == 0L),
       s"all 51 chained ids must label to 0, got ${labels.filter(_._2 != 0L).take(5).toSeq}")
     // a diameter the round budget genuinely cannot cover must FAIL LOUDLY,
     // never return mislabeled clusters
     val e = intercept[IllegalStateException] {
-      NearDup.clusters(longChain, maxIters = 2)
+      NearDup.clusters(longChain, maxIters = 2, maxDriverEdges = -1L)
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -39,11 +39,15 @@ object ProbeMain {
     println(s"[probe] distincts = $distinct")
 
     for (round <- 1 to 3) {
-      time(s"[$round] q_scaling_stats e2e") {
-        SparkEntry.queries("q_scaling_stats")(spark, dir).count()
+      time(s"[$round] q_neardup_clusters e2e") {
+        val before = graft.util.CacheHygiene.snapshot(spark)
+        SparkEntry.queries("q_neardup_clusters")(spark, dir).count()
+        graft.util.CacheHygiene.releaseNew(spark, before)
       }
-      time(s"[$round] q_datetime_parse e2e") {
-        SparkEntry.queries("q_datetime_parse")(spark, dir).count()
+      time(s"[$round] q_neardup_minhash e2e") {
+        val before = graft.util.CacheHygiene.snapshot(spark)
+        SparkEntry.queries("q_neardup_minhash")(spark, dir).count()
+        graft.util.CacheHygiene.releaseNew(spark, before)
       }
       time(s"[$round] Stats.numeric full need") {
         Stats.numeric(li, cols,
