@@ -506,6 +506,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality signals (word n-gram family)
+    "q_quality_repetition" -> ((s, dir) =>
+      graft.text.QualityFilters.repetitionSignals(
+        tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -927,6 +932,49 @@ object SparkEntry {
          |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // same tokenization as QualityFilters (lower, trim, split on \s+,
+    // drop empties); "cover" = occurrences x word-chars of the gram
+    "q_quality_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS tc,
+        |    len(list_distinct(ws)) AS nd
+        |  FROM w
+        |),
+        |i2 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 1 AS BIGINT))) AS i FROM base),
+        |a2 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1])) AS cl
+        |    FROM i2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i3 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 2 AS BIGINT))) AS i FROM base),
+        |a3 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2])) AS cl
+        |    FROM i3 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i5 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 4 AS BIGINT))) AS i FROM base),
+        |a5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * cl ELSE 0 END) AS cover FROM (
+        |    SELECT doc_id,
+        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g,
+        |      count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2]) + length(ws[i+3]) + length(ws[i+4])) AS cl
+        |    FROM i5 GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
+        |  round(1.0 - b.nd / CAST(b.nw AS DOUBLE), 6) AS dup_word_frac,
+        |  round(COALESCE(a2.cover, 0) / b.tc, 6) AS top_bigram_char_frac,
+        |  round(COALESCE(a3.cover, 0) / b.tc, 6) AS top_trigram_char_frac,
+        |  round(COALESCE(a5.cover, 0) / b.tc, 6) AS dup_fivegram_char_frac
+        |FROM base b
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
       import graft.text.TextAnalysis._

@@ -35,6 +35,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(fps.count() == 1)
   }
 
+  test("repetition quality signals match hand-computed Gopher fractions") {
+    import graft.text.QualityFilters
+    // "a b a b c": words=5, distinct=3 -> dup_word_frac = 0.4
+    // bigrams: "a b"x2 (cover 2*2=4), "b a"x1 (2), "b c"x1 (2); tc=5
+    //   -> top_bigram = 4/5
+    // trigrams: each x1, best cover 3 -> 3/5
+    val r1 = QualityFilters.repetition("a b a b c")
+    assert(r1.n_words == 5 && math.abs(r1.dup_word_frac - 0.4) < 1e-9)
+    assert(math.abs(r1.top_bigram_char_frac - 0.8) < 1e-9)
+    assert(math.abs(r1.top_trigram_char_frac - 0.6) < 1e-9)
+    assert(r1.dup_fivegram_char_frac == 0.0)
+    // repeated 5-gram: "x y z w v" twice = all 10 words in dup 5-grams
+    // 5-grams: positions 1..6; the exact repeat is pos1 & pos6 (cover
+    // 2*5=10 of tc=10); the 4 bridging grams are unique
+    val r2 = QualityFilters.repetition("x y z w v x y z w v")
+    assert(math.abs(r2.dup_fivegram_char_frac - 1.0) < 1e-9)
+    // degenerate inputs: empty, null-ish, single word
+    assert(QualityFilters.repetition("").n_words == 0)
+    assert(QualityFilters.repetition(null).n_words == 0)
+    val r3 = QualityFilters.repetition("word")
+    assert(r3.n_words == 1 && r3.top_bigram_char_frac == 0.0)
+    // the filter keeps clean docs and drops the spammy one. Gopher
+    // thresholds assume document-length text — a short clean doc has one
+    // bigram covering >18 % of its chars by arithmetic alone, so the
+    // clean fixture needs realistic length (60 distinct words)
+    val clean = (0 until 60).map(i => s"word$i").mkString(" ")
+    val df = Seq((1L, clean),
+      (2L, "spam spam spam spam spam spam spam spam")).toDF("id", "t")
+    val kept = QualityFilters.gopherRepetitionFilter(df, "t")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L))
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
