@@ -511,6 +511,20 @@ object SparkEntry {
       graft.text.QualityFilters.repetitionSignals(
         tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // test-set decontamination: every 20th doc is the "benchmark"; the
+    // corpus is the rest plus planted near-copies (first word dropped)
+    // of the benchmark — those must flag, n=6 on ~50-word docs
+    "q_decontaminate" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val planted = bench.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val corpus = d.where(col("doc_id") % 20 =!= 0).unionAll(planted)
+      graft.text.Decontaminate
+        .flagContaminated(corpus, bench, "text", "doc_id", n = 6)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -932,6 +946,27 @@ object SparkEntry {
          |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // joins on the literal gram string where Spark joins on its xxhash64
+    // — equal results barring a ~2^-64 hash collision (which would flag a
+    // clean doc, the safe direction)
+    "q_decontaminate" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text FROM bench
+        |),
+        |cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM bench),
+        |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM cw)),
+        |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM bw)),
+        |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        |SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // same tokenization as QualityFilters (lower, trim, split on \s+,
     // drop empties); "cover" = occurrences x word-chars of the gram

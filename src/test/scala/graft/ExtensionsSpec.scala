@@ -68,6 +68,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("decontamination flags n-gram overlap with the benchmark set") {
+    import graft.text.Decontaminate
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("id", "t")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares a 5-gram
+      (2L, "alpha beta gamma unrelated delta epsilon zeta"), // longest run 3
+      (3L, "totally different words with no overlap at all"),
+      (4L, "tiny")).toDF("id", "t")
+    val flags = Decontaminate.flagContaminated(corpus, bench, "t", "id", n = 5)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+    val kept = Decontaminate.removeContaminated(corpus, bench, "t", "id", n = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L))
+    // sub-n documents produce no grams (the sequence guard: Spark's
+    // sequence(1, 0) counts DOWN instead of returning empty)
+    val grams = corpus.select(Decontaminate.wordNgrams($"t", 5).as("g"))
+      .collect().map(_.getSeq[String](0).length).toSeq
+    assert(grams == Seq(3, 3, 4, 0))
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
