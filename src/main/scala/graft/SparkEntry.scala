@@ -511,6 +511,20 @@ object SparkEntry {
       graft.text.QualityFilters.repetitionSignals(
         tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // PII redaction: plant emails / IPs / phone-shaped runs, replace with
+    // placeholder tokens
+    "q_redact_pii" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact alice.smith+spam@example.co.uk now")))
+        .when(col("doc_id") % 7 === 1,
+          concat(lit("server 192.168.101.2 said: "), col("text")))
+        .when(col("doc_id") % 7 === 2,
+          concat(col("text"), lit(" call +14155550173 today")))
+        .otherwise(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.Redact.redactPii(planted).as("text")).orderBy("doc_id")
+    }),
+
     // test-set decontamination: every 20th doc is the "benchmark"; the
     // corpus is the rest plus planted near-copies (first word dropped)
     // of the benchmark — those must flag, n=6 on ~50-word docs
@@ -946,6 +960,20 @@ object SparkEntry {
          |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // identical RE2-subset patterns on both sides; DuckDB needs the 'g'
+    // flag (Spark's regexp_replace is global by default)
+    "q_redact_pii" ->
+      s"""SELECT doc_id,
+        | regexp_replace(regexp_replace(regexp_replace(
+        |   CASE WHEN doc_id % 7 = 0 THEN text || ' contact alice.smith+spam@example.co.uk now'
+        |        WHEN doc_id % 7 = 1 THEN 'server 192.168.101.2 said: ' || text
+        |        WHEN doc_id % 7 = 2 THEN text || ' call +14155550173 today'
+        |        ELSE text END,
+        |   '${graft.text.Redact.EmailRe}', '[EMAIL]', 'g'),
+        |   '${graft.text.Redact.Ipv4Re}', '[IP]', 'g'),
+        |   '${graft.text.Redact.PhoneRe}', '[PHONE]', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // joins on the literal gram string where Spark joins on its xxhash64
     // — equal results barring a ~2^-64 hash collision (which would flag a

@@ -68,6 +68,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("PII redaction replaces emails, IPs, phones with tokens in order") {
+    import graft.text.Redact
+    val df = Seq(
+      (1L, "mail bob.jones+x@sub.example.org or 10.0.0.1 or +4915123456789"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and 255.255.255.255")).toDF("id", "t")
+    val out = df.select($"id", Redact.redactPii($"t").as("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out(0) == "mail [EMAIL] or [IP] or [PHONE]")
+    assert(out(1) == "no pii here at all")
+    assert(out(2) == "two mails [EMAIL] [EMAIL] and [IP]")
+  }
+
   test("decontamination flags n-gram overlap with the benchmark set") {
     import graft.text.Decontaminate
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
