@@ -234,7 +234,8 @@ object NearDup {
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // resolving the auto guard counts sigAll — which just materializes
     // the DISK_ONLY store every downstream branch reads anyway
-    val mb = if (maxBucket > 0) maxBucket else autoMaxBucket(sigAll.count())
+    val mb = if (maxBucket > 0) maxBucket
+             else autoResolvedBucket(sigAll.count())
     val sigDf = sigAll.select("__id", "__sig").cache()
     val buckets = sigDf.select(col("__id"),
       explode(array((0 until bands).map(b =>
@@ -285,6 +286,15 @@ object NearDup {
     * cost the engine will ever attempt. */
   private[graft] def autoMaxBucket(n: Long): Int =
     math.max(4096L, math.min(1L << 16, n / 64)).toInt
+
+  /** The auto guard, short-circuited when it cannot fire: a corpus of n
+    * rows cannot fill any bucket past n, so when n ≤ the auto bound the
+    * guarded plan (flag agg + left join) is pure overhead and the exact
+    * unguarded all-pairs path runs instead. */
+  private def autoResolvedBucket(n: Long): Int = {
+    val mb = autoMaxBucket(n)
+    if (n <= mb) Int.MaxValue else mb
+  }
 
   /** Eagerly materializes `out` (cached), then releases the operator's
     * corpus-sized `intermediates` — ALWAYS, including when a job inside
@@ -670,7 +680,8 @@ object NearDup {
       .cache()
     // resolving the auto guard counts sigDf — which just materializes the
     // 16 B/row signature cache every downstream branch reads anyway
-    val mb = if (maxBucket > 0) maxBucket else autoMaxBucket(sigDf.count())
+    val mb = if (maxBucket > 0) maxBucket
+             else autoResolvedBucket(sigDf.count())
     val buckets = sigDf.select(col("__id"), col("__sig"),
       explode(array((0 until bands).map(lit): _*)).as("__band"))
       .withColumn("__bits",
