@@ -749,6 +749,16 @@ object SparkEntry {
       graft.sources.Csv.readInferred(s, path).orderBy("c_custkey")
     }),
 
+    // JSONL roundtrip (the LLM-corpus interchange format): write the
+    // documents table as JSON Lines, read it back, values must survive
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val path = s"/tmp/graft_jsonl_roundtrip_${new java.io.File(dir).getName}"
+      graft.sources.Jsonl.write(tbl(s, dir, "documents"), path)
+      graft.sources.Jsonl.read(s, path)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // multimodal frame sampling: 64-byte frames, every 4th kept, one row
     // per kept frame with its digest. The corpus payload is ASCII
     // (verified), so byte-space digests equal the oracle's char-space
@@ -1267,6 +1277,11 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    // roundtrip fidelity: the JSONL write+read must reproduce the source
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // char-space recompute of the byte-frame sampler — equal because the
     // payload is ASCII (md5 hashes UTF-8 bytes in both engines)

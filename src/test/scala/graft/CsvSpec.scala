@@ -56,4 +56,28 @@ class CsvSpec extends SparkSpec {
     val cities = back.select("city").collect().map(_.getString(0)).toSet
     assert(cities == Set("paris", "london", "berlin", "rome"))
   }
+
+  test("jsonl roundtrip survives quotes, unicode, newlines and nulls") {
+    import graft.sources.Jsonl
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain text", "en"),
+      (2L, "with \"quotes\" and a\nnewline and a\ttab", "en"),
+      (3L, "unicode: 中文 émojis é", "zh"),
+      (4L, null.asInstanceOf[String], "de"))
+    val df = rows.toDF("id", "text", "lang")
+    val dir = tmpDir() + "/jsonl"
+    Jsonl.write(df, dir)
+    // explicit-schema read (the production path — no inference scan)
+    val back = Jsonl.read(spark, dir, Some(df.schema))
+      .select("id", "text", "lang").orderBy("id").collect()
+    assert(back.length == 4)
+    assert(back(1).getString(1) == rows(1)._2, "JSON escaping must roundtrip")
+    assert(back(2).getString(1) == rows(2)._2, "unicode must roundtrip")
+    assert(back(3).isNullAt(1), "null fields must stay null")
+    // inferred read finds the same values (columns come back alphabetical)
+    val inferred = Jsonl.read(spark, dir).select("id", "text", "lang")
+      .orderBy("id").collect()
+    assert(inferred.map(_.toSeq).toSeq == back.map(_.toSeq).toSeq)
+  }
 }
