@@ -121,6 +121,27 @@ class PlanQualitySpec extends SparkSpec {
     graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
+  test("repetition signals and PII redaction stay exchange-free projections") {
+    val docs = Tables.load(spark, sf, "documents")
+    val pRep = plan(graft.text.QualityFilters
+      .repetitionSignals(docs, "text", "doc_id"))
+    assert(!pRep.contains("Exchange"),
+      s"repetition signals must not shuffle:\n$pRep")
+    val pRed = plan(docs.select(col("doc_id"),
+      graft.text.Redact.redactPii(col("text")).as("text")))
+    assert(!pRed.contains("Exchange"),
+      s"PII redaction must not shuffle:\n$pRed")
+  }
+
+  test("decontamination meets on gram-hash key joins, never cross joins") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val p = plan(graft.text.Decontaminate
+      .flagContaminated(docs, bench, "text", "doc_id", n = 6))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"gram overlap must come from key joins only:\n$p")
+  }
+
   test("auto maxBucket heuristic: floor 4096, n/64 midrange, ceiling 65536") {
     assert(NearDup.autoMaxBucket(0) == 4096)
     assert(NearDup.autoMaxBucket(1000) == 4096)
