@@ -511,6 +511,14 @@ object SparkEntry {
       graft.text.QualityFilters.repetitionSignals(
         tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // bigram-LM quality score: fit on even docs, score all (held-out odd
+    // docs exercise the unseen-bigram smoothing path)
+    "q_lm_score" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val fit = graft.text.BigramLm.fit(d.where(col("doc_id") % 2 === 0), "text")
+      graft.text.BigramLm.scoreBits(d, fit, "text", "doc_id").orderBy("doc_id")
+    }),
+
     // PII redaction: plant emails / IPs / phone-shaped runs, replace with
     // placeholder tokens
     "q_redact_pii" -> ((s, dir) => {
@@ -970,6 +978,31 @@ object SparkEntry {
          |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // same tokenization + add-0.5 smoothing formula; float compare is
+    // atol-based so cross-engine summation-order drift is tolerated
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), x -> x<>'') AS ws FROM documents),
+        |ref AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w1, count(*) AS c_uni FROM (SELECT unnest(ws) AS w1 FROM ref) GROUP BY w1),
+        |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |refbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |          FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws)-1 AS BIGINT))) AS i FROM ref)),
+        |bi AS (SELECT w1, w2, count(*) AS c_bi FROM refbi GROUP BY w1, w2),
+        |docbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |          FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws)-1 AS BIGINT))) AS i FROM w)),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    -log2( (COALESCE(b.c_bi, 0) + 0.5) / (COALESCE(u.c_uni, 0) + 0.5 * (SELECT v FROM vocab)) ) AS bits
+        |  FROM docbi d
+        |  LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  LEFT JOIN uni u ON d.w1 = u.w1
+        |),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |        round(avg(bits), 6) AS bits_per_bigram FROM scored GROUP BY doc_id)
+        |SELECT w.doc_id, COALESCE(a.n_bigrams, 0) AS n_bigrams, a.bits_per_bigram
+        |FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     // identical RE2-subset patterns on both sides; DuckDB needs the 'g'
     // flag (Spark's regexp_replace is global by default)

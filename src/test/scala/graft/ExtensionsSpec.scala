@@ -68,6 +68,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Seq(1L))
   }
 
+  test("bigram LM scores hand-computed smoothed probabilities") {
+    import graft.text.BigramLm
+    // reference "a b a b": uni a->2 b->2, V=2; bigrams (a,b)->2 (b,a)->1
+    val ref = Seq((0L, "a b a b")).toDF("id", "t")
+    val fit = BigramLm.fit(ref, "t")
+    assert(fit.vocabSize == 2)
+    // doc "a b": one bigram, P = (2+.5)/(2+.5*2) = 2.5/3 -> -log2 = .263034
+    // doc "a c": unseen bigram w/ seen w1: P = .5/3
+    // doc "z z": unseen w1: P = .5/(0+1) = .5 -> 1 bit
+    // doc "a":   no bigram -> null score, n=0
+    val docs = Seq((1L, "a b"), (2L, "a c"), (3L, "z z"), (4L, "a"))
+      .toDF("id", "t")
+    val got = BigramLm.scoreBits(docs, fit, "t", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    def b(p: Double) = math.round(-math.log(p) / math.log(2) * 1e6) / 1e6
+    assert(got == Seq(
+      (1L, 1L, Some(b(2.5 / 3))),
+      (2L, 1L, Some(b(0.5 / 3))),
+      (3L, 1L, Some(1.0)),
+      (4L, 0L, None)))
+    // the filter keeps only fluent-scoring docs and drops no-evidence ones
+    val kept = BigramLm.filterByBits(docs, fit, "t", "id", maxBits = 1.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("PII redaction replaces emails, IPs, phones with tokens in order") {
     import graft.text.Redact
     val df = Seq(
