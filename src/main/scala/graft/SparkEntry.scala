@@ -1074,10 +1074,14 @@ object SparkEntry {
         |    FROM i5 GROUP BY doc_id, g)
         |  GROUP BY doc_id)
         |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS n_words,
-        |  round(1.0 - b.nd / CAST(b.nw AS DOUBLE), 6) AS dup_word_frac,
-        |  round(COALESCE(a2.cover, 0) / b.tc, 6) AS top_bigram_char_frac,
-        |  round(COALESCE(a3.cover, 0) / b.tc, 6) AS top_trigram_char_frac,
-        |  round(COALESCE(a5.cover, 0) / b.tc, 6) AS dup_fivegram_char_frac
+        |  CASE WHEN b.nw = 0 THEN 0.0
+        |       ELSE round(1.0 - b.nd / CAST(b.nw AS DOUBLE), 6) END AS dup_word_frac,
+        |  CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0
+        |       ELSE round(COALESCE(a2.cover, 0) / b.tc, 6) END AS top_bigram_char_frac,
+        |  CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0
+        |       ELSE round(COALESCE(a3.cover, 0) / b.tc, 6) END AS top_trigram_char_frac,
+        |  CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0
+        |       ELSE round(COALESCE(a5.cover, 0) / b.tc, 6) END AS dup_fivegram_char_frac
         |FROM base b
         |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,

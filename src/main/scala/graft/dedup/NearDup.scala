@@ -460,11 +460,32 @@ object NearDup {
     * one silent-wrong-answer path the round-8 audit found). Output is one
     * row per id that appears in a pair; it is left persisted for the
     * caller's downstream joins (caller unpersists). */
-  def clusters(pairs: DataFrame, aCol: String = "id_a",
+  def clusters(pairsRaw: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 20,
       maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
-    if (pairs.count() <= maxDriverEdges)
-      return driverClusters(pairs, aCol, bCol)
+    // Null ids (e.g. a cast-failed key) are dropped up front so both
+    // resolution paths see the same graph — garbage edges must neither
+    // NPE the driver path nor emit null-labeled rows from the
+    // distributed one.
+    val pairs = pairsRaw.where(col(aCol).isNotNull && col(bCol).isNotNull)
+    // The routing count must not re-execute the caller's pair pipeline:
+    // the pair operators return their result CACHED (so the count is a
+    // cache read), but for an un-persisted input we stage it ourselves
+    // for the duration of the resolution — count materializes the stage,
+    // both paths read it, and the stage is dropped before returning.
+    val preCached =
+      pairsRaw.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val staged = if (preCached) pairs else pairs.persist()
+    try {
+      if (staged.count() <= maxDriverEdges) driverClusters(staged, aCol, bCol)
+      else distributedClusters(staged, aCol, bCol, maxIters)
+    } finally {
+      if (!preCached) staged.unpersist(false)
+    }
+  }
+
+  private def distributedClusters(pairs: DataFrame, aCol: String,
+      bCol: String, maxIters: Int): DataFrame = {
     // Undirected edge list in ONE scan of `pairs`: a union of the forward
     // and reversed projections would execute the caller's (possibly
     // expensive, possibly un-cached) pair pipeline once per branch before

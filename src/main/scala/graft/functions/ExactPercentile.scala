@@ -503,7 +503,9 @@ object ExactPercentile {
         val bound = if (args.length >= 3) {
           args(2).eval() match {
             case i: Int => i
-            case l: Long => l.toInt
+            // a bound past Int.MaxValue means "never spill" — clamp, don't
+            // truncate (toInt would silently install a ~2^31-wrapped bound)
+            case l: Long => math.min(l, Int.MaxValue.toLong).toInt
             case s: Short => s.toInt
             case b: Byte => b.toInt
             case other => throw new IllegalArgumentException(

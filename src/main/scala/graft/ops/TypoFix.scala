@@ -83,11 +83,13 @@ final case class TypoFix(
     // HLL probe before the distinct-count job (the Encode.labelMapping
     // pattern): an ID-like column far over the guard must cost one cheap
     // codegen agg, not a groupBy shuffle + a maxDistinct-row collect just
-    // to learn it's a no-op. HLL error (~2 %) near the gate only moves
-    // WHICH side a borderline column lands on — both sides are defined
-    // behavior (the op is a documented no-op on non-categorical columns),
-    // and the exact guard below still backstops an under-estimate.
-    val approx = df.agg(approx_count_distinct(col(c)).as("a")).head().getLong(0)
+    // to learn it's a no-op. rsd pinned at 2 % (the default 5 % would make
+    // the gate fuzzier); estimation error near the gate only moves WHICH
+    // side a borderline column lands on — both sides are defined behavior
+    // (the op is a documented no-op on non-categorical columns), and the
+    // exact guard below still backstops an under-estimate.
+    val approx = df.agg(approx_count_distinct(col(c), rsd = 0.02).as("a"))
+      .head().getLong(0)
     if (approx > maxDistinct) return (df, Map.empty)
     val counts = df.groupBy(col(c)).count()
       .where(col(c).isNotNull).limit(maxDistinct + 1)

@@ -27,7 +27,15 @@ import org.apache.spark.sql.functions._
 object BigramLm {
 
   final case class Fit(unigrams: DataFrame, bigrams: DataFrame,
-      vocabSize: Long)
+      vocabSize: Long) {
+    /** Release the persisted count frames (caller-unpersists contract —
+      * the same lifecycle as the pair operators' cached results; Bench
+      * and Verify sweep via CacheHygiene). */
+    def release(): Unit = {
+      unigrams.unpersist(false)
+      bigrams.unpersist(false)
+    }
+  }
 
   private def words(c: Column): Column =
     filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
@@ -46,13 +54,19 @@ object BigramLm {
   }
 
   /** Fit unigram/bigram counts + vocabulary size on a reference corpus.
-    * The count frames stay distributed; only V (one long) is collected. */
+    * The count frames stay distributed (only V — one long — is
+    * collected) and come back PERSISTED: the vocab count materializes
+    * the unigram agg, and every scoring call re-reads both tables, so an
+    * unpersisted fit would re-run full reference-corpus aggregations per
+    * action. Call [[Fit.release]] when done. */
   def fit(reference: DataFrame, textCol: String): Fit = {
     val uni = reference
       .select(explode(words(col(textCol))).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c_uni"))
+      .persist()
     val bi = pairs(reference, textCol, Nil)
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c_bi"))
+      .persist()
     Fit(uni, bi, uni.count())
   }
 
