@@ -511,6 +511,13 @@ object SparkEntry {
       graft.text.QualityFilters.repetitionSignals(
         tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // sequence-packing placement: concat docs in id order, cut 1000-token
+    // windows (n_chars standing in for the token count)
+    "q_seq_pack" -> ((s, dir) =>
+      graft.plans.SequencePacking.plan(
+        tbl(s, dir, "documents"), "doc_id", "n_chars", window = 1000)
+        .orderBy("doc_id")),
+
     // bigram-LM quality score: fit on even docs, score all (held-out odd
     // docs exercise the unseen-bigram smoothing path)
     "q_lm_score" -> ((s, dir) => {
@@ -978,6 +985,18 @@ object SparkEntry {
          |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin
     },
+
+    // prefix-sum placement: cumulative tokens before each doc in id order
+    // (sums CAST to BIGINT — DuckDB widens sum(BIGINT) to HUGEINT)
+    "q_seq_pack" ->
+      """WITH p AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, start_token,
+        |  CAST(start_token // 1000 AS BIGINT) AS seq_first,
+        |  CAST((start_token + greatest(n_tokens, 1) - 1) // 1000 AS BIGINT) AS seq_last
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // same tokenization + add-0.5 smoothing formula; float compare is
     // atol-based so cross-engine summation-order drift is tolerated

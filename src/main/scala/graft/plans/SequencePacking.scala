@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** GPT-style concat-and-chunk sequence packing plan: documents are
+  * concatenated in ascending `idCol` order and cut into fixed
+  * `window`-token training sequences; the plan reports, per document,
+  * its global token offset and the first/last sequence index it lands
+  * in. This is the placement computation behind "pack the corpus into
+  * 2048-token rows" — the actual byte shuffling is a downstream
+  * gather, but the placement is what must be deterministic and cheap at
+  * corpus scale.
+  *
+  * Scale shape — the [[PartitionedFill]] two-pass pattern, because a
+  * global prefix sum ordered by id is otherwise a single-partition
+  * window (the known anti-pattern):
+  *
+  *  1. range-partition + local sort by id (partitions tile the global
+  *     order);
+  *  2. pass 1: per-partition token totals — numPartitions rows to the
+  *     driver;
+  *  3. driver prefix-scan → each partition's starting global offset;
+  *  4. pass 2: per-partition running sum seeded with the offset —
+  *     embarrassingly parallel.
+  *
+  * The sorted frame is staged DISK_ONLY between the passes and follows
+  * the caller-unpersists sweep contract. Null token counts read as 0
+  * (a doc with unknown length must not shift every later offset by
+  * null-poisoning); empty docs occupy no tokens and degenerate to
+  * seq_last = seq_first.
+  */
+object SequencePacking {
+
+  /** @return one row per input doc: idCol, n_tokens, start_token
+    *         (0-based global offset), seq_first, seq_last. */
+  def plan(df: DataFrame, idCol: String, tokenCol: String,
+      window: Long, numPartitions: Int = 0): DataFrame = {
+    require(window > 0, "window must be positive")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol),
+      coalesce(col(tokenCol).cast(LongType), lit(0L)).as("n_tokens"))
+    val sorted = base.repartitionByRange(n, col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+    // pass 1: per-partition token totals (materializes the stage)
+    val totals: Map[Int, Long] = sortedRdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(1))
+        Iterator.single((pid, s))
+    }.collect().toMap
+    val actualN = totals.size
+    val offsets = new Array[Long](math.max(actualN, 1))
+    for (p <- 1 until actualN) offsets(p) = offsets(p - 1) + totals(p - 1)
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: seeded running sum
+    val placed = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { r =>
+        val start = cum
+        cum += r.getLong(1)
+        Row(r.get(0), r.getLong(1), start)
+      }
+    }
+    val schema = StructType(Seq(
+      sorted.schema.fields(0),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("start_token", LongType, nullable = false)))
+    spark.createDataFrame(placed, schema)
+      .withColumn("seq_first", expr(s"start_token div $window"))
+      .withColumn("seq_last",
+        expr(s"(start_token + greatest(n_tokens, 1L) - 1L) div $window"))
+  }
+}

@@ -88,6 +88,41 @@ class PartitionedFillSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing equals the window prefix sum across partitionings") {
+    import graft.plans.SequencePacking
+    import org.apache.spark.sql.expressions.Window
+    sweeping {
+      val rnd = new scala.util.Random(11)
+      val rows = (0 until 300).map { i =>
+        val t: java.lang.Long =
+          if (i % 37 == 0) null // null token counts read as 0
+          else if (i % 23 == 0) 0L // empty docs occupy no tokens
+          else rnd.nextInt(400).toLong
+        (i.toLong, t)
+      }
+      val df = rows.toDF("id", "tok").repartition(7)
+      val got = SequencePacking.plan(df, "id", "tok", window = 256,
+        numPartitions = 5).orderBy("id").collect()
+      // reference: single global window prefix sum (the shape the plan
+      // exists to avoid at scale, but exact at test size)
+      val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+      val expect = df
+        .select($"id", coalesce($"tok", lit(0L)).as("n_tokens"))
+        .withColumn("start_token", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("seq_first", expr("start_token div 256"))
+        .withColumn("seq_last",
+          expr("(start_token + greatest(n_tokens, 1L) - 1L) div 256"))
+        .orderBy("id").collect()
+      assert(got.toSeq == expect.toSeq)
+      // placement sanity: offsets are non-decreasing and gap-free
+      val byId = got.map(r => (r.getLong(1), r.getLong(2)))
+      byId.sliding(2).foreach { case Array((n, s), (_, s2)) =>
+        assert(s2 == s + n, "offsets must tile exactly")
+      case _ => ()
+      }
+    }
+  }
+
   test("more partitions than rows degrades gracefully") {
     sweeping {
       val tiny = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 5.0))
