@@ -65,6 +65,48 @@ class ApproxPercentileSpec extends SparkSpec {
     assert(math.abs(med - 5000.0) < 50.0, s"median drifted: $med")
   }
 
+  test("digest quantiles stay within the documented error on heavy tails") {
+    // lognormal-ish heavy tail with duplicates — the distribution shape
+    // that breaks equi-width histograms; the merging digest's uniform
+    // mass bins must hold ~1/maxBins RANK error, which we verify by
+    // rank-inverting the estimate against the exact sorted sample
+    val rnd = new scala.util.Random(99)
+    val n = 60000
+    val vals = Array.fill(n)(math.floor(math.exp(rnd.nextGaussian() * 2) * 100) / 100)
+    val b = new PctBuffer(maxDistinct = 500)
+    vals.foreach(v => b.add(bits(v), 1L))
+    assert(b.isApprox)
+    val sorted = vals.sorted
+    for (p <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val r = (p * (n - 1)).toLong
+      val est = b.digest.finiteValueAtRank(r)
+      // rank INTERVAL the estimate covers in the exact sample: a
+      // duplicated value occupies a run of ranks, and an estimate whose
+      // run contains the target rank is exact — distance to the interval
+      // is the honest rank error, not distance to the run's start
+      def lowerBound(v: Double) = {
+        var lo = 0; var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid) < v) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      // ±1e-9 band: interpolation can return a grid value ± a few ulps,
+      // and the band is far under the 0.01 grid spacing so it can't
+      // capture two distinct values
+      val first = lowerBound(est - 1e-9)
+      val last = lowerBound(est + 1e-9) - 1
+      val dist = if (r < first) first - r else if (r > last) r - last else 0L
+      // 4/maxBins (~0.2 % of the mass): the ~1-bin design error plus the
+      // straddle slack a quantile landing at the edge of a huge duplicate
+      // run costs (the hardest case for any mass-binned sketch)
+      val rankErr = dist.toDouble / n
+      assert(rankErr <= 4.0 / BinnedDigest.DefaultBins,
+        s"p=$p est=$est rank error $rankErr exceeds 4/maxBins")
+    }
+  }
+
   test("non-finite mass keeps the exact-path total order in approx mode") {
     val d = new BinnedDigest(64)
     d.add(Double.NegativeInfinity, 2L)

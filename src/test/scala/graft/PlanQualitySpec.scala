@@ -142,6 +142,27 @@ class PlanQualitySpec extends SparkSpec {
       s"gram overlap must come from key joins only:\n$p")
   }
 
+  test("bigram LM scoring meets the count tables in key joins only") {
+    val docs = Tables.load(spark, sf, "documents")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val fit = graft.text.BigramLm.fit(docs, "text")
+      val p = plan(graft.text.BigramLm.scoreBits(docs, fit, "text", "doc_id"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"LM scoring must come from key joins only:\n$p")
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
+  test("sequence packing has no single-partition exchange") {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val p = plan(graft.plans.SequencePacking.plan(
+        Tables.load(spark, sf, "documents"), "doc_id", "n_chars", 1000))
+      assert(!p.contains("SinglePartition"),
+        s"the packing prefix sum must stay partition-parallel:\n$p")
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("auto maxBucket heuristic: floor 4096, n/64 midrange, ceiling 65536") {
     assert(NearDup.autoMaxBucket(0) == 4096)
     assert(NearDup.autoMaxBucket(1000) == 4096)
