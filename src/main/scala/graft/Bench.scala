@@ -26,7 +26,9 @@ object Bench {
     "standard" -> "std", "robust" -> "rob", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
     "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
-    "special" -> "spc")
+    "special" -> "spc", "decontaminate" -> "dcn", "filter" -> "flt",
+    "repetition" -> "rpt", "redact" -> "rdt", "drop" -> "dp",
+    "scale" -> "sc")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))

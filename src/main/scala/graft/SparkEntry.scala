@@ -29,6 +29,15 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for the sink-roundtrip queries, unique per JVM: a fixed
+    * `/tmp/graft_<fmt>_roundtrip_<sf>` collides when two Verify/Bench
+    * invocations run the same sf concurrently — one overwrites the files
+    * the other is mid-read on. The PID suffix keeps reruns within one JVM
+    * idempotent (overwrite mode) while isolating concurrent processes. */
+  private def roundtripPath(fmt: String, dir: String): String =
+    s"/tmp/graft_${fmt}_roundtrip_${new java.io.File(dir).getName}" +
+      s"_${ProcessHandle.current().pid()}"
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a
     * representative cleaning pipeline over lineitem (SURVEY.md §7.3). */
   def entry(spark: SparkSession): DataFrame = {
@@ -511,6 +520,20 @@ object SparkEntry {
       graft.text.QualityFilters.repetitionSignals(
         tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
 
+    // the FILTER form of the repetition signals — the thresholded
+    // keep/drop an ingest pipeline actually runs (r10 verdict ask #3:
+    // a wrong-direction comparison would pass the signal-only oracle).
+    // Thresholds sit INSIDE this corpus's signal distributions (word
+    // dup median ~0.54, bigram-frac p95 ~0.19) so both keep and drop
+    // sides are populated; the operator's defaults stay the Gopher
+    // values.
+    "q_quality_filter" -> ((s, dir) =>
+      graft.text.QualityFilters.gopherRepetitionFilter(
+          tbl(s, dir, "documents"), "text",
+          maxDupWordFrac = 0.60, maxTopBigramCharFrac = 0.15,
+          maxTopTrigramCharFrac = 0.15, maxDupFivegramCharFrac = 0.15)
+        .select("doc_id").orderBy("doc_id")),
+
     // sequence-packing placement: concat docs in id order, cut 1000-token
     // windows (n_chars standing in for the token count)
     "q_seq_pack" -> ((s, dir) =>
@@ -524,6 +547,17 @@ object SparkEntry {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
       val fit = graft.text.BigramLm.fit(d.where(col("doc_id") % 2 === 0), "text")
       graft.text.BigramLm.scoreBits(d, fit, "text", "doc_id").orderBy("doc_id")
+    }),
+
+    // the FILTER form of the LM score: keep docs at or under the bits
+    // threshold (same fit as q_lm_score; sub-2-word docs drop — no
+    // evidence of fluency). The corpus scores span ~[4.70, 5.23] bits,
+    // so 4.95 splits it near the median — both sides populated.
+    "q_lm_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val fit = graft.text.BigramLm.fit(d.where(col("doc_id") % 2 === 0), "text")
+      graft.text.BigramLm.filterByBits(d, fit, "text", "doc_id", maxBits = 4.95)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // PII redaction: plant emails / IPs / phone-shaped runs, replace with
@@ -552,6 +586,19 @@ object SparkEntry {
       graft.text.Decontaminate
         .flagContaminated(corpus, bench, "text", "doc_id", n = 6)
         .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
+    // the FILTER form of decontamination: the kept corpus (planted
+    // near-copies and any organically overlapping docs removed)
+    "q_decontaminate_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val planted = bench.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val corpus = d.where(col("doc_id") % 20 =!= 0).unionAll(planted)
+      graft.text.Decontaminate
+        .removeContaminated(corpus, bench, "text", "doc_id", n = 6)
+        .select("doc_id").orderBy("doc_id")
     }),
 
     // language identification (function-word vote + CJK share)
@@ -725,6 +772,16 @@ object SparkEntry {
       Events.sessionize(Events.load(s, dir))
         .orderBy("user_id", "session_id")),
 
+    // the STREAMING ENGINE itself, oracle-checked (r10 verdict ask #2):
+    // Trigger.AvailableNow file-source runs of the streaming twins —
+    // micro-batch state merge / watermark / event-time timeout execution
+    // verified against the same SQL as the batch forms
+    "q_events_window_stream" -> ((s, dir) =>
+      graft.streaming.StreamRuns.tumblingAvailableNow(s, dir)),
+
+    "q_events_sessionize_stream" -> ((s, dir) =>
+      graft.streaming.StreamRuns.sessionizeAvailableNow(s, dir)),
+
     // batch twin of the streaming ingest-dedup (Dedup.streamingExact):
     // first event per (user, type) in event-time order. ts emitted as
     // epoch micros so both engines compare the identical integer.
@@ -757,7 +814,7 @@ object SparkEntry {
     // emits the shortest parse-exact decimal, and these values stay in
     // plain notation).
     "q_csv_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_csv_roundtrip_${new java.io.File(dir).getName}"
+      val path = roundtripPath("csv", dir)
       val c = tbl(s, dir, "customer")
         .select("c_custkey", "c_acctbal", "c_mktsegment")
       graft.sources.Csv.write(c, path)
@@ -767,7 +824,7 @@ object SparkEntry {
     // JSONL roundtrip (the LLM-corpus interchange format): write the
     // documents table as JSON Lines, read it back, values must survive
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val path = s"/tmp/graft_jsonl_roundtrip_${new java.io.File(dir).getName}"
+      val path = roundtripPath("jsonl", dir)
       graft.sources.Jsonl.write(tbl(s, dir, "documents"), path)
       graft.sources.Jsonl.read(s, path)
         .select("doc_id", "text", "lang", "source", "n_chars")
@@ -1023,6 +1080,32 @@ object SparkEntry {
         |FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
         |ORDER BY w.doc_id""".stripMargin,
 
+    // q_lm_score's CTEs thresholded on the rounded score (both engines
+    // compare the round-6 value, so the boundary is the same grid point);
+    // docs with no bigrams have NULL score and drop on both sides
+    "q_lm_filter" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)),'\s+'), x -> x<>'') AS ws FROM documents),
+        |ref AS (SELECT * FROM w WHERE doc_id % 2 = 0),
+        |uni AS (SELECT w1, count(*) AS c_uni FROM (SELECT unnest(ws) AS w1 FROM ref) GROUP BY w1),
+        |vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |refbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |          FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws)-1 AS BIGINT))) AS i FROM ref)),
+        |bi AS (SELECT w1, w2, count(*) AS c_bi FROM refbi GROUP BY w1, w2),
+        |docbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |          FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws)-1 AS BIGINT))) AS i FROM w)),
+        |scored AS (
+        |  SELECT d.doc_id,
+        |    -log2( (COALESCE(b.c_bi, 0) + 0.5) / (COALESCE(u.c_uni, 0) + 0.5 * (SELECT v FROM vocab)) ) AS bits
+        |  FROM docbi d
+        |  LEFT JOIN bi b ON d.w1 = b.w1 AND d.w2 = b.w2
+        |  LEFT JOIN uni u ON d.w1 = u.w1
+        |),
+        |agg AS (SELECT doc_id, round(avg(bits), 6) AS bits_per_bigram
+        |        FROM scored GROUP BY doc_id)
+        |SELECT doc_id FROM agg
+        |WHERE bits_per_bigram <= CAST(4.95 AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
+
     // identical RE2-subset patterns on both sides; DuckDB needs the 'g'
     // flag (Spark's regexp_replace is global by default)
     "q_redact_pii" ->
@@ -1056,6 +1139,26 @@ object SparkEntry {
         |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
         |SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
         |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
+
+    // q_decontaminate's CTEs, keep side only (anti-join on the hit set)
+    "q_decontaminate_filter" ->
+      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text FROM bench
+        |),
+        |cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM bench),
+        |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM cw)),
+        |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM bw)),
+        |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        |SELECT c.doc_id
+        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |WHERE h.doc_id IS NULL
         |ORDER BY c.doc_id""".stripMargin,
 
     // same tokenization as QualityFilters (lower, trim, split on \s+,
@@ -1103,6 +1206,50 @@ object SparkEntry {
         |       ELSE round(COALESCE(a5.cover, 0) / b.tc, 6) END AS dup_fivegram_char_frac
         |FROM base b
         |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same CTEs as q_quality_repetition but thresholded on the UNROUNDED
+    // fractions (the Spark filter compares raw kernel values) — the
+    // keep/drop direction is what this row pins
+    "q_quality_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS tc,
+        |    len(list_distinct(ws)) AS nd
+        |  FROM w
+        |),
+        |i2 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 1 AS BIGINT))) AS i FROM base),
+        |a2 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1])) AS cl
+        |    FROM i2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i3 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 2 AS BIGINT))) AS i FROM base),
+        |a3 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2])) AS cl
+        |    FROM i3 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i5 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 4 AS BIGINT))) AS i FROM base),
+        |a5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * cl ELSE 0 END) AS cover FROM (
+        |    SELECT doc_id,
+        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g,
+        |      count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2]) + length(ws[i+3]) + length(ws[i+4])) AS cl
+        |    FROM i5 GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id
+        |FROM base b
+        |LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |WHERE (CASE WHEN b.nw = 0 THEN 0.0 ELSE 1.0 - b.nd / CAST(b.nw AS DOUBLE) END) <= CAST(0.60 AS DOUBLE)
+        |  AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a2.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
+        |  AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a3.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
+        |  AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a5.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" -> {
@@ -1302,6 +1449,30 @@ object SparkEntry {
         | round(max(tsec) - min(tsec), 6) AS duration_sec
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // the streaming twins verify against the same math as the batch
+    // forms; the tumbling one is the identical SQL, the sessionize one
+    // drops session_id (the streaming emit carries no counter) and
+    // orders by session start instead
+    "q_events_window_stream" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessionize_stream" ->
+      """WITH x AS (SELECT user_id, event_id,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec FROM events),
+        |y AS (SELECT user_id, event_id, tsec,
+        |  CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsec, event_id)),
+        |z AS (SELECT user_id, tsec, CAST(sum(brk) OVER
+        |  (PARTITION BY user_id ORDER BY tsec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | round(min(tsec), 6) AS start_sec,
+        | round(max(tsec) - min(tsec), 6) AS duration_sec
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, start_sec""".stripMargin,
 
     "q_dedup_stream_twin" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

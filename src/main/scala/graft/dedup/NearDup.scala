@@ -463,11 +463,22 @@ object NearDup {
   def clusters(pairsRaw: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIters: Int = 20,
       maxDriverEdges: Long = MaxDriverEdges): DataFrame = {
-    // Null ids (e.g. a cast-failed key) are dropped up front so both
+    // Null ids AND cast-failed ids are dropped up front so both
     // resolution paths see the same graph — garbage edges must neither
-    // NPE the driver path nor emit null-labeled rows from the
-    // distributed one.
-    val pairs = pairsRaw.where(col(aCol).isNotNull && col(bCol).isNotNull)
+    // NPE the driver path (getLong on a post-cast null) nor emit
+    // null-keyed rows from the distributed one. The cast happens HERE,
+    // once, on the columns both paths consume: numeric ids cast straight
+    // to long (ANSI-safe — widening/truncating numeric casts don't
+    // throw), anything else goes through the null-on-failure tryLong
+    // gate so a dirty string id is filtered, not thrown on.
+    def asLong(name: String): Column = pairsRaw.schema(name).dataType match {
+      case LongType => col(name)
+      case _: NumericType => col(name).cast(LongType)
+      case _ => graft.util.Exprs.tryLong(col(name))
+    }
+    val pairs = pairsRaw
+      .select(asLong(aCol).as(aCol), asLong(bCol).as(bCol))
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
     // The routing count must not re-execute the caller's pair pipeline:
     // the pair operators return their result CACHED (so the count is a
     // cache read), but for an un-persisted input we stage it ourselves
@@ -595,8 +606,9 @@ object NearDup {
       bCol: String): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edges = pairs
-      .select(col(aCol).cast(LongType), col(bCol).cast(LongType)).collect()
+    // ids arrive pre-cast to long and null-filtered by clusters() —
+    // getLong below cannot NPE
+    val edges = pairs.select(col(aCol), col(bCol)).collect()
     val parent = new scala.collection.mutable.LongMap[Long](
       math.max(16, edges.length * 2))
     def find(x0: Long): Long = {

@@ -398,7 +398,20 @@ case class ExactPercentile(
   }
 
   override def eval(buffer: PctBuffer): Any =
-    if (buffer.isApprox) evalApprox(buffer.digest) else evalExact(buffer.exact)
+    if (buffer.isApprox) {
+      // Attributable, not silent: the exact→approximate switch changes
+      // the result contract (±~0.05 % rank error vs the reference's
+      // exact median) with no change in output shape, so leave one log
+      // line per spilled aggregate result saying it happened and under
+      // which bound. eval runs once per aggregate group —
+      // for the global aggs Stats issues, that is one line per column.
+      ExactPercentile.log.warn(
+        s"graft_percentile(${child.sql}) exceeded maxDistinct=$maxDistinct " +
+          "distinct values and returned an APPROXIMATE quantile " +
+          "(fixed-size merging digest, ~0.05% rank error); raise " +
+          s"${ExactPercentile.MaxDistinctKey} for an exact result")
+      evalApprox(buffer.digest)
+    } else evalExact(buffer.exact)
 
   private def evalExact(hist: DoubleCounts): Any = {
     val m = hist.size
@@ -482,6 +495,9 @@ case class ExactPercentile(
 }
 
 object ExactPercentile {
+  private[functions] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[ExactPercentile])
+
   /** Exact-mode distinct budget per column-partial (~32 MiB peak). */
   val DefaultMaxDistinct: Int = 1 << 20
 

@@ -71,10 +71,27 @@ object Stats {
       } else Nil
     graft.functions.ExactPercentile.register(df.sparkSession)
     val split = pctAggs.nonEmpty && (need.moments || need.extremes)
+    // The split runs TWO independent scans of `df`. For a deterministic
+    // input that's free; for a non-deterministic one (sample(), a
+    // rand-derived filter) the percentile job would see DIFFERENT rows
+    // than the moments job — medians inconsistent with the counts they
+    // parameterize. Detect non-determinism in the analyzed plan and pin
+    // the input once so both jobs read the same materialized rows.
+    val nonDet = split &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE &&
+      df.queryExecution.analyzed
+        .find(_.expressions.exists(_.exists(!_.deterministic))).isDefined
+    val staged =
+      if (nonDet)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
     val (row, pctRow) =
       if (split)
-        (df.agg(declAggs.head, declAggs.tail: _*).head(),
-          df.agg(pctAggs.head, pctAggs.tail: _*).head())
+        try {
+          val declRow = staged.agg(declAggs.head, declAggs.tail: _*).head()
+          val pRow = staged.agg(pctAggs.head, pctAggs.tail: _*).head()
+          (declRow, pRow)
+        } finally { if (nonDet) staged.unpersist(false) }
       else {
         // single job: either no percentile, or percentile + counts only
         // (counts are cheap even interpreted; a second scan isn't)

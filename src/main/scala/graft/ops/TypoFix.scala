@@ -84,13 +84,15 @@ final case class TypoFix(
     // pattern): an ID-like column far over the guard must cost one cheap
     // codegen agg, not a groupBy shuffle + a maxDistinct-row collect just
     // to learn it's a no-op. rsd pinned at 2 % (the default 5 % would make
-    // the gate fuzzier); estimation error near the gate only moves WHICH
-    // side a borderline column lands on — both sides are defined behavior
-    // (the op is a documented no-op on non-categorical columns), and the
-    // exact guard below still backstops an under-estimate.
+    // the gate fuzzier). The gate fires only at 1.1 × maxDistinct —
+    // 5 sigma of HLL headroom — so a genuinely categorical column sitting
+    // just UNDER the limit cannot be skipped by sketch over-estimation;
+    // the exact guard below still backstops an under-estimate, so both
+    // error directions resolve to the exact count's verdict and only
+    // clearly-over (ID-like) columns take the cheap early exit.
     val approx = df.agg(approx_count_distinct(col(c), rsd = 0.02).as("a"))
       .head().getLong(0)
-    if (approx > maxDistinct) return (df, Map.empty)
+    if (approx > maxDistinct * 1.1) return (df, Map.empty)
     val counts = df.groupBy(col(c)).count()
       .where(col(c).isNotNull).limit(maxDistinct + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))

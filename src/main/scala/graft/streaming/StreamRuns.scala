@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Self-contained `Trigger.AvailableNow` executions of the streaming
+  * operators, shaped as batch-returning query functions so the DRIVER
+  * ORACLE sees the streaming engine itself (micro-batch state merge,
+  * watermark advance, event-time timeouts) — not just the batch twins.
+  * Until round 11 those paths were only spec-pinned (StreamingSpec);
+  * these wrappers give each one a hash-checkable CORRECTNESS row against
+  * the already-green batch-twin SQL.
+  *
+  * Mechanics shared by both runs:
+  *  - the events table is STAGED to a per-call scratch dir as parquet and
+  *    consumed via a file-source `readStream` with an explicit schema —
+  *    the same source shape a production ingest uses;
+  *  - `maxFilesPerTrigger=1` + explicit ascending file mtimes make the
+  *    micro-batch decomposition deterministic (the file source processes
+  *    files in modification-time order), so the run genuinely exercises
+  *    MULTI-batch execution, not one giant batch;
+  *  - results land in a memory sink under a per-call unique name; the
+  *    scratch dir is deleted once the query terminates (the memory sink
+  *    holds the rows).
+  */
+object StreamRuns {
+
+  private val calls = new AtomicInteger(0)
+
+  private def scratch(kind: String, dir: String): Path = {
+    val sf = new java.io.File(dir).getName
+    val n = calls.incrementAndGet()
+    val p = Paths.get(
+      s"/tmp/graft_stream_${kind}_${sf}_${ProcessHandle.current().pid()}_$n")
+    deleteRec(p) // NOT created here: the tumbling path hands it straight
+    p            // to a parquet write, which requires it absent
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(deleteRec(_))
+      Files.deleteIfExists(p)
+    }
+  }
+
+  /** Move the single data part-file of a one-partition parquet write into
+    * `destDir` under `name`, with an explicit mtime so the file source's
+    * modification-time ordering is deterministic. */
+  private def moveOnlyPart(writeDir: Path, destDir: Path, name: String,
+      mtimeMs: Long): Unit = {
+    val part = Files.list(writeDir).filter(f =>
+        f.getFileName.toString.startsWith("part-")).findFirst().get()
+    val dest = destDir.resolve(name)
+    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeMs))
+    deleteRec(writeDir)
+  }
+
+  /** Run `build(stream)` over a file-source stream of `srcDir`'s parquet
+    * files to a memory sink, AvailableNow, one file per micro-batch;
+    * returns the completed result table. */
+  private def runToMemory(spark: SparkSession, srcDir: Path,
+      build: DataFrame => DataFrame, outputMode: String): DataFrame = {
+    val schema = spark.read.parquet(srcDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val name = s"graft_stream_sink_${calls.incrementAndGet()}"
+    val q = build(stream).writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
+  /** [[Events.streamingTumbling]] over the real events table, split into
+    * four single-file micro-batches by a hash repartition — arrival order
+    * is decoupled from event time, so every batch delivers late rows
+    * relative to earlier ones; complete output mode evicts no aggregate
+    * state, so the final table must equal the batch aggregation exactly
+    * (same contract StreamingSpec pins, now oracle-visible). */
+  def tumblingAvailableNow(spark: SparkSession, dir: String,
+      width: String = "1 hour"): DataFrame = {
+    val in = scratch("tumbling", dir)
+    try {
+      Events.load(spark, dir)
+        .select("ts", "event_type", "value")
+        .repartition(4).write.parquet(in.toString)
+      // distinct ascending mtimes → deterministic batch order
+      val parts = Files.list(in).filter(
+          _.getFileName.toString.startsWith("part-"))
+        .sorted().toArray.map(_.asInstanceOf[Path])
+      val t0 = System.currentTimeMillis()
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 10000L))
+      }
+      val out = runToMemory(spark, in,
+        s => Events.streamingTumbling(s, width), "complete")
+      out.select(col("window_start"), col("event_type"), col("n_events"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("window_start", "event_type")
+    } finally deleteRec(in)
+  }
+
+  /** [[Events.streamingSessionize]] over the real events table: one
+    * event-time-complete data batch (the function sorts within a batch,
+    * matching the batch twin's global sort) followed by two far-future
+    * sentinel batches — the first advances max event time, the second's
+    * recomputed watermark fires every pending event-time timeout so all
+    * real sessions flush through the Append sink. Sentinel users are
+    * negative ids, filtered from the result; their own sessions stay
+    * open in state and are discarded with the query. */
+  def sessionizeAvailableNow(spark: SparkSession, dir: String,
+      gapSeconds: Long = 1800): DataFrame = {
+    import spark.implicits._
+    val in = scratch("sessionize", dir)
+    try {
+      Files.createDirectories(in) // move target for the staged part-files
+      val base = Events.load(spark, dir).select("user_id", "ts", "event_id")
+      val maxMs = base.agg(max(col("ts"))).head().getTimestamp(0).getTime
+      val t0 = System.currentTimeMillis()
+
+      val dataDir = in.resolve("__data")
+      base.coalesce(1).write.parquet(dataDir.toString)
+      moveOnlyPart(dataDir, in, "data.parquet", t0)
+
+      def sentinel(userId: Long, atMs: Long, idx: Int): Unit = {
+        val d = in.resolve(s"__s$idx")
+        Seq((userId, new java.sql.Timestamp(atMs), 10000000L + idx))
+          .toDF("user_id", "ts", "event_id")
+          .coalesce(1).write.parquet(d.toString)
+        moveOnlyPart(d, in, s"sentinel$idx.parquet", t0 + idx * 10000L)
+      }
+      sentinel(-1L, maxMs + gapSeconds * 1000L * 10, 1)
+      sentinel(-2L, maxMs + gapSeconds * 1000L * 20, 2)
+
+      val out = runToMemory(spark, in,
+        s => Events.streamingSessionize(s, gapSeconds).toDF(), "append")
+      out.where(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"),
+          round(col("start_sec"), 6).as("start_sec"),
+          round(col("duration_sec"), 6).as("duration_sec"))
+        .orderBy("user_id", "start_sec")
+    } finally deleteRec(in)
+  }
+}

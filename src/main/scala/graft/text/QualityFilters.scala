@@ -94,6 +94,18 @@ object QualityFilters {
 
   private val repetitionUdf = udf(repetition _)
 
+  private[graft] def keep(text: String, maxDupWordFrac: Double,
+      maxTopBigramCharFrac: Double, maxTopTrigramCharFrac: Double,
+      maxDupFivegramCharFrac: Double): Boolean = {
+    val r = repetition(text)
+    r.dup_word_frac <= maxDupWordFrac &&
+      r.top_bigram_char_frac <= maxTopBigramCharFrac &&
+      r.top_trigram_char_frac <= maxTopTrigramCharFrac &&
+      r.dup_fivegram_char_frac <= maxDupFivegramCharFrac
+  }
+
+  private val keepUdf = udf(keep _)
+
   /** Per-document repetition signals: `idCol` + the five metrics, rounded
     * to 6 decimals for cross-engine comparison. */
   def repetitionSignals(df: DataFrame, textCol: String,
@@ -109,17 +121,23 @@ object QualityFilters {
 
   /** Gopher-rule document filter: keep rows whose repetition signals sit
     * under every threshold (defaults are the Gopher table A1 values for
-    * the metrics that exist here). A pure filter projection — compose
-    * before dedup/sampling in an ingest pipeline. */
+    * the metrics that exist here). A pure filter — compose before
+    * dedup/sampling in an ingest pipeline.
+    *
+    * The thresholds are folded INTO one boolean UDF rather than compared
+    * against four `getField`s of a struct-returning UDF: the getField
+    * form carries four copies of the UDF call in the predicate tree and
+    * leans on codegen subexpression elimination to fold them — an
+    * optimizer assumption, not a guarantee (and one that filter pushdown
+    * through a project can silently re-duplicate). One scalar boolean
+    * call is one kernel evaluation per row BY CONSTRUCTION; the plan
+    * shape is asserted by PlanQualitySpec. */
   def gopherRepetitionFilter(df: DataFrame, textCol: String,
       maxDupWordFrac: Double = 0.30,
       maxTopBigramCharFrac: Double = 0.18,
       maxTopTrigramCharFrac: Double = 0.16,
-      maxDupFivegramCharFrac: Double = 0.15): DataFrame = {
-    val r = repetitionUdf(col(textCol))
-    df.where(r.getField("dup_word_frac") <= maxDupWordFrac &&
-      r.getField("top_bigram_char_frac") <= maxTopBigramCharFrac &&
-      r.getField("top_trigram_char_frac") <= maxTopTrigramCharFrac &&
-      r.getField("dup_fivegram_char_frac") <= maxDupFivegramCharFrac)
-  }
+      maxDupFivegramCharFrac: Double = 0.15): DataFrame =
+    df.where(keepUdf(col(textCol), lit(maxDupWordFrac),
+      lit(maxTopBigramCharFrac), lit(maxTopTrigramCharFrac),
+      lit(maxDupFivegramCharFrac)))
 }

@@ -23,8 +23,15 @@ object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
-  /** 9+ digits allowing +, separators — international-number shaped. */
-  val PhoneRe = "\\+?\\d[\\d().-]{7,}\\d"
+  /** 9+ ACTUAL digits, each followed by at most two separator chars
+    * (") " in "(415) 555-0173" is a two-char gap) — international-number
+    * shaped. The repetition counts DIGITS, not separator chars, so
+    * 8-digit date-like strings ("2026-08-13") and short numeric
+    * ranges/versions survive: an earlier draft counted any of `[\d().-]`
+    * toward the minimum and redacted legitimate dates as [PHONE], which
+    * destroys training text and is invisible to the oracle (both sides
+    * share the pattern). Pinned by the negative cases in ExtensionsSpec. */
+  val PhoneRe = "\\+?\\(?(?:\\d[ ().-]{0,2}){8,}\\d"
 
   val EmailToken = "[EMAIL]"
   val IpToken = "[IP]"

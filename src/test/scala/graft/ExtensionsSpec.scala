@@ -109,6 +109,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(2) == "two mails [EMAIL] [EMAIL] and [IP]")
   }
 
+  test("phone redaction requires 9+ actual digits — dates and versions survive") {
+    import graft.text.Redact
+    val df = Seq(
+      (1L, "released 2026-08-13 as version 1.2.3.4567"), // 8 and 7 digits
+      (2L, "range 100-200 or (12)34-56.78"),             // short digit runs
+      (3L, "call (415) 555-0173 x9"),                    // 10 digits, ") " gap
+      (4L, "id 123456789 done"),                         // bare 9-digit run
+      (5L, "dial +1 415 555 0173 now")                   // 11 digits, spaced
+    ).toDF("id", "t")
+    val out = df.select($"id", Redact.redactPii($"t").as("t"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(out(0) == "released 2026-08-13 as version 1.2.3.4567")
+    assert(out(1) == "range 100-200 or (12)34-56.78")
+    assert(out(2) == "call [PHONE] x9")
+    assert(out(3) == "id [PHONE] done")
+    assert(out(4) == "dial [PHONE] now")
+  }
+
   test("decontamination flags n-gram overlap with the benchmark set") {
     import graft.text.Decontaminate
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))

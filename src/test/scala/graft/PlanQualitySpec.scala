@@ -133,6 +133,21 @@ class PlanQualitySpec extends SparkSpec {
       s"PII redaction must not shuffle:\n$pRed")
   }
 
+  test("gopher filter evaluates the repetition kernel exactly once per row") {
+    // the keep-predicate is ONE boolean UDF by construction; this pins
+    // that no optimizer rewrite (filter pushdown through a project,
+    // project collapse) re-duplicates the kernel into N getField copies
+    val docs = Tables.load(spark, sf, "documents")
+    val out = graft.text.QualityFilters.gopherRepetitionFilter(docs, "text")
+    val nUdf = out.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.map(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      }.size).sum
+    }.sum
+    assert(nUdf == 1, s"expected exactly one kernel UDF in the plan, got $nUdf")
+    assert(!plan(out).contains("Exchange"), "gopher filter must not shuffle")
+  }
+
   test("decontamination meets on gram-hash key joins, never cross joins") {
     val docs = Tables.load(spark, sf, "documents")
     val bench = docs.where(col("doc_id") % 10 === 0)
