@@ -21,14 +21,15 @@ object Bench {
     "sample" -> "smp", "quality" -> "qual", "pipeline" -> "pipe",
     "datetime" -> "dt", "cosine" -> "cos", "jaccard" -> "jac",
     "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
-    "profile" -> "prof", "common" -> "com", "fuzzy" -> "fz",
+    "profile" -> "pf", "common" -> "com", "fuzzy" -> "fz",
     "spell" -> "sp", "stream" -> "st", "window" -> "win",
     "standard" -> "std", "robust" -> "rob", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
     "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
     "special" -> "spc", "decontaminate" -> "dcn", "filter" -> "flt",
     "repetition" -> "rpt", "redact" -> "rdt", "drop" -> "dp",
-    "scale" -> "sc")
+    "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
+    "jsonl" -> "jl")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))
@@ -164,6 +165,37 @@ object Bench {
       java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg()
+    // CPU-environment attribution (r10 verdict ask #7): loadavg alone
+    // cannot distinguish a throttled/stolen sandbox from a real whole-run
+    // regression. Record the cgroup CPU quota (v2 cpu.max, else v1
+    // cfs_quota/period; -1 = unlimited), hypervisor steal ticks
+    // (/proc/stat field 9, delta over the run), and the PSI "some" cpu
+    // share — all best-effort (absent files read as sentinel -1).
+    def firstLine(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)).linesIterator.next().trim)
+      catch { case _: Throwable => None }
+    val cpuQuota: String =
+      firstLine("/sys/fs/cgroup/cpu.max")
+        .map(_.replace(' ', '/'))
+        .orElse(for {
+          q <- firstLine("/sys/fs/cgroup/cpu/cpu.cfs_quota_us")
+          p <- firstLine("/sys/fs/cgroup/cpu/cpu.cfs_period_us")
+        } yield s"$q/$p")
+        .getOrElse("-1/-1")
+    def stealTicks(): Long =
+      firstLine("/proc/stat")
+        .map(_.split("\\s+")).filter(_.length > 8)
+        .map(_(8).toLong).getOrElse(-1L)
+    def psiCpuSome(): Double =
+      (try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/pressure/cpu"))
+            .linesIterator.find(_.startsWith("some"))
+        catch { case _: Throwable => None })
+        .flatMap("avg10=([0-9.]+)".r.findFirstMatchIn(_))
+        .map(_.group(1).toDouble).getOrElse(-1.0)
+    val stealBefore = stealTicks()
+    val psiBefore = psiCpuSome()
 
     // Returns (elapsed, succeeded): a query that THROWS still gets a time
     // (the driver sums the map), but that time measures the failure, not
@@ -232,23 +264,36 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"failed":$fl,""" +
         s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
+        s""""cpu_quota":"$cpuQuota",""" +
+        s""""steal_ticks":[$stealBefore,${stealTicks()}],""" +
+        s""""psi_cpu_some":[${jsNum(psiBefore, 2)},${jsNum(psiCpuSome(), 2)}],""" +
         s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
     catch { case e: Throwable =>
       System.err.println(s"[bench] result file write failed: ${e.getMessage}")
     }
-    // Update best-known history: min(previous best, this run, its re-run).
-    // A genuinely regressed query keeps its old best — it gets re-timed
-    // once per run and the [slow, slow] pair makes the regression visible;
-    // a contended row never raises the bar for later rounds. Skipped for
+    // Update best-known history: min(previous best, this run's FIRST
+    // time). Re-time values are deliberately EXCLUDED from the baseline
+    // (changed in r11): a re-time re-runs the identical plan in the same
+    // JVM, so it reuses compiled codegen classes and fully-JITed kernels
+    // — for the short (~1 s) expression-heavy queries that fixed compile
+    // cost is most of the runtime, and a warm re-time can be 2-5x faster
+    // than ANY cold run (measured: q_typofix_spell_lev 3.4 s cold-first
+    // vs 1.26 s third-in-JVM repeat; history had 0.63 s from a warm
+    // re-time). Min-ing re-times ratcheted baselines below what a cold
+    // run can reproduce, so every later run read as a phantom >=2x
+    // "regression" and re-timed forever — the r10 verdict's four weak
+    // rows were exactly this. Cold-vs-cold is the comparable pair; the
+    // re-time pair still lands in the results file for contention
+    // attribution. A genuinely regressed query keeps its old best and
+    // the [slow, slow] pair makes the regression visible. Skipped for
     // partial (SPARK_GRAFT_ONLY) runs, whose times carry warmup skew.
     if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
       // prev entries survive for queries that failed this run (their
       // crash time is not a measurement); successful ones re-minimize
       val best = prev ++ timed.collect { case (k, (v, true)) =>
-        val r = retimed.get(k).map(_._2).getOrElse(v)
-        k -> (Seq(v, r) ++ prev.get(k)).min
+        k -> (Seq(v) ++ prev.get(k)).min
       }
       val histJson = best.map { case (k, v) => s"\"$k\":${jsNum(v, 9)}" }
         .mkString("{", ",", "}")

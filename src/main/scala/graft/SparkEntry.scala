@@ -782,6 +782,9 @@ object SparkEntry {
     "q_events_sessionize_stream" -> ((s, dir) =>
       graft.streaming.StreamRuns.sessionizeAvailableNow(s, dir)),
 
+    "q_dedup_stream_run" -> ((s, dir) =>
+      graft.streaming.StreamRuns.dedupExactAvailableNow(s, dir)),
+
     // batch twin of the streaming ingest-dedup (Dedup.streamingExact):
     // first event per (user, type) in event-time order. ts emitted as
     // epoch micros so both engines compare the identical integer.
@@ -1475,6 +1478,15 @@ object SparkEntry {
         |ORDER BY user_id, start_sec""".stripMargin,
 
     "q_dedup_stream_twin" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM (SELECT *, row_number() OVER
+        |  (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // the STREAMING dedup engine run (event-time-ordered replay) keeps
+    // exactly the batch twin's survivors — same SQL
+    "q_dedup_stream_run" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM (SELECT *, row_number() OVER
         |  (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn

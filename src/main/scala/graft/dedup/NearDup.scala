@@ -31,26 +31,33 @@ object NearDup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct character k-shingles of the normalized text; empty array when
-    * the text is shorter than k. */
-  def shingles(c: Column, k: Int = 5): Column = {
-    val n = normalize(c)
-    when(length(n) >= k,
-      array_distinct(transform(sequence(lit(1), length(n) - (k - 1)),
-        i => substr(n, i, lit(k)))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+  /** Distinct character k-shingles of the normalized text; empty array
+    * when the text is shorter than k.
+    *
+    * The normalized string is BOUND ONCE as a lambda variable (the
+    * single-element-transform trick [[simhash]] also uses): the shingle
+    * lambda references the bound value, a per-element lookup. Embedding
+    * `normalize(c)` directly in the lambda body would re-run the
+    * regexp_replace+trim+lower chain once PER SHINGLE — O(len²)
+    * normalization per row (HOF lambdas are interpreted; nothing CSEs an
+    * embedded subtree across elements). */
+  def shingles(c: Column, k: Int = 5): Column =
+    element_at(transform(array(normalize(c)), n =>
+      when(length(n) >= k,
+        array_distinct(transform(sequence(lit(1), length(n) - (k - 1)),
+          i => substr(n, i, lit(k)))))
+        .otherwise(array().cast(ArrayType(StringType)))), 1)
 
   /** Distinct word n-gram shingles — more discriminative than character
     * shingles on small-vocabulary text and ~10× smaller sets; the standard
-    * choice for corpus-scale near-dup detection. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val toks = split(normalize(c), " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
-  }
+    * choice for corpus-scale near-dup detection. Token array bound once,
+    * same as [[shingles]]. */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    element_at(transform(array(split(normalize(c), " ")), toks =>
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast(ArrayType(StringType)))), 1)
 
   /** Exact Jaccard similarity of two shingle sets. */
   def jaccard(a: Column, b: Column): Column =

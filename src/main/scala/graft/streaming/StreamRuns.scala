@@ -71,8 +71,21 @@ object StreamRuns {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     val name = s"graft_stream_sink_${calls.incrementAndGet()}"
-    val q = build(stream).writeStream.format("memory").queryName(name)
-      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    // A stateful streaming query spins up one state-store instance per
+    // shuffle partition PER MICRO-BATCH (load, commit, checkpoint file) —
+    // at the session's 32 partitions over ~4 batches that fixed cost
+    // dwarfs the actual event volume. 8 partitions is plenty for the
+    // events table while exercising real multi-partition state; the conf
+    // is scoped to the stream (a streaming query latches confs at start)
+    // and restored before the batch-side result query runs.
+    val confKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.get(confKey)
+    val q =
+      try {
+        spark.conf.set(confKey, "8")
+        build(stream).writeStream.format("memory").queryName(name)
+          .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set(confKey, prevParts)
     try q.awaitTermination() finally q.stop()
     spark.table(name)
   }
@@ -145,6 +158,31 @@ object StreamRuns {
           round(col("start_sec"), 6).as("start_sec"),
           round(col("duration_sec"), 6).as("duration_sec"))
         .orderBy("user_id", "start_sec")
+    } finally deleteRec(in)
+  }
+
+  /** [[graft.ops.Dedup.streamingExact]] over the real events table,
+    * replayed in event-time arrival order: the corpus is staged as ONE
+    * part-file sorted by (ts, tie-break), so per-key arrival order equals
+    * event-time order (a single input partition keeps its order through
+    * the key shuffle) and the first-seen row the state keeps IS the batch
+    * twin's min-(ts, event_id) survivor. All rows share the first batch,
+    * whose starting watermark is 0 — no state eviction mid-replay, so
+    * every duplicate is dropped regardless of gap (exactly the twin's
+    * global-first semantics). */
+  def dedupExactAvailableNow(spark: SparkSession, dir: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val in = scratch("dedup", dir)
+    try {
+      Events.load(spark, dir)
+        .repartition(1).sortWithinPartitions("ts", "event_id")
+        .write.parquet(in.toString)
+      val out = runToMemory(spark, in,
+        s => graft.ops.Dedup.streamingExact(s, "ts", watermark,
+          Seq("user_id", "event_type")), "append")
+      out.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("user_id", "event_type")
     } finally deleteRec(in)
   }
 }

@@ -40,16 +40,24 @@ object BigramLm {
   private def words(c: Column): Column =
     filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
 
-  /** (w1, w2) adjacent-pair rows of a text column. */
+  /** (w1, w2) adjacent-pair rows of a text column. The token array is
+    * STAGED as its own projection before the pair transform: `ws` is
+    * referenced twice per bigram (two element_at) plus twice for the
+    * bounds, and an inline expression gets re-inlined at every reference
+    * — re-running split+filter per element_at made the explode O(words²)
+    * in tokenizer work (measured ~15x on the sf0.1 scoring pass when the
+    * r11 filter form surfaced the real cost; the count-only bench of the
+    * score form had hidden it behind join elimination). */
   private def pairs(df: DataFrame, textCol: String,
       carry: Seq[Column]): DataFrame = {
-    val ws = words(col(textCol))
+    val ws = col("__ws")
     val ps = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => struct(element_at(ws, i).as("w1"),
           element_at(ws, i + 1).as("w2"))))
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-    df.select(carry :+ explode(ps).as("__p"): _*)
+    df.select(carry :+ words(col(textCol)).as("__ws"): _*)
+      .select(carry :+ explode(ps).as("__p"): _*)
       .select(carry ++ Seq(col("__p.w1").as("__w1"), col("__p.w2").as("__w2")): _*)
   }
 

@@ -24,26 +24,42 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** All word n-grams of a text column as an array (empty when the text
+  /** Word n-grams of an ALREADY-TOKENIZED array column (empty when it
     * has fewer than n words). The sequence bound is guarded: Spark's
-    * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding empty. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+    * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding empty.
+    *
+    * Callers must pass a STAGED token attribute (a projected column),
+    * not an inline tokenize expression: `toks` is referenced once per
+    * gram via `slice`, and an inline expression would be re-inlined at
+    * every reference — re-running split+filter per gram turned the
+    * corpus explode O(words²) in tokenizer work (measured 4.3 s → 0.5 s
+    * at sf0.1 when r11 staged it). */
+  def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** The tokenize convention (lower, trim, split on whitespace runs). */
+  def tokens(c: Column): Column =
+    filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+
+  /** All word n-grams of a raw text column — single-expression form for
+    * tests/small inputs; hot paths stage [[tokens]] first (see
+    * [[ngramsOfTokens]]). */
+  def wordNgrams(c: Column, n: Int): Column = ngramsOfTokens(tokens(c), n)
 
   /** Corpus + a `contaminated` boolean: true when the document shares at
     * least one word n-gram with any benchmark document. */
   def flagContaminated(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13): DataFrame = {
-    val corpusGrams = corpus.select(col(idCol),
-      explode(wordNgrams(col(textCol), n)).as("__g"))
+    val corpusGrams = corpus
+      .select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__gh"))
     val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("__g"))
+      .select(tokens(col(textCol)).as("__ws"))
+      .select(explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
       .select(xxhash64(col("__g")).as("__gh")).distinct()
     val hits = corpusGrams.join(benchGrams, Seq("__gh"), "left_semi")
       .select(idCol).distinct()
