@@ -1,25 +1,22 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+// Plan-inspection probe — test scope only, never ships in the library
+// artifact. Prints the executed plan of a named SparkEntry query so
+// ".explain and iterate" doesn't need a hand-written harness each time.
+// Run: sbt "Test/runMain graft.ExplainProbe q_name [sfDir]"
 object ExplainProbe {
-  def time[A](l: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[probe] $l%-40s ${(System.nanoTime()-t0)/1e9}%.3f s"); r
-  }
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (r <- 1 to 3; q <- Seq("q_events_window_stream",
-        "q_events_sessionize_stream", "q_dedup_stream_run")) {
-      time(s"[$r] $q") {
-        val b = graft.util.CacheHygiene.snapshot(spark)
-        SparkEntry.queries(q)(spark, dir).count()
-        graft.util.CacheHygiene.releaseNew(spark, b) }
-    }
+    val df = SparkEntry.queries(args(0))(spark, dir)
+    println(df.queryExecution.executedPlan.treeString.take(20000))
     spark.stop()
   }
 }
