@@ -133,6 +133,34 @@ class PlanQualitySpec extends SparkSpec {
       s"PII redaction must not shuffle:\n$pRed")
   }
 
+  test("gram explodes read a staged token array — no inline tokenizer") {
+    // HOF lambdas re-evaluate embedded subtrees per element, so an
+    // inline split/trim/lower inside the gram transform re-tokenizes
+    // once PER GRAM (O(words^2) per row — the r11 q_*_filter finding).
+    // The staging contract: no Generate line of these plans may contain
+    // the tokenizer chain; it must live in a projection below.
+    val docs = Tables.load(spark, sf, "documents")
+    val ids = docs.select("doc_id", "text")
+    // only per-element lambdas are the hazard: an explode whose CHILD
+    // tokenizes runs the tokenizer once per row (fine — the unigram
+    // explode in BigramLm.fit is exactly that); a tokenizer inside a
+    // transform(sequence...) lambda runs once per GRAM
+    def generateLines(df: DataFrame): String =
+      df.queryExecution.executedPlan.treeString.linesIterator
+        .filter(l => l.contains("Generate") && l.contains("transform(sequence"))
+        .mkString("\n")
+    val dcn = graft.text.Decontaminate.flagContaminated(
+      ids, ids.limit(10), "text", "doc_id", n = 6)
+    assert(!generateLines(dcn).contains("split(trim(lower"),
+      "decontaminate gram explode re-tokenizes per gram")
+    val fit = graft.text.BigramLm.fit(ids.limit(50), "text")
+    try {
+      val lm = graft.text.BigramLm.scoreBits(ids, fit, "text", "doc_id")
+      assert(!generateLines(lm).contains("split(trim(lower"),
+        "bigram explode re-tokenizes per element_at")
+    } finally fit.release()
+  }
+
   test("gopher filter evaluates the repetition kernel exactly once per row") {
     // the keep-predicate is ONE boolean UDF by construction; this pins
     // that no optimizer rewrite (filter pushdown through a project,
