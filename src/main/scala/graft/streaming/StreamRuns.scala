@@ -91,18 +91,20 @@ object StreamRuns {
   }
 
   /** [[Events.streamingTumbling]] over the real events table, split into
-    * four single-file micro-batches by a hash repartition — arrival order
-    * is decoupled from event time, so every batch delivers late rows
-    * relative to earlier ones; complete output mode evicts no aggregate
-    * state, so the final table must equal the batch aggregation exactly
-    * (same contract StreamingSpec pins, now oracle-visible). */
+    * two single-file micro-batches by a hash repartition — arrival order
+    * is decoupled from event time, so the second batch delivers late
+    * rows and updates first-batch aggregate state; complete output mode
+    * evicts nothing, so the final table must equal the batch aggregation
+    * exactly. Two data batches keep the cross-batch merge genuinely
+    * exercised at ~0.5 s fixed cost per extra micro-batch (measured);
+    * the deeper 4-shuffled-batch equivalence is StreamingSpec's job. */
   def tumblingAvailableNow(spark: SparkSession, dir: String,
       width: String = "1 hour"): DataFrame = {
     val in = scratch("tumbling", dir)
     try {
       Events.load(spark, dir)
         .select("ts", "event_type", "value")
-        .repartition(4).write.parquet(in.toString)
+        .repartition(2).write.parquet(in.toString)
       // distinct ascending mtimes → deterministic batch order
       val parts = Files.list(in).filter(
           _.getFileName.toString.startsWith("part-"))

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.{Events, StreamRuns}
+
+/** Pins the `Trigger.AvailableNow` file-source harness (StreamRuns) —
+  * the deterministic micro-batch decomposition via per-file mtimes, the
+  * sentinel-batch timeout flush, and the event-time-ordered dedup replay
+  * — against the batch twins at sf0.001. The driver oracle re-checks the
+  * same equalities at sf0.01; this spec catches a harness refactor
+  * between rounds without waiting for a verify cycle. */
+class StreamRunsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumblingAvailableNow equals batch tumblingStats") {
+    val got = StreamRuns.tumblingAvailableNow(spark, dir).collect().toSeq
+    val want = Events.tumblingStats(Events.load(spark, dir))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("sessionizeAvailableNow equals batch sessionize (session_id dropped)") {
+    val got = StreamRuns.sessionizeAvailableNow(spark, dir).collect().toSeq
+    val want = Events.sessionize(Events.load(spark, dir))
+      .select($"user_id", $"n_events", $"start_sec", $"duration_sec")
+      .orderBy("user_id", "start_sec").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("dedupExactAvailableNow equals the batch stream twin") {
+    val got = StreamRuns.dedupExactAvailableNow(spark, dir).collect().toSeq
+    val want = graft.ops.Dedup
+      .streamTwinExact(Events.load(spark, dir), "ts",
+        Seq("user_id", "event_type"), "event_id")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+}
