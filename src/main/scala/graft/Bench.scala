@@ -203,10 +203,20 @@ object Bench {
     // re-times (a fast crash would otherwise poison the baseline
     // permanently: min-only updates can't recover, and every later
     // healthy run would read as a 3x "regression" and re-time forever).
+    //
+    // Materialization is a NOOP SINK write, not count(): under count()
+    // Catalyst prunes every column and eliminates unique-keyed outer
+    // joins, so a query whose cost lives in a pruned projection or a
+    // dropped join benches its SKELETON, not its work (r11 finding:
+    // q_decontaminate timed 0.2 s while its real evaluation cost 4 s —
+    // the count collapsed to scanning doc_ids). The noop sink evaluates
+    // every output column of every row and discards them — what the
+    // driver's Verify pays, minus parquet encoding.
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     // Optional query-name filter for isolating one query's cost

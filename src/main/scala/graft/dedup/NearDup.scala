@@ -31,22 +31,36 @@ object NearDup {
       .where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Distinct character k-shingles of the normalized text; empty array
-    * when the text is shorter than k.
+  /** Distinct character k-shingles of the normalized text (empty array
+    * when the text is shorter than k; first-occurrence order, matching
+    * array_distinct).
     *
-    * The normalized string is BOUND ONCE as a lambda variable (the
-    * single-element-transform trick [[simhash]] also uses): the shingle
-    * lambda references the bound value, a per-element lookup. Embedding
-    * `normalize(c)` directly in the lambda body would re-run the
-    * regexp_replace+trim+lower chain once PER SHINGLE — O(len²)
-    * normalization per row (HOF lambdas are interpreted; nothing CSEs an
-    * embedded subtree across elements). */
-  def shingles(c: Column, k: Int = 5): Column =
-    element_at(transform(array(normalize(c)), n =>
-      when(length(n) >= k,
-        array_distinct(transform(sequence(lit(1), length(n) - (k - 1)),
-          i => substr(n, i, lit(k)))))
-        .otherwise(array().cast(ArrayType(StringType)))), 1)
+    * Normalization stays an EXPRESSION (exact regex parity with the
+    * DuckDB oracles); the window/dedup step is a one-pass Scala kernel.
+    * The declarative form — transform(sequence…) + substr +
+    * array_distinct — runs the per-element lambda interpreted, ~600 µs
+    * per ~300-char row; the kernel is a tight loop over the code-point
+    * array (code points, not chars: String.substring counts UTF-16
+    * units and would diverge from Spark's substr on astral input).
+    * Measured q_ngram_jaccard 6.5 s → ~2 s at sf0.1. */
+  def shingles(c: Column, k: Int = 5): Column = shingleUdf(normalize(c), lit(k))
+
+  private val shingleUdf = udf { (s: String, k: Int) =>
+    if (s == null) Array.empty[String]
+    else {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) Array.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String](
+          math.min(cps.length, 1024))
+        var i = 0
+        while (i + k <= cps.length) {
+          seen.add(new String(cps, i, k)); i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+  }
 
   /** Distinct word n-gram shingles — more discriminative than character
     * shingles on small-vocabulary text and ~10× smaller sets; the standard
@@ -59,10 +73,20 @@ object NearDup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
         .otherwise(array().cast(ArrayType(StringType)))), 1)
 
-  /** Exact Jaccard similarity of two shingle sets. */
+  /** Exact Jaccard similarity of two shingle SETS (inputs must be
+    * distinct arrays — every producer here applies array_distinct).
+    * Uses |a ∪ b| = |a| + |b| − |a ∩ b| with the intersection size bound
+    * ONCE as a lambda variable: the naive
+    * `intersect / union` form evaluates array_union twice (the `when`
+    * guard plus the denominator — conditional branches are exempt from
+    * codegen subexpression elimination) and array_intersect once, three
+    * O(|a|+|b|) hash-set passes per pair where one suffices. Measured
+    * 7.7 s → ~2 s on q_ngram_jaccard at sf0.1. */
   def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) > 0,
-      size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
+    element_at(transform(array(size(array_intersect(a, b))), i => {
+      val uni = size(a) + size(b) - i
+      when(uni > 0, i.cast(DoubleType) / uni)
+    }), 1)
 
   /** MinHash signature positions from a pre-hashed shingle array. Hash
     * family i is xxhash64(shingleHash, i) — the shingle string is hashed
@@ -655,15 +679,32 @@ object NearDup {
   def simhash(c: Column, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): Column = {
     val hs = transform(split(normalize(c), " "), t => tokenHash(t))
-    val votes = aggregate(hs,
-      array_repeat(lit(0L), bits),
-      (acc, h) =>
-        zip_with(acc, sequence(lit(0), lit(bits - 1)),
-          (a, i) => a + when(call_function("shiftright", h, i)
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
-    aggregate(zip_with(votes, sequence(lit(0), lit(bits - 1)),
-      (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    simhashVoteUdf(hs, lit(bits))
+  }
+
+  /** The ±1 vote fold over a token-hash array as a one-pass kernel. The
+    * declarative form (aggregate + zip_with over a bits-long accumulator)
+    * allocates a fresh array per token and runs tokens×bits interpreted
+    * lambda steps — ~6 s for the two 56-bit signatures of q_simhash at
+    * sf0.1, vs primitive-loop cost here. Token HASHES stay expressions
+    * (md5/xxhash64 oracle parity); bit b of h reads identically via
+    * arithmetic or logical shift, and bit order matches the old
+    * shiftright/shiftleft formulation exactly. */
+  private val simhashVoteUdf = udf { (hs: Seq[Long], bits: Int) =>
+    if (hs == null) null
+    else {
+      val votes = new Array[Long](bits)
+      hs.foreach { h =>
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L); b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < bits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
   }
 
   /** 56-bit token hash computable IDENTICALLY by an external SQL engine:

@@ -132,15 +132,21 @@ final case class MissingValues(
         else graft.plans.PartitionedFill.bfill(ord, key)
       filled.select(kept.map(col).toSeq: _*)
     } else {
-      val base = Window.orderBy(col(key))
+      // BOTH directions run as a [unboundedPreceding, current] RUNNING
+      // frame — backward fill over the DESC order. A
+      // [current, unboundedFollowing] frame is not a running aggregate:
+      // WindowExec re-scans the rest of the partition for every row,
+      // O(n²) — measured 9.5 s vs 0.3 s on the 15 k-row sf0.1 customer
+      // fill (the r11 noop-sink bench surfaced it; count() had pruned
+      // the projection). last(ignoreNulls) at-or-before current in DESC
+      // order IS first(ignoreNulls) at-or-after current in ASC order.
+      val base =
+        if (forward) Window.orderBy(col(key))
+        else Window.orderBy(col(key).desc)
       val proj = kept.map { c =>
         if (c == key || !isAtomic(ord.schema(c).dataType)) col(c)
-        else if (forward)
-          last(col(c), ignoreNulls = true)
-            .over(base.rowsBetween(Window.unboundedPreceding, 0)).as(c)
-        else
-          first(col(c), ignoreNulls = true)
-            .over(base.rowsBetween(0, Window.unboundedFollowing)).as(c)
+        else last(col(c), ignoreNulls = true)
+          .over(base.rowsBetween(Window.unboundedPreceding, 0)).as(c)
       }
       ord.select(proj.toSeq: _*)
     }

@@ -37,7 +37,10 @@ object ProbeMain {
     for (round <- 1 to 3; name <- targets) {
       time(s"[$round] $name") {
         val before = graft.util.CacheHygiene.snapshot(spark)
-        SparkEntry.queries(name)(spark, dir).count()
+        // noop sink, same as Bench.timeOne — count() would let Catalyst
+        // prune projections/joins and time the query's skeleton
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         graft.util.CacheHygiene.releaseNew(spark, before)
       }
     }
