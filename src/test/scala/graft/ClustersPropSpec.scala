@@ -56,4 +56,29 @@ class ClustersPropSpec extends SparkSpec {
       }
     }
   }
+
+  test("dirty string ids: cast-failed edges drop identically on both paths") {
+    // r10 ADVICE: the null gate used to run on the RAW columns, so a
+    // non-numeric id passed the filter, became null after the internal
+    // cast, and NPE'd the driver union-find (the distributed path emitted
+    // null-keyed rows instead — the two paths diverged on dirty input).
+    // Now the cast+filter happens once in clusters(): garbage edges
+    // vanish, clean edges resolve, and both paths agree.
+    val pairs = Seq(
+      ("1", "2"), ("2", "3"),       // clean chain -> cluster 1
+      ("oops", "4"), ("5", ""),     // cast-failed sides -> dropped
+      (null, "6"), ("7", "7.5"),    // null / non-integral -> dropped
+      ("10", "11")                  // clean pair -> cluster 10
+    ).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L)
+    for (forceDistributed <- Seq(false, true)) {
+      val labels = NearDup.clusters(pairs,
+        maxDriverEdges =
+          if (forceDistributed) -1L else NearDup.MaxDriverEdges)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      labels.unpersist(false)
+      assert(got == expected,
+        s"distributed=$forceDistributed: $got")
+    }
+  }
 }

@@ -45,6 +45,23 @@ class OpsSpec extends SparkSpec {
       Seq(Some(10.0), Some(30.0), Some(30.0), Some(40.0), Some(100.0)))
   }
 
+  test("split stats pin a non-deterministic input to one evaluation") {
+    // the percentile/codegen-agg split runs TWO scans; for a plan with a
+    // non-deterministic expression Stats.numeric must persist the input
+    // so both jobs read the same rows (r10 ADVICE). The accumulator
+    // counts row evaluations: 1000 means scan 2 read the cache; 2000
+    // would mean the rows were re-drawn for the percentile job.
+    val acc = spark.sparkContext.longAccumulator("stats_evals")
+    val f = udf { (x: Long) => { acc.add(1); x.toDouble } }.asNondeterministic()
+    val df = spark.range(0, 1000, 1, 4).select(f(col("id")).as("v"))
+    val stats = Stats.numeric(df, Seq("v"),
+      Stats.Need(moments = true, quantiles = true))
+    assert(acc.value == 1000L,
+      s"expected one evaluation per row across both scans, got ${acc.value}")
+    val v = stats("v")
+    assert(v.n == 1000L && v.mean.get == 499.5 && v.median.get == 499.5)
+  }
+
   test("missing-values metrics envelope matches the reference fields") {
     val m = MissingValues("drop_rows")(nums).metrics()
     assert(m("strategy_used") == "drop_rows")
