@@ -29,7 +29,8 @@ object Bench {
     "special" -> "spc", "decontaminate" -> "dcn", "filter" -> "flt",
     "repetition" -> "rpt", "redact" -> "rdt", "drop" -> "dp",
     "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
-    "jsonl" -> "jl")
+    "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
+    "line" -> "ln", "stats" -> "sts")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))

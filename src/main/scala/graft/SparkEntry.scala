@@ -601,6 +601,22 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // CCNet-style boilerplate line removal: plant a shared footer on 2/3
+    // of docs and a shared header on 1/3; lines in >=100 distinct docs
+    // are stripped, the docs' own (unique) text lines survive intact
+    "q_line_dedup" -> ((s, dir) => {
+      val planted = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("subscribe to our newsletter\n"), col("text"),
+            lit("\nall rights reserved")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit("\nall rights reserved")))
+          .otherwise(col("text")).as("text"))
+      graft.text.LineDedup.dropBoilerplate(planted, "text", "doc_id",
+          minDocFreq = 100)
+        .orderBy("doc_id")
+    }),
+
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1254,6 +1270,26 @@ object SparkEntry {
         |  AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a3.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
         |  AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a5.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin,
+
+    // same plant, line split on chr(10), doc-frequency threshold, ordered
+    // string_agg reassembly; docs losing every line come back as ''
+    "q_line_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' || chr(10) || text || chr(10) || 'all rights reserved'
+        |       WHEN doc_id % 3 = 1 THEN text || chr(10) || 'all rights reserved'
+        |       ELSE text END AS text FROM documents),
+        |l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+        |l AS (SELECT doc_id, ls, unnest(generate_series(1, CAST(len(ls) AS BIGINT))) AS i FROM l0),
+        |lx AS (SELECT doc_id, i, ls[i] AS line FROM l),
+        |bp AS (SELECT line FROM lx WHERE trim(line) <> ''
+        |       GROUP BY line HAVING count(DISTINCT doc_id) >= 100),
+        |kept AS (SELECT doc_id, i, line FROM lx
+        |         WHERE line NOT IN (SELECT line FROM bp)),
+        |re AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text
+        |       FROM kept GROUP BY doc_id)
+        |SELECT p.doc_id, COALESCE(re.text, '') AS text
+        |FROM p LEFT JOIN re ON p.doc_id = re.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q_lang_id" -> {
       import graft.text.TextAnalysis._

@@ -127,6 +127,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(4) == "dial [PHONE] now")
   }
 
+  test("line dedup strips boilerplate, keeps order, blanks, empty docs") {
+    import graft.text.LineDedup
+    val df = Seq(
+      (1L, "unique one\nfooter\nunique two"),
+      (2L, "footer\n\nmiddle line"),   // blank line survives uncounted
+      (3L, "footer"),                  // all-boilerplate -> empty string
+      (4L, "footer\nfooter\nown text") // within-doc repeat counts once
+    ).toDF("id", "t")
+    val out = LineDedup.dropBoilerplate(df, "t", "id", minDocFreq = 4)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique one\nunique two",
+      2L -> "\nmiddle line",
+      3L -> "",
+      4L -> "own text"))
+    val freqs = LineDedup.lineDocFrequencies(df, "t", "id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqs("footer") == 4L && freqs("unique one") == 1L)
+    assert(!freqs.contains(""), "blank lines must not be counted")
+  }
+
   test("decontamination flags n-gram overlap with the benchmark set") {
     import graft.text.Decontaminate
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
