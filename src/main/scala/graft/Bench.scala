@@ -30,7 +30,9 @@ object Bench {
     "repetition" -> "rpt", "redact" -> "rdt", "drop" -> "dp",
     "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
     "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
-    "line" -> "ln", "stats" -> "sts")
+    "line" -> "ln", "stats" -> "sts", "pipeline" -> "pp",
+    "lang" -> "lg", "dist" -> "ds", "parse" -> "prs", "mode" -> "md",
+    "mean" -> "mn")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))

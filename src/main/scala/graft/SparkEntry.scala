@@ -749,6 +749,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // transitive cluster resolution over the embedding near-dup pairs —
+    // the composition an embedding-dedup pipeline actually runs (pairs →
+    // connected components → keep one per cluster); same resolution
+    // machinery as q_neardup_clusters, driven by cosine-LSH pairs
+    "q_embed_clusters" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.where(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      NearDup.clusters(
+        NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
+          dim = 64, threshold = 0.95, planes = 32, bands = 4))
+        .orderBy("id")
+    }),
+
     // brute-force cosine top-10 for the first 5 vectors (exact ANN baseline)
     "q_ann_topk" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -1395,6 +1409,27 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming_to_neardup
          |FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.which = 1 AND b.which = 2
          |ORDER BY a.doc_id""".stripMargin,
+
+    // the q_embed_neardup pair set (exact cosine threshold — LSH banding
+    // with identical planted vectors has recall 1 there) closed
+    // transitively with the same recursive-CTE pattern as
+    // q_neardup_clusters
+    "q_embed_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT * FROM e
+        |      UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20),
+        |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |       FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |       WHERE list_dot_product(a.v, b.v) /
+        |         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION SELECT id_b, id_a FROM pr),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON e2.dst = r.id)
+        |SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     "q_cosine_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
