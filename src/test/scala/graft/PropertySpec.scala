@@ -55,6 +55,64 @@ class PropertySpec extends SparkSpec {
       s"group ${r.get(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}"))
   }
 
+  test("r11 kernels equal their declarative twins on adversarial text") {
+    // shingles / simhash-votes / jaccard moved from interpreted HOF
+    // expressions to one-pass Scala kernels in r11; this pins kernel ==
+    // declarative on inputs the corpus never exercises (CJK, mixed
+    // scripts, runs of whitespace, empties, below-k strings).
+    import graft.dedup.NearDup
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types._
+    val texts = Seq(
+      "", " ", "ab", "abcd", "abcde", "  padded   runs\t of ws  ",
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaa aaaaa aaaaa", "汉字漢字 漢字 mixed latin 漢",
+      "éèêë àâä ünïcode tokens", "line1\nline2\nline1",
+      "1234567890 0987654321", "a b c d e f g h i j k l m n o p")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    // declarative twins — the pre-r11 formulations, verbatim
+    def declShingles(c: Column, k: Int): Column = {
+      val n = NearDup.normalize(c)
+      when(length(n) >= k,
+        array_distinct(transform(sequence(lit(1), length(n) - (k - 1)),
+          i => substr(n, i, lit(k)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    }
+    def declSimhash(c: Column, bits: Int, th: Column => Column): Column = {
+      val hs = transform(split(NearDup.normalize(c), " "), t => th(t))
+      val votes = aggregate(hs, array_repeat(lit(0L), bits),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(bits - 1)),
+          (a, i) => a + when(call_function("shiftright", h, i)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)))
+      aggregate(zip_with(votes, sequence(lit(0), lit(bits - 1)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(0L)),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    }
+    def declJaccard(a: Column, b: Column): Column =
+      when(size(array_union(a, b)) > 0,
+        size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b)))
+    val sh = df.select($"id",
+        NearDup.shingles($"t", 3).as("k"), declShingles($"t", 3).as("d"))
+      .collect()
+    sh.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"shingles diverge on id=${r.getLong(0)}"))
+    val sim = df.select($"id",
+        NearDup.simhash($"t", 56, NearDup.md5Hash56).as("k"),
+        declSimhash($"t", 56, NearDup.md5Hash56).as("d"))
+      .collect()
+    sim.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"simhash diverges on id=${r.getLong(0)}"))
+    val pairs = df.select($"id", NearDup.shingles($"t", 3).as("s"))
+    val jac = pairs.as("a").join(pairs.as("b"), $"a.id" < $"b.id")
+      .select(NearDup.jaccard($"a.s", $"b.s").as("k"),
+        declJaccard($"a.s", $"b.s").as("d"))
+      .collect()
+    jac.foreach(r => assert(Option(r.get(0)) == Option(r.get(1)),
+      s"jaccard diverges: ${r.get(0)} vs ${r.get(1)}"))
+  }
+
   test("dedup is idempotent") {
     for (xs <- samples(Gen.listOfN(10, Gen.chooseNum(0, 3)), 5) if xs.nonEmpty) {
       val df = xs.toDF("x")
