@@ -15,7 +15,7 @@ object Bench {
     "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "thr",
     "columns" -> "cols", "events" -> "ev", "dedup" -> "dd",
     "typeconvert" -> "tcv", "roundtrip" -> "rt", "fingerprint" -> "fp",
-    "sessionize" -> "sess", "categorical" -> "cat", "summary" -> "sum",
+    "sessionize" -> "ss", "categorical" -> "cat", "summary" -> "sum",
     "corrections" -> "corr", "stratified" -> "strat", "features" -> "feat",
     "remove" -> "rm", "median" -> "med", "scaling" -> "scal",
     "sample" -> "smp", "quality" -> "qual", "pipeline" -> "pipe",
@@ -32,7 +32,8 @@ object Bench {
     "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
     "line" -> "ln", "stats" -> "sts", "pipeline" -> "pp",
     "lang" -> "lg", "dist" -> "ds", "parse" -> "prs", "mode" -> "md",
-    "mean" -> "mn")
+    "mean" -> "mn", "budget" -> "bgt", "label" -> "lb", "freq" -> "fq",
+    "urls" -> "u")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))

@@ -684,6 +684,18 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // data-mixture sampling by token budget: per-lang keep rates derived
+    // from n_chars totals (en capped at 30k tokens, de at 8k, rest 10%),
+    // then the same deterministic salted-hash filter. At sf0.001 the
+    // budgets exceed the corpus and the rate clamps to keep-all — the
+    // clamp path is part of the contract.
+    "q_sample_budget" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.tokenBudgetSample(d, "lang", "doc_id", "n_chars",
+        budgets = Map("en" -> 30000L, "de" -> 8000L), defaultRate = 0.1)
+        ._1.select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -1367,6 +1379,26 @@ object SparkEntry {
         |       WHEN lang = 'fr' THEN '40000000'
         |       ELSE '19999999' END
         |ORDER BY doc_id""".stripMargin,
+
+    // rate_s = min(1, budget_s / sum(n_chars)_s); threshold hex is the
+    // TRUNCATED rate*2^32 ('floor' — DuckDB's bare BIGINT cast rounds),
+    // lowercased (to_hex is uppercase); >=1 clamps to the keep-all
+    // sentinel 'g' exactly like Sampling.thresholdHex
+    "q_sample_budget" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS toks
+        |           FROM documents GROUP BY lang),
+        |r AS (SELECT lang,
+        |  CASE WHEN lang = 'en' THEN 30000.0 / toks
+        |       WHEN lang = 'de' THEN 8000.0 / toks
+        |       ELSE 0.1 END AS rate FROM s),
+        |t AS (SELECT lang,
+        |  CASE WHEN rate >= 1.0 THEN 'g'
+        |       WHEN rate <= 0.0 THEN '0'
+        |       ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |  END AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The same exact pair ground truth, closed transitively with a
     // recursive CTE — every paired id maps to the smallest id reachable

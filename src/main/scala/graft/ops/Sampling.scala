@@ -52,4 +52,35 @@ object Sampling {
       rates: Map[String, Double], defaultRate: Double = 0.0,
       salt: String = "graft"): DataFrame =
     df.where(keep(col(strataCol), col(idCol), rates, defaultRate, salt))
+
+  /** Data-mixture sampling by TOKEN BUDGET — the step that turns a mixing
+    * recipe ("this run trains on ≤ B_s tokens of source s") into keep
+    * rates: rate_s = budget_s / tokens_s, clamped to [0, 1]; strata
+    * without a budget keep `defaultRate`. One aggregation computes the
+    * per-stratum token totals (strata are a mixing config — bounded
+    * cardinality, so the collected map is tiny), the rates become
+    * plan-time literals, and the filter is the same deterministic salted
+    * hash as [[stratifiedSample]] — so re-running against a GROWN corpus
+    * keeps a superset-consistent sample of the old rows per stratum only
+    * where the rate did not shrink, and the kept set never depends on
+    * partitioning. Returns the filtered frame plus the computed rates
+    * (observability: a mixing run logs what fraction of each source it
+    * actually kept). */
+  def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      defaultRate: Double = 0.0, salt: String = "graft")
+      : (DataFrame, Map[String, Double]) = {
+    val totals = df.groupBy(col(strataCol).cast(StringType).as("__s"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("__toks"))
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))))
+      .toMap
+    val rates = budgets.flatMap { case (s, b) =>
+      totals.get(s).map { t =>
+        s -> (if (t <= 0L) 1.0 else math.min(1.0, b.toDouble / t))
+      }
+    }
+    (stratifiedSample(df, strataCol, idCol, rates, defaultRate, salt), rates)
+  }
 }

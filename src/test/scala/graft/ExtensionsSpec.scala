@@ -222,6 +222,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(Map("en" -> 0.0, "fr" -> 0.0)).isEmpty)
   }
 
+  test("token-budget sample derives clamped rates and matches the sampler") {
+    import graft.ops.Sampling
+    // en: 1000 docs x 10 tokens = 10000; fr: 1000 x 10 = 10000
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "fr", 10L))
+      .toDF("id", "lang", "toks")
+    val (out, rates) = Sampling.tokenBudgetSample(df, "lang", "id", "toks",
+      budgets = Map("en" -> 5000L, "fr" -> 50000L), defaultRate = 0.0)
+    // en rate = 5000/10000 = 0.5; fr budget exceeds corpus -> clamp 1.0
+    assert(rates == Map("en" -> 0.5, "fr" -> 1.0))
+    val got = out.collect().map(_.getLong(0)).toSet
+    // fr kept whole; en equals the plain sampler at the derived rate
+    assert(got.count(_ % 2 == 1) == 1000)
+    val direct = Sampling.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.5, "fr" -> 1.0)).collect().map(_.getLong(0)).toSet
+    assert(got == direct)
+    // zero budget and a stratum with no budget both drop under default 0
+    val (none, r0) = Sampling.tokenBudgetSample(df, "lang", "id", "toks",
+      budgets = Map("en" -> 0L), defaultRate = 0.0)
+    assert(r0("en") == 0.0 && none.count() == 0)
+  }
+
   test("near-dup clusters close transitively to the smallest id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = NearDup.clusters(pairs).orderBy("id").collect()
