@@ -36,7 +36,11 @@ object Bench {
     "urls" -> "u")
 
   private[graft] def shortKey(k: String): String =
-    k.stripPrefix("q_").split('_').map(t => abbrev.getOrElse(t, t))
+    k.stripPrefix("q_").split('_')
+      // unmapped tokens >4 chars auto-truncate to 3: new queries stop
+      // requiring a hand abbrev entry per token (the whole-key
+      // uniqueness check below still guards collisions)
+      .map(t => abbrev.getOrElse(t, if (t.length > 4) t.take(3) else t))
       .mkString("_")
 
   /** Abbreviated stdout keys for `names`. Two future queries must never

@@ -617,6 +617,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // winnowing (MOSS) fingerprints: distinct w-window minima over the
+    // rolling k-gram hash sequence — one row per (doc, fingerprint)
+    "q_winnow_fp" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        explode(TextAnalysis.winnowingFingerprint(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")),
+
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1316,6 +1323,28 @@ object SparkEntry {
         |SELECT p.doc_id, COALESCE(re.text, '') AS text
         |FROM p LEFT JOIN re ON p.doc_id = re.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // full value-level winnowing recompute: k-grams by substr, the same
+    // md5-hex base-16 fold as the simhash oracle, w-window minima via a
+    // bounded self-join on gram position, distinct values
+    "q_winnow_fp" ->
+      s"""WITH d AS (SELECT doc_id, $normTextSql AS t FROM documents),
+         |g AS (SELECT doc_id, i, substr(t, i, 5) AS gram
+         |      FROM (SELECT doc_id, t,
+         |              unnest(generate_series(1, CAST(length(t) - 4 AS BIGINT))) AS i
+         |            FROM d WHERE length(t) >= 5)),
+         |hv AS (SELECT doc_id, i, list_reduce(list_prepend(0::BIGINT,
+         |        list_transform(string_split(substring(md5(gram), 1, 14), ''),
+         |          c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+         |        (a, v) -> a * 16 + v) AS h FROM g),
+         |n AS (SELECT doc_id, max(i) AS nn FROM hv GROUP BY doc_id),
+         |mins AS (SELECT a.doc_id, a.i AS s, min(b.h) AS fp
+         |         FROM hv a JOIN n USING (doc_id)
+         |         JOIN hv b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + 4
+         |         WHERE a.i + 3 <= n.nn
+         |         GROUP BY a.doc_id, a.i)
+         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+         |ORDER BY doc_id, fp""".stripMargin,
 
     "q_lang_id" -> {
       import graft.text.TextAnalysis._

@@ -103,4 +103,68 @@ object TextAnalysis {
     * exact-dup detection key that survives formatting noise. */
   def fingerprint(c: Column): Column =
     md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast(BinaryType))
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): the distinct minima of every `w`-window over the rolling
+    * k-gram hash sequence of the normalized text, ascending. Guarantees
+    * any shared substring of length ≥ w+k-1 contributes a common
+    * fingerprint value — the robust partial-overlap counterpart of
+    * [[fingerprint]]'s whole-document key.
+    *
+    * The k-gram hash is the engine-portable md5 form ([[graft.dedup
+    * .NearDup.md5Hash56]]'s arithmetic: first 14 hex chars base-16), so
+    * an external SQL engine can rebuild every value — q_winnow_fp is
+    * oracle-checked. One-pass kernel per row (code-point windows, one
+    * MessageDigest instance per row, sliding-window minima by rescan
+    * only when the outgoing element was the minimum); selection is by
+    * VALUE (distinct minima), so tie-break position conventions cannot
+    * drift between engines. Pure projection — no shuffle. */
+  def winnowingFingerprint(c: Column, k: Int = 5, w: Int = 4): Column =
+    winnowUdf(regexp_replace(trim(lower(c)), "\\s+", " "), lit(k), lit(w))
+
+  private val winnowUdf = udf { (s: String, k: Int, w: Int) =>
+    if (s == null) Array.empty[Long]
+    else {
+      val cps = s.codePoints().toArray
+      val n = cps.length - k + 1 // k-gram count
+      if (n < w) Array.empty[Long]
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val bytes = md.digest(new String(cps, i, k)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 14 hex chars == the top 7 bytes exactly (2 hex/byte)
+          var h = 0L
+          var j = 0
+          while (j < 7) { h = (h << 8) | (bytes(j) & 0xffL); j += 1 }
+          hs(i) = h // digest() auto-resets for the next gram
+          i += 1
+        }
+        val out = new java.util.TreeSet[java.lang.Long]()
+        var min = Long.MaxValue
+        var minAt = -1
+        var sstart = 0
+        while (sstart + w <= n) {
+          if (minAt < sstart) { // outgoing element was the min: rescan
+            min = Long.MaxValue
+            var j = sstart
+            while (j < sstart + w) {
+              if (hs(j) <= min) { min = hs(j); minAt = j }; j += 1
+            }
+          } else if (hs(sstart + w - 1) <= min) {
+            min = hs(sstart + w - 1); minAt = sstart + w - 1
+          }
+          out.add(min)
+          sstart += 1
+        }
+        val arr = new Array[Long](out.size)
+        val it = out.iterator()
+        var idx = 0
+        while (it.hasNext) { arr(idx) = it.next(); idx += 1 }
+        arr
+      }
+    }
+  }
 }

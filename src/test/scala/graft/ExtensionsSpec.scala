@@ -222,6 +222,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids(Map("en" -> 0.0, "fr" -> 0.0)).isEmpty)
   }
 
+  test("winnowing fingerprints share a value on any w+k-1 char overlap") {
+    import graft.text.TextAnalysis
+    val shared = "the exact same stolen sentence fragment" // >> w+k-1 = 8
+    val df = Seq(
+      (1L, s"totally original preamble $shared and an original ending"),
+      (2L, s"different document here $shared with other words after"),
+      (3L, "nothing in common with either of those two documents"),
+      (4L, "tiny")  // under k+w-1 -> no fingerprint
+    ).toDF("id", "t")
+    val fps = df.select($"id",
+        TextAnalysis.winnowingFingerprint($"t").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a long substring must share a fingerprint")
+    assert((fps(1L) intersect fps(3L)).size < fps(1L).size / 2,
+      "unrelated docs must not share most fingerprints")
+    assert(fps(4L).isEmpty)
+    // deterministic and sorted ascending
+    val again = df.where($"id" === 1)
+      .select(TextAnalysis.winnowingFingerprint($"t")).head().getSeq[Long](0)
+    assert(again == fps(1L).toSeq.sorted && again == again.sorted)
+  }
+
   test("token-budget sample derives clamped rates and matches the sampler") {
     import graft.ops.Sampling
     // en: 1000 docs x 10 tokens = 10000; fr: 1000 x 10 = 10000
