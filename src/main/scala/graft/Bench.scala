@@ -4,36 +4,40 @@ object Bench {
 
   // Decode table for the stdout map's abbreviated keys (stdout only —
   // the results file carries FULL names at full precision, in the SAME
-  // order, so entries also correspond positionally). Measured on the r8
-  // timings: full q_ names at ms precision = 1868 chars; stripped +
-  // 2-decimal = 1682; abbreviated = ~1230 — headroom for ~20 more
-  // queries inside the 1500-char bar (BenchLineSpec pins the worst-case
-  // length and key uniqueness).
+  // order, so entries also correspond positionally). Re-keyed ONCE in
+  // r12: the old table held dead duplicate entries (quality/pipeline
+  // mapped twice — Scala Map literals keep the last, so stdout keys
+  // silently changed between rounds), and 87 queries plus the new
+  // retimed_n/retimed_worst fields no longer fit the 1500-char bar at
+  // the old widths. Worst-case line is now 1491 chars (BenchLineSpec
+  // pins the length, key uniqueness, and concrete mappings for the
+  // previously-ambiguous tokens so the keys cannot drift again).
   private[graft] val abbrev = Map(
-    "missing" -> "mis", "normalize" -> "nrm", "outlier" -> "out",
-    "typofix" -> "tf", "encode" -> "enc", "textclean" -> "tcl",
-    "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "thr",
-    "columns" -> "cols", "events" -> "ev", "dedup" -> "dd",
-    "typeconvert" -> "tcv", "roundtrip" -> "rt", "fingerprint" -> "fp",
-    "sessionize" -> "ss", "categorical" -> "cat", "summary" -> "sum",
-    "corrections" -> "corr", "stratified" -> "strat", "features" -> "feat",
-    "remove" -> "rm", "median" -> "med", "scaling" -> "scal",
-    "sample" -> "smp", "quality" -> "qual", "pipeline" -> "pipe",
-    "datetime" -> "dt", "cosine" -> "cos", "jaccard" -> "jac",
+    "missing" -> "ms", "normalize" -> "nm", "outlier" -> "ol",
+    "typofix" -> "tf", "encode" -> "ec", "textclean" -> "tc",
+    "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "th",
+    "columns" -> "co", "events" -> "ev", "dedup" -> "dd",
+    "typeconvert" -> "tv", "roundtrip" -> "rt", "fingerprint" -> "fp",
+    "sessionize" -> "ss", "categorical" -> "cg", "summary" -> "sy",
+    "corrections" -> "cr", "stratified" -> "sf", "features" -> "ff",
+    "remove" -> "rm", "median" -> "md", "mode" -> "mo",
+    "scaling" -> "sg", "sample" -> "sm",
+    "datetime" -> "dt", "cosine" -> "cs", "jaccard" -> "jc",
     "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
-    "profile" -> "pf", "common" -> "com", "fuzzy" -> "fz",
+    "profile" -> "pf", "common" -> "cm", "fuzzy" -> "fz",
     "spell" -> "sp", "stream" -> "st", "window" -> "win",
-    "standard" -> "std", "robust" -> "rob", "iforest" -> "if",
+    "standard" -> "sd", "robust" -> "rb", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
     "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
-    "special" -> "spc", "decontaminate" -> "dcn", "filter" -> "flt",
-    "repetition" -> "rpt", "redact" -> "rdt", "drop" -> "dp",
+    "special" -> "sl", "decontaminate" -> "dc", "filter" -> "ft",
+    "repetition" -> "rp", "redact" -> "rd", "drop" -> "dp",
     "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
     "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
-    "line" -> "ln", "stats" -> "sts", "pipeline" -> "pp",
-    "lang" -> "lg", "dist" -> "ds", "parse" -> "prs", "mode" -> "md",
+    "line" -> "ln", "stats" -> "st", "pipeline" -> "pp",
+    "lang" -> "lg", "dist" -> "ds", "parse" -> "prs",
     "mean" -> "mn", "budget" -> "bgt", "label" -> "lb", "freq" -> "fq",
-    "urls" -> "u")
+    "urls" -> "u", "fill" -> "fl", "winnow" -> "wn", "ann" -> "an",
+    "minmax" -> "mx", "rows" -> "rw", "text" -> "tx")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')
@@ -100,14 +104,28 @@ object Bench {
     * worst-case length against the real renderer instead of a mirror.
     * `failedCount` makes a crashed run machine-detectable in the same
     * tail window (a failed query's elapsed-to-crash otherwise reads as a
-    * speedup in the total). */
+    * speedup in the total).
+    *
+    * `retimed` surfaces the contention re-time attribution IN THE
+    * ARCHIVED ARTIFACT (r11 verdict #1): without it, a contended run's
+    * BENCH_r{N}.json reads as a phantom regression while the refuting
+    * re-time pairs live only in the ephemeral results file.
+    * `retimed_n` = how many ≥gate first-runs re-timed; `retimed_worst` =
+    * the pair with the largest first−retime gap (the single biggest
+    * contributor to a contended total), as [abbrev key, first, retime]. */
   private[graft] def stdoutLine(results: Seq[(String, Double)], prec: Int,
       keyOf: String => String, withQueries: Boolean, failedCount: Int,
+      retimed: Map[String, (Double, Double)],
       loadBefore: Double, loadAfter: Double, sfDir: String): String = {
     val (qs, total) = queriesJson(results, prec, keyOf)
     val q = if (withQueries) s""","queries":$qs""" else ""
+    val worst = retimed.toSeq
+      .sortBy { case (_, (a, b)) => b - a }.headOption
+      .map { case (k, (a, b)) =>
+        s""","retimed_worst":["${keyOf(k)}",${jsNum(a, prec)},${jsNum(b, prec)}]""" }
+      .getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec"$q,""" +
-      s""""failed":$failedCount,""" +
+      s""""failed":$failedCount,"retimed_n":${retimed.size}$worst,""" +
       s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],"sf":"$sfDir"}"""
   }
 
@@ -204,6 +222,21 @@ object Bench {
         .map(_.group(1).toDouble).getOrElse(-1.0)
     val stealBefore = stealTicks()
     val psiBefore = psiCpuSome()
+    // I/O attribution (r11 verdict ask #3): psi/steal/load were too mild
+    // to explain the observed up-to-9x first-run inflation — the missing
+    // variable is likely cold page-cache parquet reads. read_bytes counts
+    // actual block-device reads (≈0 when the page cache is warm); rchar
+    // counts every read() byte regardless of cache, so high rchar with a
+    // near-zero read_bytes delta = warm cache, both high = cold disk run.
+    def procSelfIo(field: String): Long =
+      (try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/self/io"))
+            .linesIterator.find(_.startsWith(field + ":"))
+        catch { case _: Throwable => None })
+        .flatMap(l => scala.util.Try(l.split(":\\s*")(1).trim.toLong).toOption)
+        .getOrElse(-1L)
+    val ioReadBefore = procSelfIo("read_bytes")
+    val ioRcharBefore = procSelfIo("rchar")
 
     // Returns (elapsed, succeeded): a query that THROWS still gets a time
     // (the driver sums the map), but that time measures the failure, not
@@ -247,10 +280,15 @@ object Bench {
     // values go in the results file so a contended first run is machine-
     // detectable instead of a phantom regression. (Gate lowered from 3×
     // after a 2.9× row escaped diagnosis in a prior round — a few extra
-    // re-runs buy attribution for every ≥2× outlier.)
+    // re-runs buy attribution for every ≥2× outlier. r11: a 1.98×/3.3 s
+    // row sat just under the 2× gate and escaped attribution, so rows
+    // over 2 s re-time at ≥1.8× — expensive rows are exactly where an
+    // unattributed inflation distorts the total most, and the extra cost
+    // is at most a couple of re-runs.)
     val retimed: Map[String, (Double, Double)] = timed.flatMap {
       case (name, (t, true)) => prev.get(name) match {
-        case Some(p) if p > 0 && t > 1.0 && t > 2 * p =>
+        case Some(p) if p > 0 &&
+            ((t > 1.0 && t > 2 * p) || (t > 2.0 && t > 1.8 * p)) =>
           val before = graft.util.CacheHygiene.snapshot(spark)
           val (t2, ok2) = timeOne(SparkEntry.queries(name))
           graft.util.CacheHygiene.releaseNew(spark, before)
@@ -282,6 +320,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"failed":$fl,""" +
         s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
+        s""""io_read_bytes":[$ioReadBefore,${procSelfIo("read_bytes")}],""" +
+        s""""io_rchar":[$ioRcharBefore,${procSelfIo("rchar")}],""" +
         s""""cpu_quota":"$cpuQuota",""" +
         s""""steal_ticks":[$stealBefore,${stealTicks()}],""" +
         s""""psi_cpu_some":[${jsNum(psiBefore, 2)},${jsNum(psiCpuSome(), 2)}],""" +
@@ -326,7 +366,8 @@ object Bench {
     // the driver's tail window however many queries are added.
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
-        prec, keyOf, withQueries, failed.size, loadBefore, loadAfter, sfDir)
+        prec, keyOf, withQueries, failed.size, retimed,
+        loadBefore, loadAfter, sfDir)
       val l2 = line(2, withQueries = true)
       if (l2.length <= 1500) l2
       else {

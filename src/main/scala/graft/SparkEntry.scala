@@ -624,6 +624,35 @@ object SparkEntry {
         explode(TextAnalysis.winnowingFingerprint(col("text"))).as("fp"))
         .orderBy("doc_id", "fp")),
 
+    // winnowing OVERLAP pairs — the partial-overlap/containment dedup
+    // whole-doc MinHash structurally misses: planted 60%-prefix copies
+    // (a containment case: |copy| / |orig| Jaccard ≈ 0.6 sits below
+    // q_neardup_minhash's radar by design) must pair with their source
+    // at overlap ≈ 1.0
+    "q_winnow_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) * 0.6).cast(IntegerType)).as("text"))
+      NearDup.winnowPairs(d.unionAll(planted), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // the winnow pairs resolved transitively — partial-overlap dedup
+    // end-to-end (fingerprints -> shared-value pairs -> connected
+    // components), same resolution machinery as q_neardup_clusters
+    "q_winnow_clusters" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = d.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          col("text").substr(lit(1),
+            floor(length(col("text")) * 0.6).cast(IntegerType)).as("text"))
+      NearDup.clusters(
+        NearDup.winnowPairs(d.unionAll(planted), "text", "doc_id"))
+        .orderBy("id")
+    }),
+
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
       tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
@@ -945,6 +974,50 @@ object SparkEntry {
        |      / len(list_distinct(list_concat(a.grams, b.grams))) AS j
        |  FROM t a JOIN t b ON a.doc_id < b.doc_id),
        |mh AS (SELECT id_a, id_b, j FROM p WHERE j >= 0.5)""".stripMargin
+
+  /** Full value-level winnowing recompute over a (doc_id, text) source
+    * CTE/table: k-grams by substr, the same md5-hex base-16 fold as the
+    * simhash oracle, w-window minima via a bounded self-join on gram
+    * position, distinct values. Ends at the `wfp` CTE (doc_id, fp) —
+    * shared by q_winnow_fp, q_winnow_pairs and q_winnow_clusters. */
+  private def winnowFpCtes(src: String): String =
+    s"""wd AS (SELECT doc_id, $normTextSql AS t FROM $src),
+       |wg AS (SELECT doc_id, i, substr(t, i, 5) AS gram
+       |      FROM (SELECT doc_id, t,
+       |              unnest(generate_series(1, CAST(length(t) - 4 AS BIGINT))) AS i
+       |            FROM wd WHERE length(t) >= 5)),
+       |whv AS (SELECT doc_id, i, list_reduce(list_prepend(0::BIGINT,
+       |        list_transform(string_split(substring(md5(gram), 1, 14), ''),
+       |          c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+       |        (a, v) -> a * 16 + v) AS h FROM wg),
+       |wn AS (SELECT doc_id, max(i) AS nn FROM whv GROUP BY doc_id),
+       |wmins AS (SELECT a.doc_id, a.i AS s, min(b.h) AS fp
+       |         FROM whv a JOIN wn USING (doc_id)
+       |         JOIN whv b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + 4
+       |         WHERE a.i + 3 <= wn.nn
+       |         GROUP BY a.doc_id, a.i),
+       |wfp AS (SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM wmins)""".stripMargin
+
+  /** The winnow-pair ground truth shared by q_winnow_pairs and
+    * q_winnow_clusters: planted 60 %-prefix containment copies, winnowing
+    * fingerprints, doc-frequency window filter (2..20), fingerprint-value
+    * self-join with HAVING count >= 3. Ends at the `wpair` CTE
+    * (id_a, id_b, n_shared) plus `wcnt` (doc_id, n). */
+  private lazy val winnowPairCtes =
+    s"""wpl AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 2000000,
+       |    substr(text, 1, CAST(floor(length(text) * 0.6) AS INT)) AS text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |${winnowFpCtes("wpl")},
+       |wkept AS (SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM wfp)
+       |  WHERE df BETWEEN 2 AND 20),
+       |wpair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |wcnt AS (SELECT doc_id, count(*) AS n FROM wkept GROUP BY doc_id)""".stripMargin
 
   /** The levSim correction-map rebuild shared VERBATIM by
     * q_spell_corrections and q_typofix_spell_lev — one definition so the
@@ -1324,27 +1397,35 @@ object SparkEntry {
         |FROM p LEFT JOIN re ON p.doc_id = re.doc_id
         |ORDER BY p.doc_id""".stripMargin,
 
-    // full value-level winnowing recompute: k-grams by substr, the same
-    // md5-hex base-16 fold as the simhash oracle, w-window minima via a
-    // bounded self-join on gram position, distinct values
+    // full value-level winnowing recompute (CTEs shared with the pair and
+    // cluster forms below)
     "q_winnow_fp" ->
-      s"""WITH d AS (SELECT doc_id, $normTextSql AS t FROM documents),
-         |g AS (SELECT doc_id, i, substr(t, i, 5) AS gram
-         |      FROM (SELECT doc_id, t,
-         |              unnest(generate_series(1, CAST(length(t) - 4 AS BIGINT))) AS i
-         |            FROM d WHERE length(t) >= 5)),
-         |hv AS (SELECT doc_id, i, list_reduce(list_prepend(0::BIGINT,
-         |        list_transform(string_split(substring(md5(gram), 1, 14), ''),
-         |          c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
-         |        (a, v) -> a * 16 + v) AS h FROM g),
-         |n AS (SELECT doc_id, max(i) AS nn FROM hv GROUP BY doc_id),
-         |mins AS (SELECT a.doc_id, a.i AS s, min(b.h) AS fp
-         |         FROM hv a JOIN n USING (doc_id)
-         |         JOIN hv b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + 4
-         |         WHERE a.i + 3 <= n.nn
-         |         GROUP BY a.doc_id, a.i)
-         |SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp FROM mins
+      s"""WITH ${winnowFpCtes("documents")}
+         |SELECT doc_id, fp FROM wfp
          |ORDER BY doc_id, fp""".stripMargin,
+
+    // the winnow-pair ground truth: same plant, fingerprints, df filter,
+    // value self-join; overlap = shared / min(pairable fps of either side)
+    "q_winnow_pairs" ->
+      s"""WITH $winnowPairCtes
+         |SELECT id_a, id_b, n_shared,
+         |  round(n_shared / CAST(least(ca.n, cb.n) AS DOUBLE), 6) AS overlap
+         |FROM wpair JOIN wcnt ca ON ca.doc_id = id_a
+         |           JOIN wcnt cb ON cb.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same pair set closed transitively with the recursive-CTE
+    // pattern of q_neardup_clusters
+    "q_winnow_clusters" ->
+      s"""WITH RECURSIVE $winnowPairCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM wpair
+         |  UNION SELECT id_b, id_a FROM wpair),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     "q_lang_id" -> {
       import graft.text.TextAnalysis._

@@ -451,6 +451,75 @@ object NearDup {
       }
     }
 
+  /** Partial-overlap candidate pairs via winnowing (MOSS) fingerprints —
+    * the containment counterpart of [[minhashPairs]]. Whole-document
+    * MinHash scores a doc CONTAINED in a larger one at
+    * |small| / |large| Jaccard, which sits under any useful threshold as
+    * the size ratio grows — so copied sections, quoted passages, and
+    * prefix/suffix containment are structurally invisible to it.
+    * Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 §4,
+    * [[graft.text.TextAnalysis.winnowingFingerprint]]) are LOCAL: any
+    * shared substring of length ≥ w+k-1 contributes at least one common
+    * fingerprint value, so docs sharing ≥ `minShared` fingerprints are
+    * partial-overlap candidates regardless of their size ratio.
+    *
+    * Output: (id_a, id_b, n_shared, overlap) with id_a < id_b;
+    * `overlap` = n_shared / min(pairable fingerprints of either side) —
+    * a containment score: ~1.0 when the smaller doc's fingerprint set is
+    * fully contained in the larger's.
+    *
+    * Scale shape: the fingerprint kernel is one projection (no shuffle).
+    * Pairing is a self-join keyed on fingerprint VALUE — the winnowing
+    * analogue of the LSH band join — so candidates only come from shared
+    * keys, never a cross join. Skew guard: fingerprints present in more
+    * than `maxDocFreq` documents are boilerplate (navigation chrome,
+    * license headers — the mass-duplication analogue of
+    * [[minhashPairs]]'s oversized buckets) and are dropped BEFORE the
+    * join, bounding per-key fan-out at maxDocFreq² pairs; the
+    * doc-frequency count is a window over the same shuffle the join
+    * reuses (fingerprints are per-doc DISTINCT by construction, so rows
+    * per key = doc frequency). The `overlap` denominators count PAIRABLE
+    * (df-filtered) fingerprints, so a doc that is mostly boilerplate is
+    * scored on the part of it that can still match. Per-doc counts are
+    * a map-side-combined aggregate joined onto the (tiny) pair list,
+    * NOT a second corpus-wide window shuffle. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 3,
+      maxDocFreq: Int = 20): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    // kernel output staged once; the df-filter window + (via `kept`) the
+    // join sides and the count aggregate all read the store instead of
+    // re-running the per-row winnowing kernel
+    val fps = df.select(col(idCol).cast(LongType).as("__id"),
+        explode(graft.text.TextAnalysis
+          .winnowingFingerprint(col(textCol), k, w)).as("__fp"))
+      .persist()
+    val fpW = org.apache.spark.sql.expressions.Window.partitionBy("__fp")
+    // df == 1 cannot pair; df > maxDocFreq is the boilerplate guard
+    val kept = fps
+      .withColumn("__df", count(lit(1)).over(fpW))
+      .where(col("__df").between(2, maxDocFreq))
+      .select("__id", "__fp")
+      .persist()
+    // the cached `kept` is hash-partitioned by __fp (the window's
+    // shuffle), so the self-join below reuses that partitioning
+    val pairs = kept.select(col("__fp"), col("__id").as("id_a"))
+      .join(kept.select(col("__fp"), col("__id").as("id_b")), "__fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val counts = kept.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val out = pairs
+      .join(counts.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(counts.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared") / least(col("__na"), col("__nb")), 6)
+          .as("overlap"))
+    materializeAndRelease(out, Seq(kept, fps))
+  }
+
   /** Edge bound under which [[clusters]] resolves on the driver: 2^21
     * (id_a, id_b) longs ≈ 32 MB collected — the pair list is the SMALL
     * output of the pair operators (already driver-safe to count), and a

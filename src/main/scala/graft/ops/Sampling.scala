@@ -57,22 +57,43 @@ object Sampling {
     * recipe ("this run trains on ≤ B_s tokens of source s") into keep
     * rates: rate_s = budget_s / tokens_s, clamped to [0, 1]; strata
     * without a budget keep `defaultRate`. One aggregation computes the
-    * per-stratum token totals (strata are a mixing config — bounded
-    * cardinality, so the collected map is tiny), the rates become
+    * per-stratum token totals, the rates become
     * plan-time literals, and the filter is the same deterministic salted
     * hash as [[stratifiedSample]] — so re-running against a GROWN corpus
     * keeps a superset-consistent sample of the old rows per stratum only
     * where the rate did not shrink, and the kept set never depends on
     * partitioning. Returns the filtered frame plus the computed rates
     * (observability: a mixing run logs what fraction of each source it
-    * actually kept). */
+    * actually kept).
+    *
+    * Strata are a mixing config — tens to hundreds of languages,
+    * domains, or sources — so the collected totals map is tiny. That
+    * assumption is ENFORCED, not just documented (r11 verdict #2: this
+    * was the repo's one ungated driver collect — called on a
+    * high-cardinality column like a URL or doc id it would OOM the
+    * driver): the collect is bounded at `maxStrata + 1` rows by a plan
+    * `limit`, and overflow throws with the offending column named.
+    * Unlike the HLL-probe gates elsewhere (`TypoFix`'s fuzzy path, where
+    * the probe avoids building the aggregate at all), the totals
+    * aggregate here is needed regardless, so bounding its collect
+    * directly costs zero extra jobs and the guard is exact rather than
+    * an estimate. */
   def tokenBudgetSample(df: DataFrame, strataCol: String, idCol: String,
       tokenCol: String, budgets: Map[String, Long],
-      defaultRate: Double = 0.0, salt: String = "graft")
+      defaultRate: Double = 0.0, salt: String = "graft",
+      maxStrata: Int = 10000)
       : (DataFrame, Map[String, Double]) = {
-    val totals = df.groupBy(col(strataCol).cast(StringType).as("__s"))
+    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
+    val totalRows = df.groupBy(col(strataCol).cast(StringType).as("__s"))
       .agg(sum(col(tokenCol).cast(LongType)).as("__toks"))
+      .limit(maxStrata + 1)
       .collect()
+    if (totalRows.length > maxStrata) throw new IllegalArgumentException(
+      s"tokenBudgetSample: strata column '$strataCol' has more than " +
+        s"$maxStrata distinct values — strata are a mixing config " +
+        "(language/domain/source), not a row key; pass a coarser column " +
+        "or raise maxStrata")
+    val totals = totalRows
       .flatMap(r => Option(r.getString(0)).map(_ ->
         (if (r.isNullAt(1)) 0L else r.getLong(1))))
       .toMap

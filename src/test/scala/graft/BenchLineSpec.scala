@@ -37,14 +37,46 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("worst-case stdout line stays under 1500 chars") {
     // every value at the widest 2-decimal rendering a realistic suite can
-    // produce (xx.xx), through the REAL renderer — no hand-mirrored format
+    // produce (xx.xx), through the REAL renderer — no hand-mirrored format;
+    // retimed_worst at the longest abbreviated key the suite can emit
     val keys = Bench.shortKeys(names)
+    val worstKey = names.maxBy(keys(_).length)
     val line = Bench.stdoutLine(names.map(_ -> 99.99), 2, keys,
       withQueries = true, failedCount = names.size,
+      retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1500,
       s"worst-case bench stdout line is ${line.length} chars — extend the " +
         "abbrev table or tighten precision before adding more queries")
+  }
+
+  test("stdout line carries the re-time attribution fields") {
+    val res = Seq("q_fast" -> 1.0, "q_contended" -> 9.0, "q_mild" -> 3.0)
+    val line = Bench.stdoutLine(res, 2, identity, withQueries = true,
+      failedCount = 0,
+      retimed = Map("q_contended" -> (9.0, 1.1), "q_mild" -> (3.0, 1.4)),
+      loadBefore = 1.0, loadAfter = 1.0, sfDir = "sf")
+    assert(line.contains(""""retimed_n":2"""), line)
+    // worst = largest first−retime gap (q_contended: 7.9 > q_mild: 1.6)
+    assert(line.contains(""""retimed_worst":["q_contended",9,1.1]"""), line)
+    // no re-times → count 0, no worst field (nothing to attribute)
+    val none = Bench.stdoutLine(res, 2, identity, withQueries = false,
+      failedCount = 0, retimed = Map.empty,
+      loadBefore = 1.0, loadAfter = 1.0, sfDir = "sf")
+    assert(none.contains(""""retimed_n":0""") && !none.contains("retimed_worst"),
+      none)
+  }
+
+  test("abbrev holds one live mapping per token (r11: dead dup entries)") {
+    // quality and pipeline were mapped TWICE in the pre-r12 literal — the
+    // Map kept the last entry and stdout keys silently changed between
+    // rounds. Pin the live mappings so a re-introduced duplicate (or any
+    // accidental re-key) fails here instead of silently renaming keys.
+    assert(Bench.shortKey("q_quality_filter") == "ql_ft")
+    assert(Bench.shortKey("q_pipeline_e2e") == "pp_e2e")
+    assert(Bench.shortKey("q_winnow_pairs") == "wn_pai")
+    assert(Bench.shortKey("q_missing_fill_mode") == "ms_fl_mo")
+    assert(Bench.shortKey("q_missing_fill_median") == "ms_fl_md")
   }
 }

@@ -245,6 +245,49 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == fps(1L).toSeq.sorted && again == again.sorted)
   }
 
+  test("winnow pairs find containment overlaps, guard boilerplate, cluster transitively") {
+    // every 5-gram of a words(c, n) run contains the letter c, so filler
+    // runs with distinct letters can never share a fingerprint with each
+    // other (the FIRST draft's "w${seed}x$i" tokens shared "x10 w"-style
+    // substrings across seeds and paired the boilerplate docs for real)
+    def words(c: Char, n: Int) = (0 until n).map(i => s"$c$i$c").mkString(" ")
+    val section = "the shared plagiarised passage that both documents quote at length verbatim"
+    val big = words('b', 40) + " " + section + " " + words('d', 40)
+    val small = "short preamble " + section // contained mid-document in big
+    val other = words('z', 60)
+    val boiler = "all rights reserved subscribe to the newsletter for updates"
+    // 30 docs sharing ONLY boilerplate (df=30 > maxDocFreq) + a unique tail
+    // (single repeated symbol: no tail shares any 5-gram with another)
+    val syms = "abcdefghijklmnopqrstuvwxyz0123"
+    val boilerDocs = (0 until 30).map(i => (100L + i, boiler + " " + syms(i).toString * 5))
+    val df = (Seq((1L, big), (2L, small), (3L, other)) ++ boilerDocs).toDF("id", "t")
+    val pairs = NearDup.winnowPairs(df, "t", "id", minShared = 2, maxDocFreq = 10)
+    val set = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set.contains((1L, 2L)), "contained section must pair its documents")
+    assert(!set.exists { case (a, b) => a >= 100 || b >= 100 },
+      "fingerprints over maxDocFreq docs are boilerplate and must not pair")
+    // both sides' PAIRABLE fps are exactly the shared section's (their
+    // unique words are df=1), so the containment score is ~1
+    val ov = pairs.where($"id_a" === 1 && $"id_b" === 2).head().getDouble(3)
+    assert(ov > 0.9, s"containment overlap should be ~1.0, got $ov")
+    pairs.unpersist(false)
+    // transitive: A shares s1 with B, B shares s2 with C, A and C share
+    // nothing — clusters must still put all three together
+    val s1 = "first shared segment with plenty of characters to fingerprint"
+    val s2 = "second shared segment also long enough to produce fingerprints"
+    val df2 = Seq(
+      (10L, words('e', 30) + " " + s1),
+      (20L, s1 + " " + words('f', 30) + " " + s2),
+      (30L, s2 + " " + words('g', 30))).toDF("id", "t")
+    val cl = NearDup.clusters(
+        NearDup.winnowPairs(df2, "t", "id", minShared = 2, maxDocFreq = 10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cl == Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    intercept[IllegalArgumentException] {
+      NearDup.winnowPairs(df, "t", "id", maxDocFreq = 1)
+    }
+  }
+
   test("token-budget sample derives clamped rates and matches the sampler") {
     import graft.ops.Sampling
     // en: 1000 docs x 10 tokens = 10000; fr: 1000 x 10 = 10000
@@ -265,6 +308,17 @@ class ExtensionsSpec extends SparkSpec {
     val (none, r0) = Sampling.tokenBudgetSample(df, "lang", "id", "toks",
       budgets = Map("en" -> 0L), defaultRate = 0.0)
     assert(r0("en") == 0.0 && none.count() == 0)
+    // a high-cardinality strata column (here: the row id — 2000 distinct)
+    // must throw, not collect one row per "stratum" onto the driver
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(df, "id", "id", "toks",
+        budgets = Map("1" -> 10L), maxStrata = 100)
+    }
+    assert(ex.getMessage.contains("more than 100 distinct"))
+    // at the boundary (strata == maxStrata) it still works
+    val (_, rOk) = Sampling.tokenBudgetSample(df, "lang", "id", "toks",
+      budgets = Map("en" -> 5000L), maxStrata = 2)
+    assert(rOk == Map("en" -> 0.5))
   }
 
   test("near-dup clusters close transitively to the smallest id") {

@@ -22,6 +22,16 @@ class StreamRunsSpec extends SparkSpec {
   }
 
   test("sessionizeAvailableNow equals batch sessionize (session_id dropped)") {
+    // Precondition for the cross-batch-merge coverage the r12 split adds:
+    // the corpus must have a multi-event session, so the longest-session
+    // cut lands INSIDE a session and its rows arrive in different data
+    // batches. If this ever fails the run silently degrades to the
+    // no-merge range-midpoint fallback — fail loudly here instead.
+    val maxDur = Events.sessionize(Events.load(spark, dir))
+      .agg(max($"duration_sec")).head().getDouble(0)
+    assert(maxDur > 0,
+      s"no multi-event session at $dir — the sessionize stream run would " +
+        "not exercise a cross-batch session merge")
     val got = StreamRuns.sessionizeAvailableNow(spark, dir).collect().toSeq
     val want = Events.sessionize(Events.load(spark, dir))
       .select($"user_id", $"n_events", $"start_sec", $"duration_sec")
