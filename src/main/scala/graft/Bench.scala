@@ -34,10 +34,13 @@ object Bench {
     "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
     "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
     "line" -> "ln", "stats" -> "st", "pipeline" -> "pp",
-    "lang" -> "lg", "dist" -> "ds", "parse" -> "prs",
-    "mean" -> "mn", "budget" -> "bgt", "label" -> "lb", "freq" -> "fq",
+    "lang" -> "lg", "dist" -> "ds", "parse" -> "pr",
+    "mean" -> "mn", "budget" -> "bg", "label" -> "lb", "freq" -> "fq",
     "urls" -> "u", "fill" -> "fl", "winnow" -> "wn", "ann" -> "an",
-    "minmax" -> "mx", "rows" -> "rw", "text" -> "tx")
+    "minmax" -> "mx", "rows" -> "rw", "text" -> "tx",
+    "auto" -> "au", "cap" -> "cp", "topk" -> "tk", "twin" -> "tw",
+    "modz" -> "mz", "pairs" -> "pa", "iqr" -> "iq", "ivf" -> "iv",
+    "lsh" -> "ls", "pii" -> "pi")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

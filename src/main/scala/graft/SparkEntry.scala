@@ -902,6 +902,18 @@ object SparkEntry {
       graft.sources.Csv.readInferred(s, path).orderBy("c_custkey")
     }),
 
+    // ORC roundtrip (the warehouse interchange format): write typed
+    // columns — long, string, double, timestamp — to ORC, read back,
+    // values must equal the parquet original exactly (native typed
+    // round-trip, no re-inference)
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val path = roundtripPath("orc", dir)
+      val o = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+      graft.sources.Orc.write(o, path)
+      graft.sources.Orc.read(s, path).orderBy("o_orderkey")
+    }),
+
     // JSONL roundtrip (the LLM-corpus interchange format): write the
     // documents table as JSON Lines, read it back, values must survive
     "q_jsonl_roundtrip" -> ((s, dir) => {
@@ -1729,6 +1741,11 @@ object SparkEntry {
     "q_csv_roundtrip" ->
       """SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,
+
+    // the ORC round-trip must reproduce the parquet original exactly
+    "q_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // roundtrip fidelity: the JSONL write+read must reproduce the source
     "q_jsonl_roundtrip" ->

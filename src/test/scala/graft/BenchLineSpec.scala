@@ -75,7 +75,7 @@ class BenchLineSpec extends AnyFunSuite {
     // accidental re-key) fails here instead of silently renaming keys.
     assert(Bench.shortKey("q_quality_filter") == "ql_ft")
     assert(Bench.shortKey("q_pipeline_e2e") == "pp_e2e")
-    assert(Bench.shortKey("q_winnow_pairs") == "wn_pai")
+    assert(Bench.shortKey("q_winnow_pairs") == "wn_pa")
     assert(Bench.shortKey("q_missing_fill_mode") == "ms_fl_mo")
     assert(Bench.shortKey("q_missing_fill_median") == "ms_fl_md")
   }

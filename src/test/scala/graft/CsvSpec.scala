@@ -32,6 +32,40 @@ class CsvSpec extends SparkSpec {
     assert(types("name") == StringType)
   }
 
+  test("orc roundtrip preserves types and values exactly (incl. nulls)") {
+    import graft.sources.Orc
+    import spark.implicits._
+    val dir = tmpDir() + "/orc"
+    val src = Seq(
+      (1L, Some(10.5), Some("alice"),
+        Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, None, Some(""), None),
+      (3L, Some(-0.0), None,
+        Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"))),
+      (4L, Some(1e308), Some("碎片 β"),
+        Some(java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789012"))))
+      .toDF("id", "price", "name", "at")
+    Orc.write(src, dir)
+    val back = Orc.read(spark, dir).orderBy("id")
+    // file sources read every column nullable — compare name + type
+    // (values below catch any actual null corruption)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // KNOWN ORC QUIRK, pinned (documented in sources/Orc.scala): a
+    // pre-epoch timestamp with a sub-second component comes back shifted
+    // forward one second — ORC encodes (floor-seconds, positive nanos)
+    // and Spark's writer/reader pair disagree on the floor for negative
+    // seconds. Row 3 asserts the CURRENT broken value so a Spark/ORC
+    // upgrade that fixes it fails here and the scaladoc warning can be
+    // dropped; every post-epoch row must roundtrip exactly.
+    val rows = back.collect()
+    assert(rows(2).getTimestamp(3) ==
+      java.sql.Timestamp.valueOf("1970-01-01 00:00:00.5"),
+      s"pre-epoch ORC quirk changed: ${rows(2)}")
+    val exact = src.orderBy("id").collect().toSeq
+    assert(rows(0) == exact(0) && rows(1) == exact(1) && rows(3) == exact(3))
+  }
+
   test("cleanCsv runs the reference lifecycle: csv -> pipeline -> csv") {
     val in = writeRaw(Seq(
       "id,amount,city",

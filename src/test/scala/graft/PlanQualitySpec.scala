@@ -121,6 +121,17 @@ class PlanQualitySpec extends SparkSpec {
     graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
+  test("winnow pairs meet on fingerprint-value key joins, never cross joins") {
+    val docs = Tables.load(spark, sf, "documents")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val pairs = NearDup.winnowPairs(docs, "text", "doc_id")
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"winnow candidates must come from the fingerprint key join only:\n$p")
+    pairs.unpersist(false)
+    graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("repetition signals and PII redaction stay exchange-free projections") {
     val docs = Tables.load(spark, sf, "documents")
     val pRep = plan(graft.text.QualityFilters
