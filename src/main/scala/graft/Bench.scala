@@ -25,14 +25,14 @@ object Bench {
     "datetime" -> "dt", "cosine" -> "cs", "jaccard" -> "jc",
     "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
     "profile" -> "pf", "common" -> "cm", "fuzzy" -> "fz",
-    "spell" -> "sp", "stream" -> "st", "window" -> "win",
+    "spell" -> "sp", "stream" -> "st",
     "standard" -> "sd", "robust" -> "rb", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
     "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
     "special" -> "sl", "decontaminate" -> "dc", "filter" -> "ft",
     "repetition" -> "rp", "redact" -> "rd", "drop" -> "dp",
     "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
-    "jsonl" -> "jl", "simhash" -> "sh", "manual" -> "man",
+    "jsonl" -> "jl", "simhash" -> "sh",
     "line" -> "ln", "stats" -> "st", "pipeline" -> "pp",
     "lang" -> "lg", "dist" -> "ds", "parse" -> "pr",
     "mean" -> "mn", "budget" -> "bg", "label" -> "lb", "freq" -> "fq",
@@ -40,7 +40,8 @@ object Bench {
     "minmax" -> "mx", "rows" -> "rw", "text" -> "tx",
     "auto" -> "au", "cap" -> "cp", "topk" -> "tk", "twin" -> "tw",
     "modz" -> "mz", "pairs" -> "pa", "iqr" -> "iq", "ivf" -> "iv",
-    "lsh" -> "ls", "pii" -> "pi")
+    "lsh" -> "ls", "pii" -> "pi", "incremental" -> "in",
+    "ngram" -> "ng", "window" -> "wd", "manual" -> "ma")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

@@ -747,6 +747,23 @@ object SparkEntry {
         "doc_id", threshold = 0.5)).orderBy("id")
     }),
 
+    // §7.6 INCREMENTAL dedup (crawl-refresh): a "new batch" of planted
+    // docs — every third is a near-dup mutation of the reference corpus
+    // (must be dropped), the rest are word-reversed (new gram sets, must
+    // survive) — deduped AGAINST the documents table. The oracle
+    // recomputes exact cross-corpus all-pairs Jaccard.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val newBatch = d.select((col("doc_id") + 3000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", ""))
+          .otherwise(concat_ws(" ",
+            reverse(split(NearDup.normalize(col("text")), " "))))
+          .as("text"))
+      NearDup.dedupAgainst(newBatch, d, "text", "doc_id", threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // SimHash: planted near-dup pairs differ in few bits. Uses the 56-bit
     // md5-token-hash variant so the signature itself is value-checkable by
     // an external SQL engine (the 64-bit xxhash64 default is not).
@@ -1535,6 +1552,39 @@ object SparkEntry {
          |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id, CAST(min(r) AS BIGINT) AS cluster FROM reach
          |GROUP BY id ORDER BY id""".stripMargin,
+
+    // exact cross-corpus ground truth: word-3-gram Jaccard between every
+    // new-batch doc and every reference doc; a new doc survives iff no
+    // reference doc reaches 0.5 (docs under 3 words have no grams and
+    // survive by construction, both engines)
+    "q_dedup_incremental" ->
+      s"""WITH nw AS (
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN regexp_replace($normTextSql, '\\s+\\S+$$', '')
+         |      ELSE array_to_string(list_reverse(string_split($normTextSql, ' ')), ' ')
+         |    END AS text
+         |  FROM documents),
+         |gr AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+         |  FROM (SELECT doc_id, string_split($normTextSql, ' ') AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |gn AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS grams
+         |  FROM (SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks FROM nw)
+         |  WHERE len(toks) >= 3),
+         |dropped AS (
+         |  SELECT DISTINCT n.doc_id
+         |  FROM gn n JOIN gr r ON
+         |    CAST(len(list_intersect(n.grams, r.grams)) AS DOUBLE)
+         |      / len(list_distinct(list_concat(n.grams, r.grams))) >= 0.5)
+         |SELECT doc_id, text FROM nw
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
 
     // Full value-level simhash recompute: md5-hex -> 56-bit token hash via
     // base-16 fold, per-bit ±1 vote sums, bit_or reassembly — identical

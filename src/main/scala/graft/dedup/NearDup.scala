@@ -239,10 +239,16 @@ object NearDup {
     *   AUTO ([[autoMaxBucket]] from the corpus row count): a caller at
     *   100 TB no longer has to remember the guard to avoid the quadratic
     *   path. Pass Int.MaxValue to disable (exact all-pairs, zero guard
-    *   cost), or an explicit bound to override the heuristic. */
+    *   cost), or an explicit bound to override the heuristic.
+    * @param pairFilter applied to the deduped candidate list (columns
+    *   id_a, id_b) BEFORE the signature prefilter and exact verify —
+    *   the hook [[dedupAgainst]] uses to discard same-corpus candidates
+    *   so only cross-corpus pairs pay verification cost. Must be a pure
+    *   row filter (no joins back into the corpus). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
-      threshold: Double = 0.7, maxBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 0,
+      pairFilter: DataFrame => DataFrame = identity): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
@@ -273,8 +279,9 @@ object NearDup {
         struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
         .as("__bucket"))
     // a pair can collide in many bands — dedup BEFORE any similarity work
-    val (pairs, staged) =
+    val (pairsAll, staged) =
       bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
+    val pairs = pairFilter(pairsAll)
     // Signature-agreement prefilter (64 long compares, estimator std at 64
     // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
     // candidate mass using only the memory-cached signatures; only the
@@ -518,6 +525,62 @@ object NearDup {
         round(col("n_shared") / least(col("__na"), col("__nb")), 6)
           .as("overlap"))
     materializeAndRelease(out, Seq(kept, fps))
+  }
+
+  /** Incremental (cross-corpus) near-dedup: drop from `newDf` every
+    * document whose word-k-gram Jaccard against ANY `refDf` document
+    * reaches `threshold` — the crawl-refresh primitive (dedup the new
+    * batch against the corpus already trained on) that within-corpus
+    * [[minhashPairs]] does not express. Returns `newDf` rows that
+    * survive, schema unchanged.
+    *
+    * Mechanics: both sides flow through the ONE LSH pipeline on a parity
+    * id remap (ref id → 2·id, new id → 2·id+1 — ids must be non-negative
+    * numerics below 2⁶², which every driver table satisfies; garbage ids
+    * are dropped by the same tryLong gate as [[clusters]]), and a
+    * `pairFilter` discards same-parity candidates BEFORE the signature
+    * prefilter and exact verify — within-ref and within-new duplicate
+    * mass (the bulk of candidates on a crawl refresh, since the ref
+    * corpus dwarfs the batch) never pays verification. Cross pairs have
+    * an odd id sum, a pure row predicate. The surviving pair list is
+    * tiny (≤ one row per dropped new doc after the distinct), and the
+    * final step is a broadcast-friendly left-anti join on the remapped
+    * new-side id. Within-NEW duplicates are deliberately KEPT (dedup the
+    * batch against itself with [[minhashPairs]]/[[clusters]] first if
+    * wanted — separable concerns, and a refresh pipeline usually runs
+    * both). */
+  def dedupAgainst(newDf: DataFrame, refDf: DataFrame, textCol: String,
+      idCol: String, numHashes: Int = 64, bands: Int = 16, k: Int = 3,
+      threshold: Double = 0.7, maxBucket: Int = 0): DataFrame = {
+    def idAsLong(df: DataFrame): Column = df.schema(idCol).dataType match {
+      case LongType => col(idCol)
+      case _: NumericType => col(idCol).cast(LongType)
+      case _ => graft.util.Exprs.tryLong(col(idCol))
+    }
+    def remap(df: DataFrame, parity: Int): DataFrame =
+      df.select((idAsLong(df) * 2 + parity).as("__xid"),
+          col(textCol).as("__xtext"))
+        .where(col("__xid").isNotNull)
+    val u = remap(refDf, 0).unionAll(remap(newDf, 1))
+    val cross = minhashPairs(u, "__xtext", "__xid", numHashes, bands, k,
+      threshold, maxBucket,
+      // cross-corpus pairs have exactly one odd id: odd sum
+      pairFilter = _.where(pmod(col("id_a") + col("id_b"), lit(2)) === 1))
+    // the new-side member of each cross pair, mapped back to caller ids
+    val dropIds = cross
+      .select(when(col("id_a") % 2 === 1, col("id_a"))
+        .otherwise(col("id_b")).as("__xid"))
+      .distinct()
+      // (odd xid − 1) / 2 as a shift: exact for the full long id range
+      // (a double division would lose precision past 2^53)
+      .select(shiftright(col("__xid"), 1).as("__drop_id"))
+    val survivors = newDf.join(dropIds,
+      idAsLong(newDf) === col("__drop_id"), "left_anti")
+    // the pair list was materialized by minhashPairs (cached); the anti
+    // join reads it through dropIds, so keep the cache — the caller's
+    // hygiene sweep (Bench/Verify) or session end releases it, same
+    // contract as the pair operators.
+    survivors
   }
 
   /** Edge bound under which [[clusters]] resolves on the driver: 2^21

@@ -78,5 +78,21 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.shortKey("q_winnow_pairs") == "wn_pa")
     assert(Bench.shortKey("q_missing_fill_mode") == "ms_fl_mo")
     assert(Bench.shortKey("q_missing_fill_median") == "ms_fl_md")
+    // structural guard: a Map literal silently keeps only the LAST entry
+    // per key, so a duplicate token in the SOURCE is invisible at runtime
+    // — parse the literal and fail on any token mapped twice (this bug
+    // recurred while extending the table for q_dedup_incremental)
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")))
+    val body = src.substring(src.indexOf("val abbrev = Map("),
+      src.indexOf("private[graft] def shortKey"))
+    val tokens = "\"([a-z0-9]+)\" ->".r.findAllMatchIn(body)
+      .map(_.group(1)).toSeq
+    val dups = tokens.groupBy(identity).collect {
+      case (t, occ) if occ.size > 1 => t
+    }
+    assert(dups.isEmpty, s"abbrev maps these tokens twice: $dups")
+    assert(tokens.size == Bench.abbrev.size,
+      "abbrev literal entry count differs from the runtime Map")
   }
 }

@@ -288,6 +288,22 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup drops cross-corpus near-dups, keeps new and within-new dups") {
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different reference content about distributed query engines"),
+      (3L, "short one")).toDF("id", "t")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river"), // near-dup of 1
+      (11L, "completely different reference content about distributed query engines"), // exact dup of 2
+      (12L, "genuinely novel text with no overlap whatsoever against anything prior"),
+      (13L, "genuinely novel text with no overlap whatsoever against anything prior"), // within-new dup: kept
+      (14L, "tiny doc")).toDF("id", "t") // <3 words: no grams, survives
+    val got = NearDup.dedupAgainst(batch, ref, "t", "id", threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(12L, 13L, 14L), s"got $got")
+  }
+
   test("token-budget sample derives clamped rates and matches the sampler") {
     import graft.ops.Sampling
     // en: 1000 docs x 10 tokens = 10000; fr: 1000 x 10 = 10000
