@@ -617,6 +617,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Lee-et-al exact duplicated-PASSAGE removal: plant a shared 17-token
+    // boilerplate passage (appended on 1/4 of docs, prepended on another
+    // 1/4); every 8-gram inside it is corpus-duplicated, so the passage
+    // tokens vanish while each doc's own text survives (plus any natural
+    // >=8-token repeats, which both engines find identically)
+    "q_substring_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+            concat_ws(" ", col("text"), lit(boilerplatePassage)))
+          .when(col("doc_id") % 4 === 1,
+            concat_ws(" ", lit(boilerplatePassage), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.text.PassageDedup
+        .removeDuplicatePassages(d, "text", "doc_id", l = 8)
+        .orderBy("doc_id")
+    }),
+
     // winnowing (MOSS) fingerprints: distinct w-window minima over the
     // rolling k-gram hash sequence — one row per (doc, fingerprint)
     "q_winnow_fp" -> ((s, dir) =>
@@ -978,6 +995,11 @@ object SparkEntry {
       s"range(1, len($expr) - 3), i -> substr($expr, i, 5))) " +
       "ELSE CAST([] AS VARCHAR[]) END"
   private val normTextSql = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  /** Shared plant for q_substring_dedup (17 tokens, all lowercase so the
+    * normalized gram content is byte-identical in both engines). */
+  private val boilerplatePassage = "privacy policy terms of service " +
+    "cookie settings copyright notice all rights reserved contact us " +
+    "about careers press"
   private val cosSql =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 
@@ -1425,6 +1447,41 @@ object SparkEntry {
         |SELECT p.doc_id, COALESCE(re.text, '') AS text
         |FROM p LEFT JOIN re ON p.doc_id = re.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+
+    // Lee-et-al exact substring dedup ground truth: same plant, explode
+    // every 8-token window of the normalized text, grams occurring >= 2
+    // times corpus-wide mark their covered token positions, survivors
+    // reassemble in order; fully-duplicated docs come back '' (never a
+    // dropped row). Spark groups by xxhash64(gram), this groups by the
+    // gram string itself — equivalent modulo 2^-64 hash collisions.
+    "q_substring_dedup" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' || '$boilerplatePassage'
+         |       WHEN doc_id % 4 = 1 THEN '$boilerplatePassage' || ' ' || text
+         |       ELSE text END AS text FROM documents),
+         |toks AS (SELECT doc_id, string_split($normTextSql, ' ') AS t FROM p),
+         |wins AS (SELECT doc_id, unnest(range(0, len(t) - 7)) AS pos, t
+         |         FROM toks WHERE len(t) >= 8),
+         |wg AS (SELECT doc_id, pos,
+         |         array_to_string(list_slice(t, pos + 1, pos + 8), ' ') AS g
+         |       FROM wins),
+         |dup AS (SELECT doc_id, pos FROM wg WHERE g IN (
+         |          SELECT g FROM wg GROUP BY g HAVING count(*) >= 2)),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS cp
+         |        FROM dup),
+         |tokpos AS (SELECT doc_id, unnest(t) AS tok,
+         |             unnest(range(0, CAST(len(t) AS BIGINT))) AS tp
+         |           FROM toks),
+         |kept AS (SELECT a.doc_id, a.tp, a.tok FROM tokpos a
+         |         LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.tp = c.cp
+         |         WHERE c.cp IS NULL),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text,
+         |          count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |base AS (SELECT doc_id, len(t) AS n_tok FROM toks)
+         |SELECT b.doc_id, COALESCE(a.text, '') AS text,
+         |  CAST(b.n_tok - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     // full value-level winnowing recompute (CTEs shared with the pair and
     // cluster forms below)

@@ -285,4 +285,55 @@ class TextOpsSpec extends SparkSpec {
       manualErrors = "raise")(df).df
     assert(ok.schema("a").dataType == StringType)
   }
+
+  test("passage dedup removes shared and self-repeated spans, keeps unique text") {
+    import graft.text.PassageDedup
+    val shared = "alpha beta gamma delta epsilon" // 5 tokens, l=3
+    val df = Seq(
+      (1L, s"unique one text here $shared trailing words distinct1"),
+      (2L, s"other doc begins $shared and then continues uniquely2"),
+      (3L, "totally unrelated content with no duplicated span at all"),
+      (4L, "self rep self rep self rep tail"), // within-doc repeats
+      (5L, "short doc")).toDF("id", "t") // < l tokens: untouched
+    val out = PassageDedup.removeDuplicatePassages(df, "t", "id", l = 3)
+      .orderBy("id").collect()
+    assert(out.length == 5)
+    val t1 = out(0).getString(1)
+    // every shared token gone, every unique token kept, order preserved
+    assert(t1 == "unique one text here trailing words distinct1", t1)
+    assert(out(1).getString(1) == "other doc begins and then continues uniquely2")
+    assert(out(2).getString(1) == "totally unrelated content with no duplicated span at all")
+    assert(out(2).getLong(2) == 0L)
+    // "self rep self" occurs repeatedly -> the repeated region is covered
+    assert(out(3).getString(1) == "tail", out(3).getString(1))
+    assert(out(3).getLong(2) == 6L)
+    assert(out(4).getString(1) == "short doc")
+    assert(out(0).getLong(2) == 5L)
+  }
+
+  test("passage dedup: fully duplicated docs come back empty, not dropped") {
+    import graft.text.PassageDedup
+    val df = Seq(
+      (1L, "one two three four"),
+      (2L, "one two three four"),
+      (3L, "")).toDF("id", "t")
+    val out = PassageDedup.removeDuplicatePassages(df, "t", "id", l = 4)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "" && out(1).getString(1) == "")
+    assert(out(0).getLong(2) == 4L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L)
+  }
+
+  test("passage dedup merges overlapping windows into one span") {
+    import graft.text.PassageDedup
+    // 6-token shared run with l=3: windows at 0..3 overlap; all six
+    // tokens removed in both docs, the unique suffixes survive
+    val df = Seq(
+      (1L, "p q r s t u suffixone here"),
+      (2L, "p q r s t u suffixtwo there")).toDF("id", "t")
+    val out = PassageDedup.removeDuplicatePassages(df, "t", "id", l = 3)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "suffixone here")
+    assert(out(1).getString(1) == "suffixtwo there")
+  }
 }
