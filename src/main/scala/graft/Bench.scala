@@ -12,26 +12,32 @@ object Bench {
   // the old widths. Worst-case line is now 1491 chars (BenchLineSpec
   // pins the length, key uniqueness, and concrete mappings for the
   // previously-ambiguous tokens so the keys cannot drift again).
+  // r12b: 94 queries no longer fit the 1500-char prec-2 bar at uniform
+  // 2-char codes (worst case hit 1582 → the ladder would silently drop
+  // to 1-decimal per-query values). The 13 highest-frequency tokens now
+  // carry single-char codes (frequency-ranked: missing x12, dedup x7,
+  // typofix x6, ... spell x4) — worst case back to ~1.49k with ~10
+  // queries of headroom. BenchLineSpec pins the new mappings.
   private[graft] val abbrev = Map(
-    "missing" -> "ms", "normalize" -> "nm", "outlier" -> "ol",
-    "typofix" -> "tf", "encode" -> "ec", "textclean" -> "tc",
+    "missing" -> "m", "normalize" -> "n", "outlier" -> "o",
+    "typofix" -> "y", "encode" -> "e", "textclean" -> "tc",
     "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "th",
-    "columns" -> "co", "events" -> "ev", "dedup" -> "dd",
-    "typeconvert" -> "tv", "roundtrip" -> "rt", "fingerprint" -> "fp",
+    "columns" -> "co", "events" -> "v", "dedup" -> "d",
+    "typeconvert" -> "tv", "roundtrip" -> "r", "fingerprint" -> "fp",
     "sessionize" -> "ss", "categorical" -> "cg", "summary" -> "sy",
     "corrections" -> "cr", "stratified" -> "sf", "features" -> "ff",
     "remove" -> "rm", "median" -> "md", "mode" -> "mo",
-    "scaling" -> "sg", "sample" -> "sm",
+    "scaling" -> "sg", "sample" -> "a",
     "datetime" -> "dt", "cosine" -> "cs", "jaccard" -> "jc",
     "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
     "profile" -> "pf", "common" -> "cm", "fuzzy" -> "fz",
-    "spell" -> "sp", "stream" -> "st",
+    "spell" -> "l", "stream" -> "s",
     "standard" -> "sd", "robust" -> "rb", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
-    "report" -> "rep", "frames" -> "fr", "transform" -> "tr",
+    "report" -> "re", "frames" -> "fr", "transform" -> "tr",
     "special" -> "sl", "decontaminate" -> "dc", "filter" -> "ft",
-    "repetition" -> "rp", "redact" -> "rd", "drop" -> "dp",
-    "scale" -> "sc", "onehot" -> "oh", "quality" -> "ql",
+    "repetition" -> "rp", "redact" -> "rd", "drop" -> "p",
+    "scale" -> "c", "onehot" -> "oh", "quality" -> "ql",
     "jsonl" -> "jl", "simhash" -> "sh",
     "line" -> "ln", "stats" -> "st", "pipeline" -> "pp",
     "lang" -> "lg", "dist" -> "ds", "parse" -> "pr",
@@ -41,7 +47,12 @@ object Bench {
     "auto" -> "au", "cap" -> "cp", "topk" -> "tk", "twin" -> "tw",
     "modz" -> "mz", "pairs" -> "pa", "iqr" -> "iq", "ivf" -> "iv",
     "lsh" -> "ls", "pii" -> "pi", "incremental" -> "in",
-    "ngram" -> "ng", "window" -> "wd", "manual" -> "ma")
+    "ngram" -> "ng", "window" -> "wd", "manual" -> "ma",
+    "asof" -> "af", "join" -> "jn", "interval" -> "il",
+    "group" -> "gp", "forward" -> "fw",
+    "ffill" -> "f1", "bfill" -> "b1", "pack" -> "pk",
+    "substring" -> "sb", "score" -> "sr", "run" -> "rn",
+    "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

@@ -907,6 +907,72 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"))
         .orderBy("user_id", "event_type")),
 
+    // temporal AS-OF join (plans/AsofJoin): last-touch attribution —
+    // each purchase matched to the user's most recent click within 1 h.
+    // One shuffle, no join node (union-trick window form); the click
+    // side is pre-aggregated to unique (user, ts) so tie-break order is
+    // engine-independent.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Events.load(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.plans.AsofJoin.asofBackward(purchases, clicks, Seq("user_id"),
+          "ts", "ts", toleranceSeconds = Some(3600.0))
+        .select(col("event_id"), col("user_id"),
+          round(col("ts").cast(DoubleType), 6).as("tsec"),
+          round(col("asof_ts_sec"), 6).as("click_tsec"),
+          col("asof_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
+    // forward as-of: soonest error within 30 min after each purchase
+    "q_asof_forward" -> ((s, dir) => {
+      val ev = Events.load(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.where(col("event_type") === "error")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("err_id"))
+      graft.plans.AsofJoin.asofForward(purchases, errors, Seq("user_id"),
+          "ts", "ts", toleranceSeconds = Some(1800.0), prefix = "next_")
+        .select(col("event_id"), col("user_id"),
+          round(col("ts").cast(DoubleType), 6).as("tsec"),
+          round(col("next_ts_sec"), 6).as("err_tsec"),
+          col("next_err_id").as("err_id"))
+        .orderBy("event_id")
+    }),
+
+    // interval-containment join (plans/IntervalJoin): every purchase that
+    // fell inside an error's 10-minute incident window for the same user.
+    // Grid-bucketed equi-join on (user, cell) — never a key-only join
+    // with a range post-filter.
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Events.load(s, dir)
+      val tsec = col("ts").cast(DoubleType)
+      val incidents = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("user_id"),
+          tsec.as("w_start"), (tsec + 600d).as("w_end"))
+      val pts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), tsec.as("ptsec"))
+      graft.plans.IntervalJoin.containment(incidents, pts, Seq("user_id"),
+          "w_start", "w_end", "ptsec", cellSeconds = 600d)
+        .select(col("incident_id"), col("event_id"),
+          round(col("ptsec"), 6).as("ptsec"))
+        .orderBy("incident_id", "event_id")
+    }),
+
+    // per-group cap sampling (anti-monoculture): at most 10 docs per
+    // source, chosen by the deterministic salted-hash order shared with
+    // q_sample_stratified. Binds at sf>=0.01 (25 docs/source).
+    "q_sample_cap_group" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.capPerGroup(d, "source", "doc_id", 10)
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     // multimodal: binary content + byte-level features (decode is stubbed)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asMedia(
@@ -1824,6 +1890,60 @@ object SparkEntry {
         |  (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN — the oracle uses it directly, so the
+    // union-trick window plan is checked against an independent
+    // implementation of the same semantics. Tolerance nulls the match
+    // columns (NULL gap comparisons propagate NULL, matching the Spark
+    // keep-predicate).
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec FROM events),
+        |c AS (SELECT user_id, tsec AS ctsec, max(event_id) AS click_id
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, tsec FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, p.user_id, p.tsec, c.ctsec, c.click_id
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.tsec >= c.ctsec)
+        |SELECT event_id, user_id, round(tsec, 6) AS tsec,
+        |  CASE WHEN tsec - ctsec <= 3600 THEN round(ctsec, 6) END AS click_tsec,
+        |  CASE WHEN tsec - ctsec <= 3600 THEN click_id END AS click_id
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec FROM events),
+        |er AS (SELECT user_id, tsec AS etsec, max(event_id) AS err_id
+        |       FROM e WHERE event_type = 'error' GROUP BY 1, 2),
+        |p AS (SELECT event_id, user_id, tsec FROM e WHERE event_type = 'purchase'),
+        |m AS (SELECT p.event_id, p.user_id, p.tsec, er.etsec, er.err_id
+        |      FROM p ASOF LEFT JOIN er
+        |        ON p.user_id = er.user_id AND p.tsec <= er.etsec)
+        |SELECT event_id, user_id, round(tsec, 6) AS tsec,
+        |  CASE WHEN etsec - tsec <= 1800 THEN round(etsec, 6) END AS err_tsec,
+        |  CASE WHEN etsec - tsec <= 1800 THEN err_id END AS err_id
+        |FROM m ORDER BY event_id""".stripMargin,
+
+    // plain inequality join is fine at oracle scale; the Spark side must
+    // produce the identical pair set through the grid decomposition
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS tsec FROM events),
+        |i AS (SELECT event_id AS incident_id, user_id, tsec AS w_start,
+        |      tsec + 600 AS w_end FROM e WHERE event_type = 'error'),
+        |p AS (SELECT event_id, user_id, tsec AS ptsec
+        |      FROM e WHERE event_type = 'purchase')
+        |SELECT i.incident_id, p.event_id, round(p.ptsec, 6) AS ptsec
+        |FROM i JOIN p ON i.user_id = p.user_id
+        |  AND p.ptsec BETWEEN i.w_start AND i.w_end
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_sample_cap_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

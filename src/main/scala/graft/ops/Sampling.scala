@@ -104,4 +104,31 @@ object Sampling {
     }
     (stratifiedSample(df, strataCol, idCol, rates, defaultRate, salt), rates)
   }
+
+  /** Deterministic per-group cap — "at most k documents per domain", the
+    * anti-monoculture primitive of corpus curation (one mega-domain must
+    * not dominate the training mix). Rows survive by per-group rank under
+    * the same salted-md5 order as [[stratifiedSample]], so the kept set is
+    * a uniform k-subset of each group that is independent of partitioning
+    * and STABLE under corpus growth in expectation (a new row displaces an
+    * old one only when its hash sorts below the group's k-th hash), and
+    * capPerGroup(k) ⊆ capPerGroup(k+1) under one salt (ranks are
+    * cap-independent).
+    *
+    * One shuffle (hash partition by group) + per-group sort. `row_number`
+    * needs the whole group on one partition — fine up to groups of
+    * hundreds of millions (a sort, spillable); for a group that exceeds a
+    * single executor's spill budget the two-phase variant (approximate
+    * k-th-hash threshold prefilter, then exact rank on the survivors)
+    * drops the sorted volume to ~k per group — not built until a corpus
+    * needs it. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val h = md5(concat_ws(":", lit(salt), col(idCol).cast(StringType)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
 }

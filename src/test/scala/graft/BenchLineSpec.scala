@@ -76,8 +76,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.shortKey("q_quality_filter") == "ql_ft")
     assert(Bench.shortKey("q_pipeline_e2e") == "pp_e2e")
     assert(Bench.shortKey("q_winnow_pairs") == "wn_pa")
-    assert(Bench.shortKey("q_missing_fill_mode") == "ms_fl_mo")
-    assert(Bench.shortKey("q_missing_fill_median") == "ms_fl_md")
+    // r12b single-char re-key (94 queries outgrew the 2-char table's
+    // 1500-char worst case): high-frequency tokens ride one char
+    assert(Bench.shortKey("q_missing_fill_mode") == "m_fl_mo")
+    assert(Bench.shortKey("q_missing_fill_median") == "m_fl_md")
+    assert(Bench.shortKey("q_asof_join") == "af_jn")
+    assert(Bench.shortKey("q_interval_join") == "il_jn")
+    assert(Bench.shortKey("q_sample_cap_group") == "a_cp_gp")
     // structural guard: a Map literal silently keeps only the LAST entry
     // per key, so a duplicate token in the SOURCE is invisible at runtime
     // — parse the literal and fail on any token mapped twice (this bug
