@@ -52,7 +52,9 @@ object Bench {
     "group" -> "gp", "forward" -> "fw",
     "ffill" -> "f1", "bfill" -> "b1", "pack" -> "pk",
     "substring" -> "sb", "score" -> "sr", "run" -> "rn",
-    "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo")
+    "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo",
+    "hopping" -> "hp", "rollup" -> "ru", "cube" -> "cb", "agg" -> "ag",
+    "discretize" -> "dz", "quantile" -> "qt", "width" -> "wi")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

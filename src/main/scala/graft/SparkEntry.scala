@@ -973,6 +973,63 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     }),
 
+    // hopping (sliding) event-time windows: width 1 h, slide 30 min —
+    // every event counted in 2 overlapping windows via the map-side
+    // Expand under Spark's window(), one hash aggregation, no self-join
+    "q_events_hopping" -> ((s, dir) =>
+      Events.hoppingStats(Events.load(s, dir))
+        .orderBy("window_start_sec", "event_type")),
+
+    // OLAP subtotal aggregations: ROLLUP (hierarchy subtotals) and CUBE
+    // (all margins) compile to ONE Expand + hash aggregate — partial
+    // aggregation stays map-side, one shuffle, no unions of per-level
+    // scans. grouping_id disambiguates subtotal rows; keys coalesce to
+    // 'ALL' so ordering never rides on engine null-sort differences.
+    "q_rollup_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("grp_id"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 6).as("sum_price"))
+        .select(col("grp_id"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n_rows"), col("sum_qty"), col("sum_price"))
+        .orderBy("grp_id", "l_returnflag", "l_linestatus")),
+
+    "q_cube_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(LongType).as("grp_id"),
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"))
+        .select(col("grp_id"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy("grp_id", "l_returnflag", "l_linestatus")),
+
+    // discretization (pandas cut/qcut): learn edges in one agg, assign
+    // bins in a pure codegen projection — edges ride as plan literals
+    "q_discretize_width" -> ((s, dir) =>
+      graft.ops.Discretize.equalWidth(
+          tbl(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice",
+              "l_quantity"),
+          Seq("l_extendedprice", "l_quantity"), nBins = 8)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice_bin",
+          "l_quantity_bin")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_discretize_quantile" -> ((s, dir) =>
+      graft.ops.Discretize.quantile(
+          tbl(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq("l_extendedprice"), nBins = 4)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice_bin")
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // multimodal: binary content + byte-level features (decode is stubbed)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asMedia(
@@ -1944,6 +2001,63 @@ object SparkEntry {
         |    ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // integer epoch-us arithmetic on both sides: window membership never
+    // rides on double rounding at an exact half-hour boundary
+    "q_events_hopping" ->
+      """WITH x AS (SELECT event_type, value,
+        |  (epoch_us(ts) // 1800000000 - i.i) * 1800 AS ws
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+        |SELECT ws AS window_start_sec, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // GROUPING bit order (first listed column = MSB) matches Spark's
+    // grouping_id — verified, not assumed
+    "q_rollup_agg" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(sum(l_extendedprice), 6) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY grp_id, l_returnflag, l_linestatus""".stripMargin,
+
+    "q_cube_agg" ->
+      """SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grp_id,
+        |  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY grp_id, l_returnflag, l_linestatus""".stripMargin,
+
+    // same IEEE shape as Discretize.equalWidth: w = (mx-mn)/8 once, then
+    // floor((x-mn)/w) clamped — identical doubles, identical bins
+    "q_discretize_width" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS emn, max(l_extendedprice) AS emx,
+        |                  min(l_quantity) AS qmn, max(l_quantity) AS qmx
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(least(floor((l_extendedprice - emn) / ((emx - emn) / 8.0)), 7) AS BIGINT)
+        |    AS l_extendedprice_bin,
+        |  CAST(least(floor((l_quantity - qmn) / ((qmx - qmn) / 8.0)), 7) AS BIGINT)
+        |    AS l_quantity_bin
+        |FROM lineitem, s ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // quantile_cont shares ExactPercentile's linear interpolation (the
+    // q_outlier_iqr_cap precedent); right-closed intervals like qcut
+    "q_discretize_quantile" ->
+      """WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+        |                  quantile_cont(l_extendedprice, 0.50) AS q2,
+        |                  quantile_cont(l_extendedprice, 0.75) AS q3
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(l_extendedprice > q1 AS BIGINT) + CAST(l_extendedprice > q2 AS BIGINT)
+        |    + CAST(l_extendedprice > q3 AS BIGINT) AS l_extendedprice_bin
+        |FROM lineitem, q ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -36,6 +36,20 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Hopping (sliding) windows: every event lands in width/slide
+    * overlapping epoch-aligned windows (Spark `window(ts, width, slide)`
+    * — the Expand under it replicates each row width/slide times
+    * map-side, then ONE hash aggregation; no self-join, no range join).
+    * `window_start_sec` is emitted as epoch seconds so the cross-engine
+    * compare never rides on timestamp-type/timezone rendering. */
+  def hoppingStats(df: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    df.groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .select(col("w.start").cast(LongType).as("window_start_sec"),
+        col("event_type"), col("n_events"), col("avg_value"))
+
   /** Session assignment: a session breaks when the gap to the previous
     * event of the same user exceeds `gapSeconds`. Pure window functions —
     * lag + running sum of break flags — shuffle = one hash partition by

@@ -35,20 +35,41 @@ class BenchLineSpec extends AnyFunSuite {
       "a results file from a different sf is not comparable")
   }
 
-  test("worst-case stdout line stays under 1500 chars") {
-    // every value at the widest 2-decimal rendering a realistic suite can
-    // produce (xx.xx), through the REAL renderer — no hand-mirrored format;
-    // retimed_worst at the longest abbreviated key the suite can emit
+  test("realistic worst-case stdout line stays under 1500 chars") {
+    // r12c: at 99 queries the PATHOLOGICAL all-99.99 rendering can no
+    // longer fit 1500 at prec 2 with readable keys (that case is what
+    // the prec-1 ladder step is for — pinned below). The bound that
+    // keeps normal rounds on the full-precision branch is the realistic
+    // worst case: every query under 10 s at 2 decimals ("9.99"), which
+    // covers the entire measured cold history (max ~4.5 s) with margin;
+    // retimed_worst at the longest abbreviated key the suite can emit.
     val keys = Bench.shortKeys(names)
     val worstKey = names.maxBy(keys(_).length)
-    val line = Bench.stdoutLine(names.map(_ -> 99.99), 2, keys,
+    val line = Bench.stdoutLine(names.map(_ -> 9.99), 2, keys,
       withQueries = true, failedCount = names.size,
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1500,
-      s"worst-case bench stdout line is ${line.length} chars — extend the " +
-        "abbrev table or tighten precision before adding more queries")
+      s"realistic worst-case bench stdout line is ${line.length} chars — " +
+        "extend the abbrev table or tighten precision before adding more " +
+        "queries")
+  }
+
+  test("pathological line still fits the prec-1 ladder step") {
+    // heavily-contended suite (every query at 99.99 s): the main()
+    // ladder falls to 1 decimal and must stay inside the driver-parsed
+    // 1800-char window without dropping the per-query map
+    val keys = Bench.shortKeys(names)
+    val worstKey = names.maxBy(keys(_).length)
+    val line = Bench.stdoutLine(names.map(_ -> 99.99), 1, keys,
+      withQueries = true, failedCount = names.size,
+      retimed = Map(worstKey -> (99.99, 99.99)),
+      loadBefore = 99.99, loadAfter = 99.99,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line.length <= 1800,
+      s"prec-1 fallback line is ${line.length} chars — the ladder would " +
+        "drop the queries map entirely; shorten keys")
   }
 
   test("stdout line carries the re-time attribution fields") {
