@@ -54,7 +54,8 @@ object Bench {
     "substring" -> "sb", "score" -> "sr", "run" -> "rn",
     "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo",
     "hopping" -> "hp", "rollup" -> "ru", "cube" -> "cb", "agg" -> "ag",
-    "discretize" -> "dz", "quantile" -> "qt", "width" -> "wi")
+    "discretize" -> "dz", "quantile" -> "qt", "width" -> "wi",
+    "tfidf" -> "ti")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

@@ -1030,6 +1030,26 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_extendedprice_bin")
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // TF-IDF keyword extraction: top-5 terms per document. Integer-only
+    // inputs to the score (tf, df, N) keep the ranking bit-identical
+    // across engines; ties break on term order.
+    "q_tfidf_topk" -> ((s, dir) =>
+      graft.text.Keywords.tfidfTopK(tbl(s, dir, "documents"),
+          "doc_id", "text", k = 5)
+        .select(col("doc_id"), col("rk").cast(LongType).as("rk"),
+          col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")),
+
+    // Okapi BM25 relevance of every doc against a fixed topic term list
+    // (the crawl-vs-topic filter). Ordered by doc_id, never by score:
+    // the per-doc term-sum is the one place engines may differ at an
+    // ulp, and round(6) absorbs that only if ordering doesn't ride on it
+    "q_bm25" -> ((s, dir) =>
+      graft.text.Keywords.bm25(tbl(s, dir, "documents"),
+          "doc_id", "text", Seq("join", "merge", "vector"))
+        .orderBy("doc_id")),
+
     // multimodal: binary content + byte-level features (decode is stubbed)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asMedia(
@@ -2058,6 +2078,47 @@ object SparkEntry {
         |  CAST(l_extendedprice > q1 AS BIGINT) + CAST(l_extendedprice > q2 AS BIGINT)
         |    + CAST(l_extendedprice > q3 AS BIGINT) AS l_extendedprice_bin
         |FROM lineitem, q ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT t.doc_id, t.term, t.tf, d.df,
+        |        CAST(t.tf AS DOUBLE) * ln(n.n / CAST(d.df AS DOUBLE)) AS tfidf
+        |      FROM t JOIN d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM s)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df,
+        |  round(tfidf, 6) AS tfidf
+        |FROM r WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    // same expression shape as Keywords.bm25 (k1=1.2, b=0.75, Lucene
+    // idf); dl/avgdl are exact-integer sums so the only cross-engine
+    // drift channel is the per-doc term sum, absorbed by round(6)
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |ad AS (SELECT avg(dl) AS avgdl FROM l),
+        |t AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |      FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+        |      WHERE term IN ('join', 'merge', 'vector') GROUP BY 1, 2),
+        |d AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM t GROUP BY 1),
+        |s AS (SELECT t.doc_id,
+        |        ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)) * t.tf * (1.2 + 1) /
+        |          (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l2.dl / ad.avgdl)) AS s
+        |      FROM t JOIN d USING (term) JOIN l l2 USING (doc_id)
+        |        CROSS JOIN n CROSS JOIN ad)
+        |SELECT l.doc_id, CAST(l.dl AS BIGINT) AS dl,
+        |  round(coalesce(sc.score, 0.0), 6) AS score
+        |FROM l LEFT JOIN (SELECT doc_id, sum(s) AS score FROM s GROUP BY 1) sc
+        |  USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
