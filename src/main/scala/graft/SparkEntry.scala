@@ -1050,6 +1050,21 @@ object SparkEntry {
           "doc_id", "text", Seq("join", "merge", "vector"))
         .orderBy("doc_id")),
 
+    // per-group quality curation: the 5 best docs per language by the
+    // heuristic quality score. Ranks on the ROUNDED score so both
+    // engines rank the identical value (ulp-near scores become exact
+    // ties, resolved by doc_id).
+    "q_quality_topk" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("doc_id"),
+        col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      graft.ops.Sampling.topKPerGroup(scored, "lang", "quality",
+          "doc_id", 5)
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy("lang", "rk")
+    }),
+
     // multimodal: binary content + byte-level features (decode is stubbed)
     "q_multimodal" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asMedia(
@@ -1130,6 +1145,26 @@ object SparkEntry {
   private val tokCountSql =
     "CASE WHEN len(trim(text)) = 0 THEN 0 ELSE " +
       "CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) END"
+  /** Shared CTE chain producing `q(doc_id, lang, stopword_ratio, quality)`
+    * — the TextAnalysis.qualityScore twin, factored so the score query
+    * and the per-group top-k curation query rank the identical value. */
+  private def qualityCtesSql: String = {
+    val stop = sqlList(graft.text.TextAnalysis.StopEn)
+    s"""WITH t AS (SELECT doc_id, lang, text, $tokCountSql AS n_tokens,
+       |  $distinctToksSql AS toks FROM documents),
+       |r AS (SELECT doc_id, lang, n_tokens,
+       |  CASE WHEN len(toks) > 0 THEN CAST(len(list_intersect(toks, $stop)) AS DOUBLE) / len(toks) END AS stop_ratio,
+       |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(text) END AS alpha,
+       |  CASE WHEN len(text) > 0 THEN CAST(len(text) - len(translate(text, '$punctSql', '')) AS DOUBLE) / len(text) END AS punct
+       |  FROM t),
+       |q AS (SELECT doc_id, lang, round(stop_ratio, 6) AS stopword_ratio,
+       | round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.25
+       |   + COALESCE(alpha, 0.0) * 0.35
+       |   + least(1.0, COALESCE(stop_ratio, 0.0) * 4.0) * 0.25
+       |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
+       | FROM r)""".stripMargin
+  }
+
   private val distinctToksSql =
     "CASE WHEN len(trim(text)) = 0 THEN [] ELSE " +
       "list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) END"
@@ -1345,22 +1380,21 @@ object SparkEntry {
          | CASE WHEN len(text) > 0 THEN round(CAST(len(text) - len(translate(text, '$punctSql', '')) AS DOUBLE) / len(text), 6) END AS punct_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q_text_quality" -> {
-      val stop = sqlList(graft.text.TextAnalysis.StopEn)
-      s"""WITH t AS (SELECT doc_id, text, $tokCountSql AS n_tokens,
-         |  $distinctToksSql AS toks FROM documents),
-         |r AS (SELECT doc_id, n_tokens,
-         |  CASE WHEN len(toks) > 0 THEN CAST(len(list_intersect(toks, $stop)) AS DOUBLE) / len(toks) END AS stop_ratio,
-         |  CASE WHEN len(text) > 0 THEN CAST(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / len(text) END AS alpha,
-         |  CASE WHEN len(text) > 0 THEN CAST(len(text) - len(translate(text, '$punctSql', '')) AS DOUBLE) / len(text) END AS punct
-         |  FROM t)
-         |SELECT doc_id, round(stop_ratio, 6) AS stopword_ratio,
-         | round(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * 0.25
-         |   + COALESCE(alpha, 0.0) * 0.35
-         |   + least(1.0, COALESCE(stop_ratio, 0.0) * 4.0) * 0.25
-         |   + (1.0 - least(1.0, COALESCE(punct, 0.0) * 4.0)) * 0.15, 6) AS quality
-         |FROM r ORDER BY doc_id""".stripMargin
-    },
+    "q_text_quality" ->
+      s"""$qualityCtesSql
+         |SELECT doc_id, stopword_ratio, quality FROM q
+         |ORDER BY doc_id""".stripMargin,
+
+    // per-group quality curation: rank rides on the ROUNDED score (the
+    // same 6-dp value both engines emit), so near-ties are exact ties
+    // and doc_id resolves them identically on both sides
+    "q_quality_topk" ->
+      s"""$qualityCtesSql,
+         |k AS (SELECT doc_id, lang, quality, row_number() OVER
+         |        (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+         |      FROM q)
+         |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+         |FROM k WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
 
     // prefix-sum placement: cumulative tokens before each doc in id order
     // (sums CAST to BIGINT — DuckDB widens sum(BIGINT) to HUGEINT)

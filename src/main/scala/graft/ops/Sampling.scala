@@ -122,6 +122,25 @@ object Sampling {
     * k-th-hash threshold prefilter, then exact rank on the survivors)
     * drops the sorted volume to ~k per group — not built until a corpus
     * needs it. */
+  /** Keep the k BEST rows per group by `scoreCol` (descending) — the
+    * quality-curation complement of [[capPerGroup]]'s uniform cap: "the
+    * 5 highest-quality documents per language/domain". Ties break on
+    * `idCol` ascending; rank by a PRE-ROUNDED score when an external
+    * oracle must agree (two engines computing the same score can differ
+    * at the last ulp, and rounding makes near-ties exact ties that the
+    * id then resolves identically). Appends `rk` (1-based).
+    *
+    * Same shape and scale behavior as capPerGroup: one hash shuffle by
+    * group, per-group sort bounded by group size, spillable. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int,
       salt: String = "graft"): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")

@@ -80,6 +80,18 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("avg_value"))
 
+  /** Streaming twin of [[hoppingStats]]: the same width/slide windowed
+    * aggregation under a watermark — the window() Expand works unchanged
+    * in micro-batch execution (each event updates width/slide window
+    * states; late data inside the watermark merges into both). */
+  def streamingHopping(stream: DataFrame, width: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    stream.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(col("w.start").cast(LongType).as("window_start_sec"),
+        col("event_type"), col("n_events"), col("avg_value"))
+
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, n_events: Long,
       start_sec: Double, duration_sec: Double)

@@ -47,6 +47,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHopping over 3 shuffled micro-batches equals batch stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Events.load(spark, dir)
+      .select($"ts".as[java.sql.Timestamp], $"event_type".as[String],
+        $"value".as[Double]).collect().toSeq
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = Events.streamingHopping(
+        mem.toDF.toDF("ts", "event_type", "value"),
+        "1 hour", "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("mb_hopping")
+      .outputMode("complete").start()
+    try {
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        mem.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("mb_hopping")
+        .select($"window_start_sec", $"event_type", $"n_events",
+          round($"avg_value", 6).as("avg_value"))
+        .orderBy("window_start_sec", "event_type").collect().toSeq
+      val want = Events.hoppingStats(Events.load(spark, dir),
+          "1 hour", "30 minutes")
+        .orderBy("window_start_sec", "event_type").collect().toSeq
+      assert(want.nonEmpty && got == want)
+    } finally q.stop()
+  }
+
   test("streamingSessionize over 3 ordered micro-batches equals batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
     val ev = Events.load(spark, dir)

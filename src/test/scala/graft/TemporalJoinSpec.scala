@@ -152,6 +152,15 @@ class TemporalJoinSpec extends SparkSpec {
     assert(msgs(e).exists(m => m != null && m.contains("wider than")), e)
   }
 
+  test("interval containment plan: hash/merge equi-join, never nested-loop") {
+    val plan = IntervalJoin.containment(iv, pts, Seq("k"), "lo", "hi", "t",
+      cellSeconds = 7.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      plan)
+    // the equi-join keys must include the grid cell, not just the raw key
+    assert(plan.contains("__cell"), plan)
+  }
+
   // ---- per-group cap -----------------------------------------------------
 
   test("capPerGroup: sizes ≤ k, nested in k+1, partitioning-independent") {
@@ -167,5 +176,15 @@ class TemporalJoinSpec extends SparkSpec {
     assert(ids(Sampling.capPerGroup(df.repartition(13), "g", "id", 10))
       == ids(k10))
     assert(ids(Sampling.capPerGroup(df, "g", "id", 1000)) == ids(df))
+  }
+
+  test("topKPerGroup: best-k by score desc, ties resolve by id asc") {
+    val df = Seq(("a", 1L, 0.9), ("a", 2L, 0.7), ("a", 3L, 0.9),
+      ("a", 4L, 0.5), ("b", 5L, 0.1)).toDF("g", "id", "s")
+    val out = Sampling.topKPerGroup(df, "g", "s", "id", 2)
+      .select($"g", $"rk", $"id").orderBy("g", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    // a: 0.9-tie between id 1 and 3 → id asc; b: only one row
+    assert(out.toSeq == Seq(("a", 1, 1L), ("a", 2, 3L), ("b", 1, 5L)))
   }
 }
