@@ -55,7 +55,13 @@ object Bench {
     "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo",
     "hopping" -> "hp", "rollup" -> "ru", "cube" -> "cb", "agg" -> "ag",
     "discretize" -> "dz", "quantile" -> "qt", "width" -> "wi",
-    "tfidf" -> "ti")
+    "tfidf" -> "ti", "rolling" -> "rl",
+    // r12d: 105 queries — the remaining high-frequency tokens move to
+    // single chars too (every free letter is now assigned; the next
+    // query batch must reuse existing tokens or extend with digits)
+    "quality" -> "q", "winnow" -> "w", "topk" -> "k", "textclean" -> "h",
+    "neardup" -> "b", "multimodal" -> "x", "join" -> "j", "filter" -> "t",
+    "fill" -> "f", "clusters" -> "g", "agg" -> "i")
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')

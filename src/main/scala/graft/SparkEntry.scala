@@ -54,6 +54,30 @@ object SparkEntry {
     out
   }
 
+  /** TPC-H Q5-flavored star join: revenue per nation for EUROPE
+    * customers' 1997 orders, written as the bare declarative chain —
+    * NO hand-placed broadcast hints, no pre-filtered scans. Exposed
+    * (not inlined in the map) so PlanQualitySpec can assert what
+    * Catalyst made of it: dimension joins broadcast under the
+    * threshold, the region/date filters pushed into the scans, and the
+    * lineitem read schema pruned to the 3 used columns. */
+  private[graft] def joinAggPlan(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(tbl(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(tbl(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE" &&
+        col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   // ---- shared injections (Spark side; SQL twins below) -------------------
 
   /** customer with deterministic nulls: acctbal null on custkey%7=0,
@@ -1063,6 +1087,48 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"),
           col("rk").cast(LongType).as("rk"))
         .orderBy("lang", "rk")
+    }),
+
+    // TPC-H-style star join-aggregation, declared fully declaratively:
+    // Catalyst prunes lineitem to 3 columns, pushes the region/date
+    // filters into the scans, auto-broadcasts every dimension under the
+    // 10 MB threshold, and reorders as it sees fit — PlanQualitySpec
+    // asserts the broadcast + pushdown actually happened (the "let the
+    // optimizer work" story, checked rather than assumed).
+    "q_join_agg" -> ((s, dir) => joinAggPlan(s, dir)),
+
+    // the exact-percentile custom aggregate in GROUPED mode: median
+    // price/quantity per return flag in ONE hash aggregation (the
+    // bounded typed-imperative buffer runs per group; no window, no
+    // per-group job loop)
+    "q_group_median" -> ((s, dir) => {
+      graft.functions.ExactPercentile.register(s)
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(call_function("graft_percentile",
+            col("l_extendedprice").cast(DoubleType), lit(0.5)), 6)
+            .as("med_price"),
+          round(call_function("graft_percentile",
+            col("l_quantity").cast(DoubleType), lit(0.5)), 6)
+            .as("med_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // rolling analytics: 3-event moving average of value per user in
+    // event-time order — one hash shuffle by user, frame bounded to 3
+    // rows regardless of history length
+    "q_events_rolling" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
+      Events.load(s, dir)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(w), 6).as("roll_avg"),
+          count(lit(1)).over(w).as("n_window"))
+        .orderBy("event_id")
     }),
 
     // multimodal: binary content + byte-level features (decode is stubbed)
@@ -2153,6 +2219,36 @@ object SparkEntry {
         |FROM l LEFT JOIN (SELECT doc_id, sum(s) AS score FROM s GROUP BY 1) sc
         |  USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_group_median" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_events_rolling" ->
+      """SELECT event_id, user_id,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

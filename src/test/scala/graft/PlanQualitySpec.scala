@@ -274,4 +274,28 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       s"rare x vocab must join on block keys:\n$p")
   }
+
+  test("star join-agg: Catalyst broadcasts dims, pushes filters, prunes") {
+    // the query is the BARE declarative chain (no hints, no pre-filtered
+    // scans) — these assertions check the optimizer earned its keep
+    val p = plan(SparkEntry.joinAggPlan(spark, sf))
+    // every dimension side fits under the auto-broadcast threshold at
+    // test scale: no sort-merge join anywhere in this star
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the literal region filter reached the region parquet scan
+    assert(p.contains("EqualTo(r_name,EUROPE)"),
+      s"region filter must push into the scan:\n$p")
+    // the date range reached the orders scan as pushed predicates
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"order date range must push into the scan:\n$p")
+    // lineitem scan pruned to the 3 used columns
+    val liRead = p.linesIterator
+      .filter(_.contains("ReadSchema")).find(_.contains("l_orderkey"))
+    assert(liRead.exists(l => l.contains("l_extendedprice") &&
+      l.contains("l_discount") && !l.contains("l_quantity") &&
+      !l.contains("l_shipdate")),
+      s"lineitem scan must read exactly its 3 used columns:\n$p")
+  }
 }
