@@ -155,11 +155,18 @@ object Bench {
     * re-time pairs live only in the ephemeral results file.
     * `retimed_n` = how many ≥gate first-runs re-timed; `retimed_worst` =
     * the pair with the largest first−retime gap (the single biggest
-    * contributor to a contended total), as [abbrev key, first, retime]. */
+    * contributor to a contended total), as [abbrev key, first, retime].
+    *
+    * `gate` = [idle_wait_s, probed steal ticks/s] from the pre-run quiet
+    * gate (r13 verdict #1); `contended:true` means the gate TIMED OUT
+    * still contended, so the archive self-labels as untrustworthy
+    * instead of reading as a phantom regression. */
   private[graft] def stdoutLine(results: Seq[(String, Double)], prec: Int,
       keyOf: String => String, withQueries: Boolean, failedCount: Int,
       retimed: Map[String, (Double, Double)],
-      loadBefore: Double, loadAfter: Double, sfDir: String): String = {
+      loadBefore: Double, loadAfter: Double,
+      idleWaitS: Double, gateStealRate: Double, contended: Boolean,
+      sfDir: String): String = {
     val (qs, total) = queriesJson(results, prec, keyOf)
     val q = if (withQueries) s""","queries":$qs""" else ""
     val worst = retimed.toSeq
@@ -169,7 +176,9 @@ object Bench {
       .getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec"$q,""" +
       s""""failed":$failedCount,"retimed_n":${retimed.size}$worst,""" +
-      s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],"sf":"$sfDir"}"""
+      s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
+      s""""gate":[${jsNum(idleWaitS, 1)},${jsNum(gateStealRate, 1)}],""" +
+      s""""contended":$contended,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -183,14 +192,67 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    def firstLine(p: String): Option[String] =
+      try Some(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(p)).linesIterator.next().trim)
+      catch { case _: Throwable => None }
+    def stealTicks(): Long =
+      firstLine("/proc/stat")
+        .map(_.split("\\s+")).filter(_.length > 8)
+        .map(_(8).toLong).getOrElse(-1L)
+    /** Hypervisor steal rate (ticks/s, USER_HZ×nCPU space) over a short
+      * sleep; -1 when /proc/stat is unreadable. */
+    def stealRateProbe(seconds: Double): Double = {
+      val s0 = stealTicks()
+      if (s0 < 0) -1.0
+      else {
+        Thread.sleep((seconds * 1000).toLong)
+        (stealTicks() - s0) / seconds
+      }
+    }
+
+    // Quiet-host gate (r13 verdict #1): two consecutive rounds archived
+    // contention-inflated totals (r13: 398.84 s vs a ~104 s cold history,
+    // ~48k steal ticks over the run) that the per-query re-time machinery
+    // could diagnose but not prevent — a re-time inside a stolen window
+    // proves nothing. Before the first timed query, wait (bounded) until
+    // the 1-min loadavg is < 1.5 AND a 5 s steal probe shows < 25 ticks/s
+    // (≈0.25 stolen cpu-s per second — under 1% of the 32-thread host;
+    // the r13 run averaged ~120). If the gate times out the run proceeds
+    // but stamps `contended:true`, so the archive self-labels instead of
+    // reading as a phantom regression. Probes are sleeps, not spins — the
+    // gate itself must not add load.
+    val gateMaxWaitS: Double =
+      sys.env.get("SPARK_GRAFT_GATE_MAX_WAIT_S").flatMap(s =>
+        scala.util.Try(s.toDouble).toOption).getOrElse(120.0)
+    val gateT0 = System.nanoTime()
+    var gateStealRate = -1.0
+    var quiet = false
+    while (!quiet && (System.nanoTime() - gateT0) / 1e9 < gateMaxWaitS) {
+      val la = loadAvg()
+      if (la >= 1.5) Thread.sleep(5000)
+      else {
+        gateStealRate = stealRateProbe(5.0)
+        quiet = gateStealRate < 25.0 // true for the -1 can't-read sentinel
+      }
+    }
+    val idleWaitS = (System.nanoTime() - gateT0) / 1e9
+    val contended = !quiet
+
     // JVM/JIT + parquet-reader + codegen-agg + shuffle warmup outside the
     // timed region: otherwise whichever query happens to run first absorbs
     // several seconds of one-time cost and its number stops meaning
     // anything. The group-by forces the hash-aggregate + exchange code
-    // paths the real queries use; nation is small (25 rows).
+    // paths the real queries use; nation is small (25 rows). Loaded via
+    // Tables.load so no raw-read path survives as a copy-paste template
+    // (every corpus read funnels through the NTZ normalizer).
     try {
       import org.apache.spark.sql.functions.count
-      spark.read.parquet(s"$sfDir/nation.parquet")
+      Tables.load(spark, sfDir, "nation")
         .groupBy("n_regionkey").agg(count("*")).collect()
     } catch { case _: Throwable => () }
 
@@ -230,9 +292,6 @@ object Bench {
       if (h.nonEmpty) h else parse(outFile, Some(sfDir))
     }
 
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg()
     // CPU-environment attribution (r10 verdict ask #7): loadavg alone
     // cannot distinguish a throttled/stolen sandbox from a real whole-run
@@ -240,10 +299,6 @@ object Bench {
     // cfs_quota/period; -1 = unlimited), hypervisor steal ticks
     // (/proc/stat field 9, delta over the run), and the PSI "some" cpu
     // share — all best-effort (absent files read as sentinel -1).
-    def firstLine(p: String): Option[String] =
-      try Some(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(p)).linesIterator.next().trim)
-      catch { case _: Throwable => None }
     val cpuQuota: String =
       firstLine("/sys/fs/cgroup/cpu.max")
         .map(_.replace(' ', '/'))
@@ -252,10 +307,6 @@ object Bench {
           p <- firstLine("/sys/fs/cgroup/cpu/cpu.cfs_period_us")
         } yield s"$q/$p")
         .getOrElse("-1/-1")
-    def stealTicks(): Long =
-      firstLine("/proc/stat")
-        .map(_.split("\\s+")).filter(_.length > 8)
-        .map(_(8).toLong).getOrElse(-1L)
     def psiCpuSome(): Double =
       (try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/pressure/cpu"))
@@ -368,6 +419,8 @@ object Bench {
         s""""cpu_quota":"$cpuQuota",""" +
         s""""steal_ticks":[$stealBefore,${stealTicks()}],""" +
         s""""psi_cpu_some":[${jsNum(psiBefore, 2)},${jsNum(psiCpuSome(), 2)}],""" +
+        s""""gate":[${jsNum(idleWaitS, 2)},${jsNum(gateStealRate, 2)}],""" +
+        s""""contended":$contended,""" +
         s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
@@ -415,7 +468,7 @@ object Bench {
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
         prec, keyOf, withQueries, failed.size, retimed,
-        loadBefore, loadAfter, sfDir)
+        loadBefore, loadAfter, idleWaitS, gateStealRate, contended, sfDir)
       val l2 = line(2, withQueries = true)
       if (l2.length <= 1700) l2
       else {

@@ -921,6 +921,12 @@ object SparkEntry {
     "q_dedup_stream_run" -> ((s, dir) =>
       graft.streaming.StreamRuns.dedupExactAvailableNow(s, dir)),
 
+    // the hopping-window streaming engine path (r13 verdict #2): the
+    // overlapping-window Expand + state merge under AvailableNow,
+    // hash-checked against the same SQL as the batch q_events_hopping
+    "q_events_hopping_stream" -> ((s, dir) =>
+      graft.streaming.StreamRuns.hoppingAvailableNow(s, dir)),
+
     // batch twin of the streaming ingest-dedup (Dedup.streamingExact):
     // first event per (user, type) in event-time order. ts emitted as
     // epoch micros so both engines compare the identical integer.
@@ -2125,6 +2131,17 @@ object SparkEntry {
     // integer epoch-us arithmetic on both sides: window membership never
     // rides on double rounding at an exact half-hour boundary
     "q_events_hopping" ->
+      """WITH x AS (SELECT event_type, value,
+        |  (epoch_us(ts) // 1800000000 - i.i) * 1800 AS ws
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i)
+        |SELECT ws AS window_start_sec, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(avg(value), 6) AS avg_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the streaming-engine hopping run must reproduce the batch SQL
+    // bit-for-bit (complete mode evicts nothing)
+    "q_events_hopping_stream" ->
       """WITH x AS (SELECT event_type, value,
         |  (epoch_us(ts) // 1800000000 - i.i) * 1800 AS ws
         |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) i)

@@ -90,34 +90,62 @@ object StreamRuns {
     spark.table(name)
   }
 
-  /** [[Events.streamingTumbling]] over the real events table, split into
-    * two single-file micro-batches by a hash repartition — arrival order
-    * is decoupled from event time, so the second batch delivers late
-    * rows and updates first-batch aggregate state; complete output mode
-    * evicts nothing, so the final table must equal the batch aggregation
-    * exactly. Two data batches keep the cross-batch merge genuinely
-    * exercised at ~0.5 s fixed cost per extra micro-batch (measured);
-    * the deeper 4-shuffled-batch equivalence is StreamingSpec's job. */
+  /** Stage the events table's (ts, event_type, value) projection into
+    * `in` as TWO single-file micro-batches split by a hash repartition —
+    * arrival order is decoupled from event time, so the second batch
+    * delivers late rows and updates first-batch aggregate state; distinct
+    * ascending mtimes make the batch order deterministic. */
+  private def stageTwoShuffledBatches(spark: SparkSession, dir: String,
+      in: Path): Unit = {
+    Events.load(spark, dir)
+      .select("ts", "event_type", "value")
+      .repartition(2).write.parquet(in.toString)
+    val parts = Files.list(in).filter(
+        _.getFileName.toString.startsWith("part-"))
+      .sorted().toArray.map(_.asInstanceOf[Path])
+    val t0 = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 10000L))
+    }
+  }
+
+  /** [[Events.streamingTumbling]] over the real events table, two
+    * shuffled micro-batches ([[stageTwoShuffledBatches]]); complete
+    * output mode evicts nothing, so the final table must equal the batch
+    * aggregation exactly. Two data batches keep the cross-batch merge
+    * genuinely exercised at ~0.5 s fixed cost per extra micro-batch
+    * (measured); the deeper 4-shuffled-batch equivalence is
+    * StreamingSpec's job. */
   def tumblingAvailableNow(spark: SparkSession, dir: String,
       width: String = "1 hour"): DataFrame = {
     val in = scratch("tumbling", dir)
     try {
-      Events.load(spark, dir)
-        .select("ts", "event_type", "value")
-        .repartition(2).write.parquet(in.toString)
-      // distinct ascending mtimes → deterministic batch order
-      val parts = Files.list(in).filter(
-          _.getFileName.toString.startsWith("part-"))
-        .sorted().toArray.map(_.asInstanceOf[Path])
-      val t0 = System.currentTimeMillis()
-      parts.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p, FileTime.fromMillis(t0 + i * 10000L))
-      }
+      stageTwoShuffledBatches(spark, dir, in)
       val out = runToMemory(spark, in,
         s => Events.streamingTumbling(s, width), "complete")
       out.select(col("window_start"), col("event_type"), col("n_events"),
           round(col("avg_value"), 6).as("avg_value"))
         .orderBy("window_start", "event_type")
+    } finally deleteRec(in)
+  }
+
+  /** [[Events.streamingHopping]] over the real events table — the same
+    * two-shuffled-batch staging and complete-mode memory sink as
+    * [[tumblingAvailableNow]], exercising the overlapping-window state
+    * merge (each event updates width/slide window states per micro-batch;
+    * r13 verdict #2: this was the one streaming-engine path with no
+    * driver CORRECTNESS row — StreamingSpec pinned it multi-batch, but
+    * nothing hash-checked the engine run against the batch SQL). */
+  def hoppingAvailableNow(spark: SparkSession, dir: String,
+      width: String = "1 hour", slide: String = "30 minutes"): DataFrame = {
+    val in = scratch("hopping", dir)
+    try {
+      stageTwoShuffledBatches(spark, dir, in)
+      val out = runToMemory(spark, in,
+        s => Events.streamingHopping(s, width, slide), "complete")
+      out.select(col("window_start_sec"), col("event_type"), col("n_events"),
+          round(col("avg_value"), 6).as("avg_value"))
+        .orderBy("window_start_sec", "event_type")
     } finally deleteRec(in)
   }
 

@@ -26,8 +26,9 @@ object Keywords {
     * term) → key join tf⋈df → per-document row_number window (one
     * shuffle on id; group size = distinct terms of ONE document, so the
     * window sort is document-bounded, not corpus-bounded). N rides as a
-    * literal. Ties (equal tfidf — common for equal tf, df) break on
-    * term order so the kept set is engine-independent.
+    * scalar subquery — no extra driver action. Ties (equal tfidf —
+    * common for equal tf, df) break on term order so the kept set is
+    * engine-independent.
     *
     * 100 TB: every stage is keyed by (doc) or (term); the heaviest
     * intermediate is the (doc, term) pair list ≈ token count after
@@ -37,7 +38,17 @@ object Keywords {
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nDocs = df.count().toDouble
+    // N rides as a SCALAR SUBQUERY instead of a df.count() driver action
+    // (r13 verdict #3): the count was a standalone job — a full extra
+    // corpus scan per call at 100 TB, plus a driver barrier at plan-build
+    // time. Dataset.scalar() keeps the whole call lazy (KeywordsSpec pins
+    // zero SQL executions at build): the count executes as a subquery
+    // stage of the one real action. (A broadcast equi-join on a constant
+    // key was tried first and does NOT survive the optimizer: the
+    // non-nullable key folds to a literal, the condition is pushed down
+    // as a one-sided filter, and the join degrades to
+    // BroadcastNestedLoopJoin — the node KeywordsSpec bans.)
+    val nDocs = df.agg(count(lit(1)).cast(DoubleType).as("__n")).scalar()
     val tf = df
       .select(col(idCol), explode(terms(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term"))
@@ -46,7 +57,7 @@ object Keywords {
     val scored = tf.join(dfreq, "term")
       .withColumn("tfidf",
         col("tf").cast(DoubleType) *
-          log(lit(nDocs) / col("df").cast(DoubleType)))
+          log(nDocs / col("df").cast(DoubleType)))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -72,10 +83,18 @@ object Keywords {
       queryTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "empty query term list")
-    val nDocs = df.count().toDouble
     val lens = df.select(col(idCol),
       size(terms(col(textCol))).cast(DoubleType).as("dl"))
-    val avgdl = lens.agg(avg(col("dl"))).head().getDouble(0)
+    // N and avgdl in ONE combined aggregation over lens (r13 verdict #3):
+    // previously df.count() + avg(dl).head() were two standalone jobs —
+    // two full extra corpus scans per call at 100 TB. One stat job now
+    // computes both; the values still land as plan literals, so the
+    // downstream plan (and hashes) are unchanged.
+    val stats = lens
+      .agg(count(lit(1)).cast(DoubleType).as("n"), avg(col("dl")).as("avgdl"))
+      .head()
+    val nDocs = stats.getDouble(0)
+    val avgdl = stats.getDouble(1)
     val tf = df
       .select(col(idCol), explode(terms(col(textCol))).as("term"))
       .where(col("term").isin(queryTerms: _*))

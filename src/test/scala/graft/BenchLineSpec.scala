@@ -35,20 +35,22 @@ class BenchLineSpec extends AnyFunSuite {
       "a results file from a different sf is not comparable")
   }
 
-  test("realistic worst-case stdout line stays under 1500 chars") {
+  test("realistic worst-case stdout line stays under 1700 chars") {
     // r12c: at 99 queries the PATHOLOGICAL all-99.99 rendering can no
     // longer fit 1500 at prec 2 with readable keys (that case is what
     // the prec-1 ladder step is for — pinned below). The bound that
-    // keeps normal rounds on the full-precision branch is the realistic
-    // worst case: every query under 10 s at 2 decimals ("9.99"), which
-    // covers the entire measured cold history (max ~4.5 s) with margin;
-    // retimed_worst at the longest abbreviated key the suite can emit.
+    // keeps normal rounds on the full-precision branch (1700 since r13)
+    // is the realistic worst case: every query under 10 s at 2 decimals
+    // ("9.99"), which covers the entire measured cold history (max
+    // ~4.5 s) with margin; retimed_worst at the longest abbreviated key
+    // the suite can emit; gate fields at a timed-out contended worst.
     val keys = Bench.shortKeys(names)
     val worstKey = names.maxBy(keys(_).length)
     val line = Bench.stdoutLine(names.map(_ -> 9.99), 2, keys,
       withQueries = true, failedCount = names.size,
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
+      idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length < 1700,
       s"realistic worst-case bench stdout line is ${line.length} chars — " +
@@ -66,6 +68,7 @@ class BenchLineSpec extends AnyFunSuite {
       withQueries = true, failedCount = names.size,
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
+      idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1800,
       s"prec-1 fallback line is ${line.length} chars — the ladder would " +
@@ -77,16 +80,33 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.stdoutLine(res, 2, identity, withQueries = true,
       failedCount = 0,
       retimed = Map("q_contended" -> (9.0, 1.1), "q_mild" -> (3.0, 1.4)),
-      loadBefore = 1.0, loadAfter = 1.0, sfDir = "sf")
+      loadBefore = 1.0, loadAfter = 1.0,
+      idleWaitS = 12.3, gateStealRate = 0.4, contended = false, sfDir = "sf")
     assert(line.contains(""""retimed_n":2"""), line)
     // worst = largest first−retime gap (q_contended: 7.9 > q_mild: 1.6)
     assert(line.contains(""""retimed_worst":["q_contended",9,1.1]"""), line)
     // no re-times → count 0, no worst field (nothing to attribute)
     val none = Bench.stdoutLine(res, 2, identity, withQueries = false,
       failedCount = 0, retimed = Map.empty,
-      loadBefore = 1.0, loadAfter = 1.0, sfDir = "sf")
+      loadBefore = 1.0, loadAfter = 1.0,
+      idleWaitS = 12.3, gateStealRate = 0.4, contended = false, sfDir = "sf")
     assert(none.contains(""""retimed_n":0""") && !none.contains("retimed_worst"),
       none)
+  }
+
+  test("stdout line carries the quiet-gate fields (r13 verdict #1)") {
+    val res = Seq("q_a" -> 1.0)
+    val ok = Bench.stdoutLine(res, 2, identity, withQueries = true,
+      failedCount = 0, retimed = Map.empty, loadBefore = 1.0,
+      loadAfter = 1.0, idleWaitS = 12.34, gateStealRate = 0.46,
+      contended = false, sfDir = "sf")
+    // prec-1 rendering: the gate fields must stay compact in the tail
+    assert(ok.contains(""""gate":[12.3,0.5],"contended":false"""), ok)
+    val bad = Bench.stdoutLine(res, 2, identity, withQueries = true,
+      failedCount = 0, retimed = Map.empty, loadBefore = 1.0,
+      loadAfter = 1.0, idleWaitS = 120.0, gateStealRate = 117.2,
+      contended = true, sfDir = "sf")
+    assert(bad.contains(""""contended":true"""), bad)
   }
 
   test("abbrev holds one live mapping per token (r11/r12d: dead dup entries)") {
@@ -137,6 +157,7 @@ class BenchLineSpec extends AnyFunSuite {
       withQueries = true, failedCount = all.size,
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
+      idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
       sfDir = "/root/testdata/sf0.1")
     assert(line(2).length < 1700,
       s"at 115 queries the realistic prec-2 line is ${line(2).length} chars")

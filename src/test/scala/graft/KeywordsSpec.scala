@@ -55,4 +55,44 @@ class KeywordsSpec extends SparkSpec {
     assert(!plan2.contains("Cartesian") &&
       !plan2.contains("BroadcastNestedLoop"), plan2)
   }
+
+  test("stat-action budget: tfidf builds lazily, bm25 pays ONE stat " +
+      "action (r13 verdict #3)") {
+    // Before r14 each call paid standalone driver actions (tfidf:
+    // df.count(); bm25: count() + avg(dl).head()) — full extra corpus
+    // scans per call at 100 TB. Pin the fixed budget by counting SQL
+    // executions (one per action; a single action may span several Spark
+    // jobs under AQE) started while BUILDING the frame.
+    def actionsDuring(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            counter.incrementAndGet()
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        body
+        // the listener bus is async (and private); drain by polling the
+        // counter until it holds still for 300 ms
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    assert(actionsDuring { Keywords.tfidfTopK(docs, "doc_id", "text", 3) } == 0,
+      "tfidfTopK must not launch driver actions at build (N rides as a " +
+        "broadcast 1-row join)")
+    val bm = actionsDuring { Keywords.bm25(docs, "doc_id", "text", Seq("dog")) }
+    assert(bm == 1,
+      s"bm25 must pay exactly ONE combined (N, avgdl) stat action, saw $bm")
+  }
 }

@@ -39,6 +39,13 @@ class StreamRunsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("hoppingAvailableNow equals batch hoppingStats") {
+    val got = StreamRuns.hoppingAvailableNow(spark, dir).collect().toSeq
+    val want = Events.hoppingStats(Events.load(spark, dir))
+      .orderBy("window_start_sec", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("dedupExactAvailableNow equals the batch stream twin") {
     val got = StreamRuns.dedupExactAvailableNow(spark, dir).collect().toSeq
     val want = graft.ops.Dedup
