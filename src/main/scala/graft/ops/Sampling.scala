@@ -115,13 +115,20 @@ object Sampling {
     * capPerGroup(k) ⊆ capPerGroup(k+1) under one salt (ranks are
     * cap-independent).
     *
-    * One shuffle (hash partition by group) + per-group sort. `row_number`
-    * needs the whole group on one partition — fine up to groups of
-    * hundreds of millions (a sort, spillable); for a group that exceeds a
-    * single executor's spill budget the two-phase variant (approximate
-    * k-th-hash threshold prefilter, then exact rank on the survivors)
-    * drops the sorted volume to ~k per group — not built until a corpus
-    * needs it. */
+    * MEGA-GROUP SCALE (r13 verdict #4): the `row_number <= k` shape is
+    * rewritten by Catalyst's `InferWindowGroupLimit` into a TWO-PHASE
+    * rank — a Partial WindowGroupLimit BEFORE the exchange (each input
+    * partition sorts only its own partition-bounded slice and forwards at
+    * most k rows per group) and a Final one after — so the shuffle ships
+    * ≤ k · numInputPartitions rows per group and the post-shuffle sort
+    * never sees a whole mega-group. A group larger than an executor's
+    * spill budget therefore cannot materialize on one partition. The
+    * rewrite fires only while (a) the rank filter sits directly above the
+    * single rank-like window column and (b) k ≤
+    * `spark.sql.optimizer.windowGroupLimitThreshold` (default 1000);
+    * SamplingScaleSpec pins the Partial node and the reduced exchange
+    * volume on a pathological 2M-row group so a refactor that silently
+    * un-fires the rewrite fails in CI. */
   /** Keep the k BEST rows per group by `scoreCol` (descending) — the
     * quality-curation complement of [[capPerGroup]]'s uniform cap: "the
     * 5 highest-quality documents per language/domain". Ties break on
@@ -130,8 +137,10 @@ object Sampling {
     * at the last ulp, and rounding makes near-ties exact ties that the
     * id then resolves identically). Appends `rk` (1-based).
     *
-    * Same shape and scale behavior as capPerGroup: one hash shuffle by
-    * group, per-group sort bounded by group size, spillable. */
+    * Same shape and scale behavior as capPerGroup, including the
+    * two-phase `InferWindowGroupLimit` rewrite (see there): the exchange
+    * carries at most k rows per group per input partition, the final
+    * sort only survivors. */
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
       idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
