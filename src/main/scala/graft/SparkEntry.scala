@@ -1178,6 +1178,21 @@ object SparkEntry {
       graft.sources.Orc.read(s, path).orderBy("o_orderkey")
     }),
 
+    // Avro roundtrip (the Kafka/stream interchange format): write typed
+    // event columns — long, timestamp(-micros), string, double — to
+    // Avro, read back, values must equal the parquet original exactly.
+    // ts emitted as epoch micros so the compare is integer-exact.
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val path = roundtripPath("avro", dir)
+      val e = Events.load(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      graft.sources.Avro.write(e, path)
+      graft.sources.Avro.read(s, path)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // JSONL roundtrip (the LLM-corpus interchange format): write the
     // documents table as JSON Lines, read it back, values must survive
     "q_jsonl_roundtrip" -> ((s, dir) => {
@@ -2295,6 +2310,12 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the Avro round-trip must reproduce the parquet original exactly
+    // (timestamp-micros logical type: integer-exact micros)
+    "q_avro_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
 
     // roundtrip fidelity: the JSONL write+read must reproduce the source
     "q_jsonl_roundtrip" ->

@@ -66,6 +66,44 @@ class CsvSpec extends SparkSpec {
     assert(rows(0) == exact(0) && rows(1) == exact(1) && rows(3) == exact(3))
   }
 
+  test("avro roundtrip preserves types and values exactly " +
+      "(incl. nulls and pre-epoch timestamps)") {
+    import graft.sources.Avro
+    import spark.implicits._
+    val dir = tmpDir() + "/avro"
+    val src = Seq(
+      (1L, Some(10.5), Some("alice"),
+        Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+      (2L, None, Some(""), None),
+      (3L, Some(-0.0), None,
+        Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"))),
+      (4L, Some(1e308), Some("碎片 β"),
+        Some(java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789012"))))
+      .toDF("id", "price", "name", "at")
+    Avro.write(src, dir)
+    val back = Avro.read(spark, dir).orderBy("id")
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // unlike the ORC pair (pinned above), Avro's timestamp-micros is a
+    // signed long of epoch micros — the PRE-EPOCH sub-second row must
+    // roundtrip exactly too
+    assert(back.collect().toSeq == src.orderBy("id").collect().toSeq)
+  }
+
+  test("avro resolves by FQCN only in this distribution (documented)") {
+    // sources/Avro.scala registers by class name because the bundle
+    // ships the module without its DataSourceRegister entry. If a future
+    // jar set adds the service entry, this pin fails and the scaladoc
+    // (and this test) should switch to the short name.
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq((1L, "x")).toDF("a", "b").write.format("avro")
+        .mode("overwrite").save(tmpDir() + "/avro_short")
+    }
+    assert(e.getMessage.contains("Failed to find data source"),
+      e.getMessage)
+  }
+
   test("cleanCsv runs the reference lifecycle: csv -> pipeline -> csv") {
     val in = writeRaw(Seq(
       "id,amount,city",
