@@ -107,6 +107,32 @@ object Bench {
     bd.stripTrailingZeros.toPlainString
   }
 
+  /** Quiet-host gate (r13 verdict #1), pure over injected probes so
+    * BenchGateSpec can pin the contract: wait (bounded by `maxWaitS`)
+    * until the 1-min loadavg is below `maxLoad` AND a steal probe reads
+    * below `maxStealRate` ticks/s. Returns (idle_wait_s, last steal
+    * probe, contended) — `contended` = the gate timed out still loud.
+    * The steal probe's own duration counts against the budget (it IS the
+    * wait); a probe of -1 (unreadable /proc/stat) passes — can't-read
+    * must not stall the bench forever. */
+  private[graft] def quietGate(maxWaitS: Double, maxLoad: Double,
+      maxStealRate: Double, loadAvg: () => Double,
+      stealRate: () => Double, sleep: Long => Unit,
+      now: () => Long): (Double, Double, Boolean) = {
+    val t0 = now()
+    def elapsedS: Double = (now() - t0) / 1e9
+    var lastSteal = -1.0
+    var quiet = false
+    while (!quiet && elapsedS < maxWaitS) {
+      if (loadAvg() >= maxLoad) sleep(5000)
+      else {
+        lastSteal = stealRate()
+        quiet = lastSteal < maxStealRate
+      }
+    }
+    (elapsedS, lastSteal, !quiet)
+  }
+
   /** Per-query seconds from a history or results-file JSON text we wrote
     * (targeted regex — only q_-prefixed keys can match a query name).
     * `requireSf` rejects a results file recorded at a different sf.
@@ -229,19 +255,10 @@ object Bench {
     val gateMaxWaitS: Double =
       sys.env.get("SPARK_GRAFT_GATE_MAX_WAIT_S").flatMap(s =>
         scala.util.Try(s.toDouble).toOption).getOrElse(120.0)
-    val gateT0 = System.nanoTime()
-    var gateStealRate = -1.0
-    var quiet = false
-    while (!quiet && (System.nanoTime() - gateT0) / 1e9 < gateMaxWaitS) {
-      val la = loadAvg()
-      if (la >= 1.5) Thread.sleep(5000)
-      else {
-        gateStealRate = stealRateProbe(5.0)
-        quiet = gateStealRate < 25.0 // true for the -1 can't-read sentinel
-      }
-    }
-    val idleWaitS = (System.nanoTime() - gateT0) / 1e9
-    val contended = !quiet
+    val (idleWaitS, gateStealRate, contended) = quietGate(
+      maxWaitS = gateMaxWaitS, maxLoad = 1.5, maxStealRate = 25.0,
+      loadAvg = loadAvg, stealRate = () => stealRateProbe(5.0),
+      sleep = Thread.sleep, now = System.nanoTime)
 
     // JVM/JIT + parquet-reader + codegen-agg + shuffle warmup outside the
     // timed region: otherwise whichever query happens to run first absorbs

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the quiet-host gate contract (Bench.quietGate, r13 verdict #1)
+  * over injected probes — no real sleeping, no Spark session. The gate
+  * exists because two consecutive rounds archived contention-inflated
+  * bench totals; its failure modes (spins forever, passes a stolen host,
+  * stalls on unreadable /proc) must be compile-time-adjacent. */
+class BenchGateSpec extends AnyFunSuite {
+
+  /** Deterministic harness: `load`/`steal` yield their sequences (last
+    * value repeats); sleeps and probes advance a virtual clock. */
+  private def run(maxWaitS: Double, load: Seq[Double], steal: Seq[Double],
+      probeCostS: Double = 5.0): (Double, Double, Boolean) = {
+    var clockNs = 0L
+    var li = -1
+    var si = -1
+    Bench.quietGate(
+      maxWaitS, maxLoad = 1.5, maxStealRate = 25.0,
+      loadAvg = () => { li += 1; load(math.min(li, load.size - 1)) },
+      stealRate = () => {
+        si += 1
+        clockNs += (probeCostS * 1e9).toLong
+        steal(math.min(si, steal.size - 1))
+      },
+      sleep = ms => clockNs += ms * 1000000L,
+      now = () => clockNs)
+  }
+
+  test("quiet host passes on the first probe") {
+    val (wait, rate, contended) = run(120, load = Seq(0.3), steal = Seq(0.2))
+    assert(!contended && rate == 0.2)
+    assert(wait >= 5.0 && wait < 6.0) // exactly one 5 s probe
+  }
+
+  test("busy host waits for loadavg to decay, then passes") {
+    val (wait, rate, contended) =
+      run(120, load = Seq(4.0, 3.0, 2.0, 1.0), steal = Seq(0.0))
+    assert(!contended && rate == 0.0)
+    // three 5 s load sleeps + one 5 s probe
+    assert(wait >= 20.0 && wait < 21.0, wait)
+  }
+
+  test("stolen host re-probes until the steal clears") {
+    val (wait, _, contended) =
+      run(120, load = Seq(0.5), steal = Seq(120.0, 80.0, 1.0))
+    assert(!contended)
+    assert(wait >= 15.0 && wait < 16.0, wait) // three probes
+  }
+
+  test("persistently contended host times out LOUD, never spins forever") {
+    val (wait, rate, contended) =
+      run(30, load = Seq(0.5), steal = Seq(500.0))
+    assert(contended && rate == 500.0)
+    assert(wait >= 30.0 && wait < 36.0, wait) // bounded just past budget
+    // high loadavg forever: same bound, steal never probed
+    val (w2, r2, c2) = run(30, load = Seq(9.9), steal = Seq(0.0))
+    assert(c2 && r2 == -1.0 && w2 >= 30.0 && w2 < 36.0, (w2, r2))
+  }
+
+  test("unreadable /proc/stat (-1 sentinel) passes instead of stalling") {
+    val (_, rate, contended) = run(120, load = Seq(0.5), steal = Seq(-1.0))
+    assert(!contended && rate == -1.0)
+  }
+}
