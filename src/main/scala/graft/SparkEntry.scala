@@ -773,6 +773,27 @@ object SparkEntry {
         ._1.select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // temperature-flattened mixture (multilingual balancing, r14): per-
+    // lang budget ∝ tokens^(1/τ) normalized to 30k, τ=2 — head langs
+    // down-sampled, tail kept whole; rates rounded to 6 dp on BOTH
+    // engines so pow/sum ulp drift cannot move a threshold
+    "q_sample_temperature" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.temperatureSample(d, "lang", "doc_id", "n_chars",
+        targetTokens = 30000L, tau = 2.0)
+        ._1.select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // deterministic train/val/test assignment (r14): cumulative salted-
+    // hash intervals — stable under corpus growth, boundaries shared
+    // with the oracle as LITERAL hex strings
+    "q_split_assign" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.ops.Sampling.assignSplits(d, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -1859,6 +1880,41 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
         |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // rate_s = round(min(1, 30000·toks^(1/2)/Σw / toks), 6) — the 6-dp
+    // rounding on BOTH sides makes pow/sum-order ulp drift irrelevant;
+    // threshold construction identical to q_sample_budget
+    "q_sample_temperature" ->
+      """WITH s AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS toks
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT lang, toks, pow(toks, 0.5) AS wt FROM s),
+        |r AS (SELECT lang,
+        |  round(LEAST(1.0, 30000.0 * (wt / (SELECT sum(wt) FROM w)) / toks), 6)
+        |    AS rate FROM w),
+        |t AS (SELECT lang,
+        |  CASE WHEN rate >= 1.0 THEN 'g'
+        |       WHEN rate <= 0.0 THEN '0'
+        |       ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+        |  END AS thr FROM r)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // boundaries are the SAME literal hex strings the Spark side uses
+    // (Sampling.cumulativeThresholdHex) — no float re-derivation at all
+    "q_split_assign" -> {
+      val Seq(t1, t2, t3) = graft.ops.Sampling
+        .cumulativeThresholdHex(Seq(0.8, 0.1, 0.1))
+      s"""SELECT doc_id,
+         |  CASE WHEN h < '$t1' THEN 'train'
+         |       WHEN h < '$t2' THEN 'val'
+         |       WHEN h < '$t3' THEN 'test'
+         |       ELSE NULL END AS split
+         |FROM (SELECT doc_id,
+         |        substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // The same exact pair ground truth, closed transitively with a
     // recursive CTE — every paired id maps to the smallest id reachable

@@ -29,10 +29,16 @@ import org.apache.spark.sql.types._
   */
 object Sampling {
 
-  private def thresholdHex(rate: Double): String =
+  private[graft] def thresholdHex(rate: Double): String =
     if (rate >= 1.0) "g" // every hex digit sorts below 'g': keep all
     else if (rate <= 0.0) "0" // prefix of every hash: keep none
     else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** The cumulative split boundaries of [[assignSplits]] as threshold hex
+    * strings — public so an external oracle can share the LITERAL
+    * boundaries instead of re-deriving them from floats. */
+  def cumulativeThresholdHex(fractions: Seq[Double]): Seq[String] =
+    fractions.scanLeft(0.0)(_ + _).tail.map(thresholdHex)
 
   /** The surviving-row predicate: stratum-dependent literal threshold
     * compared against the salted id hash. */
@@ -83,26 +89,100 @@ object Sampling {
       defaultRate: Double = 0.0, salt: String = "graft",
       maxStrata: Int = 10000)
       : (DataFrame, Map[String, Double]) = {
-    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
-    val totalRows = df.groupBy(col(strataCol).cast(StringType).as("__s"))
-      .agg(sum(col(tokenCol).cast(LongType)).as("__toks"))
-      .limit(maxStrata + 1)
-      .collect()
-    if (totalRows.length > maxStrata) throw new IllegalArgumentException(
-      s"tokenBudgetSample: strata column '$strataCol' has more than " +
-        s"$maxStrata distinct values — strata are a mixing config " +
-        "(language/domain/source), not a row key; pass a coarser column " +
-        "or raise maxStrata")
-    val totals = totalRows
-      .flatMap(r => Option(r.getString(0)).map(_ ->
-        (if (r.isNullAt(1)) 0L else r.getLong(1))))
-      .toMap
+    val totals = strataTotals(df, strataCol, tokenCol, maxStrata)
     val rates = budgets.flatMap { case (s, b) =>
       totals.get(s).map { t =>
         s -> (if (t <= 0L) 1.0 else math.min(1.0, b.toDouble / t))
       }
     }
     (stratifiedSample(df, strataCol, idCol, rates, defaultRate, salt), rates)
+  }
+
+  /** The gated per-stratum token totals shared by [[tokenBudgetSample]]
+    * and [[temperatureSample]] (the maxStrata bound is the r11 collect
+    * gate — see the scaladoc above). */
+  private def strataTotals(df: DataFrame, strataCol: String,
+      tokenCol: String, maxStrata: Int): Map[String, Long] = {
+    require(maxStrata >= 1, s"maxStrata must be >= 1, got $maxStrata")
+    val totalRows = df.groupBy(col(strataCol).cast(StringType).as("__s"))
+      .agg(sum(col(tokenCol).cast(LongType)).as("__toks"))
+      .limit(maxStrata + 1)
+      .collect()
+    if (totalRows.length > maxStrata) throw new IllegalArgumentException(
+      s"strata column '$strataCol' has more than " +
+        s"$maxStrata distinct values — strata are a mixing config " +
+        "(language/domain/source), not a row key; pass a coarser column " +
+        "or raise maxStrata")
+    totalRows
+      .flatMap(r => Option(r.getString(0)).map(_ ->
+        (if (r.isNullAt(1)) 0L else r.getLong(1))))
+      .toMap
+  }
+
+  /** Temperature-flattened mixture sampling — the multilingual
+    * corpus-balancing primitive (mT5/XLM-R style): stratum s gets a
+    * token budget ∝ tokens_s^(1/τ), normalized to `targetTokens`, so
+    * τ = 1 keeps natural proportions and growing τ flattens toward
+    * uniform — head languages/domains are down-sampled, tail ones kept
+    * whole (rates clamp at 1; no upsampling). Rates are ROUNDED to 6 dp
+    * before becoming thresholds: the weight computation crosses pow and
+    * a sum whose accumulation order differs between engines, and the
+    * rounding makes the resulting thresholds reproducible anywhere
+    * (DuckDB recomputes them in SQL for the q_sample_temperature
+    * oracle). The weight sum runs in sorted-stratum order so the rates
+    * are deterministic across Scala map-iteration orders too. Same
+    * deterministic salted-hash filter as [[stratifiedSample]]; one gated
+    * totals aggregation, rates ride as plan literals. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+      tokenCol: String, targetTokens: Long, tau: Double,
+      defaultRate: Double = 0.0, salt: String = "graft",
+      maxStrata: Int = 10000)
+      : (DataFrame, Map[String, Double]) = {
+    require(tau > 0, s"temperature must be > 0, got $tau")
+    require(targetTokens >= 0, s"targetTokens must be >= 0, got $targetTokens")
+    val totals = strataTotals(df, strataCol, tokenCol, maxStrata)
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val weights = totals.map { case (s, t) =>
+      s -> (if (t > 0) math.pow(t.toDouble, 1.0 / tau) else 0.0)
+    }
+    val sumW = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val rates = totals.map { case (s, t) =>
+      s -> (
+        if (t <= 0L || sumW <= 0.0) 1.0
+        else round6(math.min(1.0,
+          targetTokens.toDouble * (weights(s) / sumW) / t)))
+    }
+    (stratifiedSample(df, strataCol, idCol, rates, defaultRate, salt), rates)
+  }
+
+  /** Deterministic train/val/test split assignment over the same salted
+    * hash space as [[stratifiedSample]]: split i owns the hash interval
+    * [cum_{i-1}, cum_i) of the [0,1) space, so membership is independent
+    * of partitioning and STABLE under corpus growth (a new row lands in
+    * exactly one split and existing rows never move), and editing one
+    * fraction only moves rows across that split's own boundary — the
+    * property that keeps yesterday's held-out test set held out after a
+    * re-split. Rows past the last cumulative fraction (fractions summing
+    * under 1) get NULL — an explicit "unassigned" is safer than silently
+    * inflating the last split. Appends `outCol`; pure codegen projection,
+    * no shuffle, no action. */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft",
+      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "no splits given")
+    require(splits.forall(_._2 >= 0.0), s"negative split fraction: $splits")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum over 1: $splits")
+    val thresholds = cumulativeThresholdHex(splits.map(_._2))
+    val frac = substring(
+      md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))), 1, 8)
+    val assigned = splits.map(_._1).zip(thresholds)
+      .foldLeft(Option.empty[Column]) { case (acc, (name, thr)) =>
+        val cond = frac < lit(thr)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }.get.otherwise(lit(null).cast(StringType))
+    df.withColumn(outCol, assigned)
   }
 
   /** Deterministic per-group cap — "at most k documents per domain", the

@@ -337,6 +337,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(rOk == Map("en" -> 0.5))
   }
 
+  test("temperature sampling flattens the mix: tau=1 is natural " +
+      "proportions, tau>1 favors the tail, tiny strata clamp at 1") {
+    import graft.ops.Sampling
+    // en: 9000 tokens, fr: 2500, de: 900 — a 10:3:1 head/tail mix
+    val df = ((0 until 900).map(i => (i.toLong, "en", 10L)) ++
+      (1000 until 1250).map(i => (i.toLong, "fr", 10L)) ++
+      (2000 until 2090).map(i => (i.toLong, "de", 10L)))
+      .toDF("id", "lang", "toks")
+    // tau=1: budget_s ∝ tokens_s, so every stratum gets the SAME rate
+    // T/Σtokens = 6200/12400 = 0.5
+    val (_, r1) = Sampling.temperatureSample(df, "lang", "id", "toks",
+      targetTokens = 6200L, tau = 1.0)
+    assert(r1 == Map("en" -> 0.5, "fr" -> 0.5, "de" -> 0.5), r1)
+    // tau=2: rates ∝ tokens^(-1/2) — strictly higher for smaller strata
+    // (T=4000 keeps all three in the unclamped regime)
+    val (out2, r2) = Sampling.temperatureSample(df, "lang", "id", "toks",
+      targetTokens = 4000L, tau = 2.0)
+    assert(r2("de") > r2("fr") && r2("fr") > r2("en"), r2)
+    assert(r2.values.forall(v => v > 0 && v < 1.0), r2)
+    // the filter is the plain sampler at the derived rates
+    val direct = Sampling.stratifiedSample(df, "lang", "id", r2)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2.collect().map(_.getLong(0)).toSet == direct)
+    // a tiny enough stratum clamps at 1.0 (kept whole, never upsampled)
+    val (_, r3) = Sampling.temperatureSample(df, "lang", "id", "toks",
+      targetTokens = 12400L, tau = 8.0)
+    assert(r3("de") == 1.0, r3)
+    assert(r3.values.forall(v => v > 0 && v <= 1.0), r3)
+  }
+
+  test("split assignment is exhaustive, disjoint, growth-stable, and " +
+      "leaves a sub-1 remainder NULL") {
+    import graft.ops.Sampling
+    val ids = (0 until 4000).map(_.toLong).toDF("id")
+    val full = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive (fractions sum to 1 -> last threshold is the keep-all
+    // sentinel) and roughly proportioned
+    assert(full.values.forall(v => v != null))
+    val n = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 3000 && n("val") > 200 && n("test") > 200, n)
+    // growth-stable: the same ids get the same split in a bigger corpus
+    val grown = Sampling.assignSplits(
+        (0 until 8000).map(_.toLong).toDF("id"), "id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.forall { case (id, s) => grown(id) == s })
+    // sub-1 fractions leave the remainder explicitly NULL
+    val partial = Sampling.assignSplits(ids, "id", Seq("train" -> 0.5))
+      .collect().map(r => Option(r.getString(1)))
+    assert(partial.exists(_.isEmpty) && partial.exists(_.contains("train")))
+    // fractions over 1 refuse
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "id", Seq("a" -> 0.8, "b" -> 0.3))
+    }
+    ()
+  }
+
   test("near-dup clusters close transitively to the smallest id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = NearDup.clusters(pairs).orderBy("id").collect()
