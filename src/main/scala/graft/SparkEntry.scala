@@ -848,13 +848,15 @@ object SparkEntry {
     // embedding cosine between consecutive vectors (exact, double fold)
     "q_cosine_pairs" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
+      graft.functions.VectorKernels.register(s)
       val a = e.select(col("vec_id").as("id_a"),
         Similarity.toDoubleArr(col("embedding")).as("va"))
       val b = e.select(col("vec_id").as("id_b"),
         Similarity.toDoubleArr(col("embedding")).as("vb"))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"),
-          round(Similarity.cosineUdf(col("va"), col("vb")), 6).as("sim"))
+          round(call_function("graft_cosine", col("va"), col("vb")), 6)
+            .as("sim"))
         .orderBy("id_a")
     }),
 

@@ -875,6 +875,7 @@ object NearDup {
       planes: Int = 16, bands: Int = 4,
       maxBucket: Int = 0): DataFrame = {
     import graft.sim.Similarity._
+    graft.functions.VectorKernels.register(df.sparkSession)
     require(planes % bands == 0)
     val r = planes / bands
     val hammingMax = math.min(planes - 1, math.ceil(
@@ -907,7 +908,10 @@ object NearDup {
       .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
       .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
+        // codegen cosine kernel (graft.functions.CosineSim): bit-identical
+        // to the cosineUdf fold, minus the per-row Seq boxing
+        round(call_function("graft_cosine", col("va"), col("vb")), 6)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
     // Same contract as [[minhashPairs]]: compute the small pair list now,
     // release the signature cache (even on failure), return the cached

@@ -62,8 +62,10 @@ object Similarity {
   /** Fused dot product as a Scala UDF. Higher-order-function lambdas run
     * interpreted per element (measured: the dominant cost of every ANN
     * query at sf0.1); this loop is the same left-to-right accumulation, so
-    * results are bit-identical to [[dot]], at JVM arithmetic speed. Hot
-    * paths below use this; the Column forms stay for composability. */
+    * results are bit-identical to [[dot]], at JVM arithmetic speed.
+    * SUPERSEDED on the hot paths by [[dotK]] (r14) — the codegen
+    * expression skips the UDF's per-row Seq conversion/boxing entirely;
+    * this stays as the public composable form. */
   val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     val n = math.min(a.length, b.length)
     var s = 0.0
@@ -72,8 +74,18 @@ object Similarity {
     s
   }
 
+  /** Codegen'd dot product ([[graft.functions.DotProduct]]): reads the
+    * unsafe arrays in place inside WholeStageCodegen — no Seq boxing, no
+    * codegen break. Same fold order as [[dotUdf]]/[[dot]] →
+    * bit-identical. Callers must [[graft.functions.VectorKernels
+    * .register]] the session first (every public method here does). */
+  private def dotK(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
   /** Fused cosine UDF — same algebra as [[cosine]] (null when a norm is
-    * 0), same accumulation order, interpreted-overhead-free. */
+    * 0), same accumulation order, interpreted-overhead-free. SUPERSEDED
+    * on the hot paths by `graft_cosine` ([[graft.functions.CosineSim]],
+    * r14) — same fold, no Seq boxing; kept as the composable form. */
   val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
     val n = math.min(a.length, b.length)
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
@@ -90,20 +102,21 @@ object Similarity {
     * per-query window. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorKernels.register(corpus.sparkSession)
     // norms hoisted to per-ROW projections before the join — inlining
     // cosine() would recompute both norms once per PAIR. Same arithmetic
     // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
     val c = withVec(corpus, vecCol, "c_vec")
       .select(col(idCol).as("c_id"), col("c_vec"))
-      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
     val q = withVec(queries, vecCol, "q_vec")
       .select(col(idCol).as("query_id"), col("q_vec"))
-      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotK(col("q_vec"), col("q_vec"))))
     val scored = c.crossJoin(broadcast(q))
       .where(col("c_id") =!= col("query_id"))
       .select(col("query_id"), col("c_id").as("neighbor_id"),
         round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-          dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+          dotK(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
           .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
@@ -162,6 +175,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       planes: Int = 16, bands: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorKernels.register(corpus.sparkSession)
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
     // band key = (band index, the band's bits of the signature)
@@ -169,11 +183,11 @@ object Similarity {
     val cSig = withVec(corpus, vecCol, "c_vec")
       .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__sig", sig(col("c_vec")))
-      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
     val qSig = withVec(queries, vecCol, "q_vec")
       .select(col(idCol).as("query_id"), col("q_vec"))
       .withColumn("__sig", sig(col("q_vec")))
-      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotK(col("q_vec"), col("q_vec"))))
     val cBand = cSig.withColumn("__band",
       explode(array((0 until bands).map(lit): _*)))
       .withColumn("__bandbits", bandBits(col("__sig"), col("__band"), r))
@@ -186,7 +200,7 @@ object Similarity {
       .dropDuplicates("query_id", "c_id")
     val scored = cand.select(col("query_id"), col("c_id").as("neighbor_id"),
       round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-        dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+        dotK(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
         .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
@@ -373,6 +387,7 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, index: Option[IvfIndex] = None): DataFrame = {
+    graft.functions.VectorKernels.register(corpus.sparkSession)
     val spark = corpus.sparkSession
     index.foreach(i => require(i.nlist == nlist && i.seed == seed,
       s"index (nlist=${i.nlist}, seed=${i.seed}) does not match the call " +
@@ -397,16 +412,16 @@ object Similarity {
     val c = withVec(corpus, vecCol, "c_vec")
       .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__cell", assignUdf(col("c_vec")))
-      .withColumn("c_norm", sqrt(dotUdf(col("c_vec"), col("c_vec"))))
+      .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
     val q = withVec(queries, vecCol, "q_vec")
       .select(col(idCol).as("query_id"), col("q_vec"))
       .withColumn("__cell", explode(probeUdf(col("q_vec"))))
-      .withColumn("q_norm", sqrt(dotUdf(col("q_vec"), col("q_vec"))))
+      .withColumn("q_norm", sqrt(dotK(col("q_vec"), col("q_vec"))))
     val scored = c.join(broadcast(q), Seq("__cell"))
       .where(col("c_id") =!= col("query_id"))
       .select(col("query_id"), col("c_id").as("neighbor_id"),
         round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-          dotUdf(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+          dotK(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
           .as("sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
