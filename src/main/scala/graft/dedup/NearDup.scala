@@ -889,7 +889,8 @@ object NearDup {
     val vecDf = withVec(df, vecCol, "__v")
       .select(col(idCol).as("__id"), col("__v"))
     val sigDf = vecDf
-      .withColumn("__sig", signatureUdf(dim, planes)(col("__v")))
+      .withColumn("__sig",
+        call_function("graft_signature", col("__v"), lit(dim), lit(planes)))
       .select("__id", "__sig")
       .cache()
     // resolving the auto guard counts sigDf — which just materializes the

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -136,6 +136,135 @@ case class CosineSim(left: Expression, right: Expression)
       newRight: Expression): CosineSim = copy(newLeft, newRight)
 }
 
+/** True iff the array is non-null with NO null elements — the codegen
+  * twin of `Similarity.vecOkUdf`, the scoreability gate every embedding
+  * scan runs per row. Never null itself: a null array is `false` (an
+  * unscoreable row gets dropped, not nulled through the filter), matching
+  * the UDF's `v != null && ...` shape. */
+case class ArrayFullyDefined(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_vec_ok needs an array argument, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vec_ok"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && {
+      val a = v.asInstanceOf[ArrayData]
+      var i = 0
+      var ok = true
+      val n = a.numElements()
+      while (ok && i < n) { ok = !a.isNullAt(i); i += 1 }
+      ok
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    ev.copy(isNull = FalseLiteral, code = code"""
+      |${c.code}
+      |boolean ${ev.value} = !${c.isNull};
+      |if (${ev.value}) {
+      |  int $n = ${c.value}.numElements();
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if (${c.value}.isNullAt($i)) { ${ev.value} = false; break; }
+      |  }
+      |}
+    """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ArrayFullyDefined = copy(newChild)
+}
+
+/** Random-hyperplane signature — the codegen twin of
+  * `Similarity.signatureUdf`: bit p = sign(v · w_p) over the
+  * deterministic `planeWeight` table, packed to a Long. The planes·dim
+  * weight table rides as a codegen reference object (one flat double[]
+  * per task, not per row); the UDF form re-boxed the vector per row and
+  * ran outside the codegen span. Same weights, same bit packing, same
+  * `min(dim, len)` bound — identical signatures. Null-element contract
+  * as [[DotProduct]]. */
+case class HyperplaneSignature(child: Expression, dim: Int, planes: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 63, "signature packs into one long")
+  require(dim >= 1, s"dim must be >= 1, got $dim")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_signature needs array<double>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_signature"
+
+  // flat [p * dim + d] layout — one bounds-checked java array, no nesting
+  private lazy val weights: Array[Double] = {
+    val w = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = graft.sim.Similarity.planeWeight(p, d); d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(dim, a.numElements())
+    var bits = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += a.getDouble(d) * weights(p * dim + d); d += 1 }
+      if (s >= 0.0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("graftPlaneWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val bits = ctx.freshName("bits")
+      s"""
+         |int $n = java.lang.Math.min($dim, $a.numElements());
+         |long $bits = 0L;
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  double $s = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $s += $a.getDouble($d) * $wRef[$p * $dim + $d];
+         |  }
+         |  if ($s >= 0.0) $bits |= 1L << $p;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneSignature = copy(child = newChild)
+}
+
 object VectorKernels {
   /** Register `graft_dot(a, b)` and `graft_cosine(a, b)` in the
     * session's function registry so operator code reaches them via
@@ -155,6 +284,28 @@ object VectorKernels {
         require(args.length == 2,
           s"graft_cosine takes 2 args, got ${args.length}")
         CosineSim(args(0), args(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_ok",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_vec_ok takes 1 arg, got ${args.length}")
+        ArrayFullyDefined(args(0))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_signature",
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_signature takes (vec, dim, planes), got ${args.length}")
+        def int(e: Expression, what: String): Int = e.eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"$what must be a foldable int, got $other")
+        }
+        HyperplaneSignature(args(0), int(args(1), "dim"),
+          int(args(2), "planes"))
       },
       "scala_udf")
   }

@@ -28,7 +28,9 @@ object Similarity {
     * elements. Boxed parameter so element nulls are observable; a tight
     * JVM loop like the other fused kernels here (the expression-level
     * `exists` alternative runs interpreted per element). */
-  private val vecOkUdf = udf { v: Seq[java.lang.Double] =>
+  /** Superseded on the scan path by `graft_vec_ok` (r14) — kept as the
+    * boxed reference implementation VectorKernelsSpec compares against. */
+  private[graft] val vecOkUdf = udf { v: Seq[java.lang.Double] =>
     v != null && {
       var i = 0
       var ok = true
@@ -49,9 +51,15 @@ object Similarity {
     * errored — one bad embedding must never kill the job. Shared with
     * [[graft.dedup.NearDup.embeddingPairs]]. */
   private[graft] def withVec(df: DataFrame, vecCol: String,
-      castAs: String): DataFrame =
+      castAs: String): DataFrame = {
+    // graft_vec_ok (functions/ArrayFullyDefined, r14): same null/element
+    // semantics as [[vecOkUdf]], but evaluated inside the scan's codegen
+    // span — the gate runs on EVERY embedding row, so the UDF's per-row
+    // boxing was pure overhead
+    graft.functions.VectorKernels.register(df.sparkSession)
     df.withColumn(castAs, toDoubleArr(col(vecCol)))
-      .where(vecOkUdf(col(castAs)))
+      .where(call_function("graft_vec_ok", col(castAs)))
+  }
 
   /** Cosine similarity of two double arrays; null when either norm is 0. */
   def cosine(a: Column, b: Column): Column = {
@@ -149,7 +157,9 @@ object Similarity {
 
   /** Fused [[signature]]: all planes·dim multiply-adds in one UDF call
     * (the Column form evaluates planes separate interpreted folds per
-    * row). Identical weights and bit packing. */
+    * row). Identical weights and bit packing. SUPERSEDED on the hot
+    * paths by `graft_signature` ([[graft.functions.HyperplaneSignature]],
+    * r14); kept as the boxed reference implementation. */
   def signatureUdf(dim: Int, planes: Int = 16) = {
     require(planes <= 63, "signature packs into one long")
     val w = Array.tabulate(planes, dim)(planeWeight)
@@ -178,8 +188,12 @@ object Similarity {
     graft.functions.VectorKernels.register(corpus.sparkSession)
     require(planes % bands == 0, "bands must divide planes")
     val r = planes / bands
-    // band key = (band index, the band's bits of the signature)
-    val sig = signatureUdf(dim, planes)
+    // band key = (band index, the band's bits of the signature);
+    // graft_signature (functions/HyperplaneSignature, r14) runs the
+    // planes·dim mul-adds inside codegen with the weight table as a
+    // task-level reference object — identical signatures to signatureUdf
+    val sig = (c: Column) =>
+      call_function("graft_signature", c, lit(dim), lit(planes))
     val cSig = withVec(corpus, vecCol, "c_vec")
       .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__sig", sig(col("c_vec")))

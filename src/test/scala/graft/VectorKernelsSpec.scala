@@ -50,6 +50,35 @@ class VectorKernelsSpec extends SparkSpec {
       "zero-norm cosine must be null, matching cosineUdf")
   }
 
+  test("graft_vec_ok matches the UDF gate: null array and null element " +
+      "-> false, clean -> true, never null itself") {
+    graft.functions.VectorKernels.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0)))),
+      (2L, None),
+      (3L, Some(Seq(Some(1.0), None))),
+      (4L, Some(Seq.empty[Option[Double]])))
+      .toDF("id", "v")
+    val got = df.select(col("id"),
+        call_function("graft_vec_ok", col("v")).as("ok"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    assert(!df.select(call_function("graft_vec_ok", col("v")))
+      .schema.head.nullable)
+  }
+
+  test("graft_signature is bit-identical to signatureUdf on the corpus") {
+    graft.functions.VectorKernels.register(spark)
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(Similarity.toDoubleArr(col("embedding")).as("v"))
+    val rows = e.select(
+      call_function("graft_signature", col("v"), lit(64), lit(32)).as("k"),
+      Similarity.signatureUdf(64, 32)(col("v")).as("u")).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) == r.getLong(1)), "signature drift")
+  }
+
   test("the kernels run inside WholeStageCodegen with no ScalaUDF node") {
     graft.functions.VectorKernels.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
