@@ -249,6 +249,7 @@ object NearDup {
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 0,
       pairFilter: DataFrame => DataFrame = identity): DataFrame = {
+    graft.functions.VectorKernels.register(df.sparkSession)
     require(numHashes % bands == 0)
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
@@ -289,7 +290,10 @@ object NearDup {
     val survivors = pairs
       .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
       .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
-      .where(prefilterUdf(numHashes, threshold)(col("sig_a"), col("sig_b")))
+      // graft_sig_agree (functions/SignatureAgreement, r14): codegen twin
+      // of prefilterUdf — no per-pair Seq boxing on the candidate mass
+      .where(call_function("graft_sig_agree", col("sig_a"), col("sig_b"),
+        lit(numHashes), lit(threshold - 0.15)))
       .select("id_a", "id_b")
     // Exact verification: a merge over the two SORTED gram-hash arrays
     // (ophSignatures emits TreeSet order), O(|A|+|B|) with no allocation.
@@ -303,7 +307,10 @@ object NearDup {
       .join(sigAll.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
       .join(sigAll.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        exactJaccardUdf(threshold)(col("sh_a"), col("sh_b")).as("jaccard"))
+        // graft_sorted_jaccard (functions/SortedJaccard, r14): the same
+        // merge-intersection, reading the gram arrays in place
+        call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b"),
+          lit(threshold)).as("jaccard"))
       .where(col("jaccard").isNotNull)
     // Eager materialization + release: the pair list (tiny — candidates
     // that survived LSH + verify) is computed NOW, then the O(corpus)
@@ -423,7 +430,9 @@ object NearDup {
     * least `threshold − 0.15`. Fails loudly (with the formatted message,
     * including the null case) on malformed signatures — an internal
     * invariant, not data-dependent. */
-  private def prefilterUdf(numHashes: Int, threshold: Double) =
+  /** Superseded on the hot path by `graft_sig_agree` (r14); kept as the
+    * boxed reference implementation VectorKernelsSpec compares against. */
+  private[graft] def prefilterUdf(numHashes: Int, threshold: Double) =
     udf { (sigA: Seq[Long], sigB: Seq[Long]) =>
       require(sigA != null && sigB != null &&
         sigA.length >= numHashes && sigB.length >= numHashes,
@@ -440,7 +449,9 @@ object NearDup {
     * of two SORTED (signed ascending) distinct gram-hash arrays, which
     * [[ophSignatures]] guarantees. Returns the Jaccard when ≥ threshold,
     * else null. Sets are distinct, so |A∪B| = |A|+|B|−|A∩B|. */
-  private def exactJaccardUdf(threshold: Double) =
+  /** Superseded on the hot path by `graft_sorted_jaccard` (r14); kept as
+    * the boxed reference implementation for the spec. */
+  private[graft] def exactJaccardUdf(threshold: Double) =
     udf { (shA: Seq[Long], shB: Seq[Long]) =>
       var a = 0; var b = 0; var inter = 0
       val la = shA.length; val lb = shB.length

@@ -265,7 +265,156 @@ case class HyperplaneSignature(child: Expression, dim: Int, planes: Int)
       newChild: Expression): HyperplaneSignature = copy(child = newChild)
 }
 
+/** MinHash-signature agreement prefilter — codegen twin of
+  * `NearDup.prefilterUdf`: fraction of equal positions over the first
+  * `numHashes` entries of two long arrays, compared to `minFrac`
+  * (threshold − margin, computed by the caller). Arrays shorter than
+  * `numHashes` throw — that is a broken `ophSignatures` invariant and
+  * must stay LOUD, exactly like the UDF's require. Evaluated per
+  * candidate PAIR, so the UDF's two-Seq boxing scaled with the
+  * candidate mass. */
+case class SignatureAgreement(left: Expression, right: Expression,
+    numHashes: Int, minFrac: Double) extends BinaryExpression {
+  require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sig_agree needs two array<bigint> arguments, got ($l, $r)")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sig_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() < numHashes || y.numElements() < numHashes)
+      throw new IllegalArgumentException(
+        s"signature shorter than numHashes=$numHashes: " +
+          s"${x.numElements()}/${y.numElements()}")
+    var agree = 0
+    var i = 0
+    while (i < numHashes) {
+      if (x.getLong(i) == y.getLong(i)) agree += 1
+      i += 1
+    }
+    agree.toDouble / numHashes >= minFrac
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val agree = ctx.freshName("agree")
+      s"""
+         |if ($a.numElements() < $numHashes || $b.numElements() < $numHashes) {
+         |  throw new IllegalArgumentException(
+         |    "signature shorter than numHashes=$numHashes: "
+         |      + $a.numElements() + "/" + $b.numElements());
+         |}
+         |int $agree = 0;
+         |for (int $i = 0; $i < $numHashes; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $agree++;
+         |}
+         |${ev.value} = ((double) $agree / $numHashes) >= $minFrac;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SignatureAgreement = copy(newLeft, newRight)
+}
+
+/** Exact Jaccard of two SORTED (signed ascending) distinct long arrays
+  * via merge-intersection — codegen twin of `NearDup.exactJaccardUdf`.
+  * Returns the Jaccard when ≥ `threshold`, else null (and null on empty
+  * union). Runs once per surviving candidate pair over gram sets of
+  * ~50+ longs — the heaviest boxed payload of the minhash verify. */
+case class SortedJaccard(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_sorted_jaccard needs two array<bigint> arguments, got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val la = x.numElements(); val lb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < la && j < lb) {
+      val xa = x.getLong(i); val yb = y.getLong(j)
+      if (xa == yb) { inter += 1; i += 1; j += 1 }
+      else if (xa < yb) i += 1
+      else j += 1
+    }
+    val union = la + lb - inter
+    if (union == 0) null
+    else {
+      val jac = inter.toDouble / union
+      if (jac >= threshold) jac else null
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      val jac = ctx.freshName("jac")
+      s"""
+         |int $la = $a.numElements(); int $lb = $b.numElements();
+         |int $i = 0; int $j = 0; int $inter = 0;
+         |while ($i < $la && $j < $lb) {
+         |  long $xa = $a.getLong($i); long $yb = $b.getLong($j);
+         |  if ($xa == $yb) { $inter++; $i++; $j++; }
+         |  else if ($xa < $yb) { $i++; } else { $j++; }
+         |}
+         |int $union = $la + $lb - $inter;
+         |if ($union == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $jac = (double) $inter / $union;
+         |  if ($jac >= $threshold) { ${ev.value} = $jac; }
+         |  else { ${ev.isNull} = true; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedJaccard = copy(newLeft, newRight)
+}
+
 object VectorKernels {
+
+  private def foldInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be a foldable int, got $other")
+  }
+
+  private def foldDouble(e: Expression, what: String): Double = e.eval() match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a foldable number, got $other")
+  }
+
   /** Register `graft_dot(a, b)` and `graft_cosine(a, b)` in the
     * session's function registry so operator code reaches them via
     * `call_function` (same pattern as [[ExactPercentile.register]]).
@@ -292,6 +441,23 @@ object VectorKernels {
         require(args.length == 1,
           s"graft_vec_ok takes 1 arg, got ${args.length}")
         ArrayFullyDefined(args(0))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sig_agree",
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"graft_sig_agree takes (a, b, numHashes, minFrac), got ${args.length}")
+        SignatureAgreement(args(0), args(1),
+          foldInt(args(2), "numHashes"), foldDouble(args(3), "minFrac"))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_jaccard",
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"graft_sorted_jaccard takes (a, b, threshold), got ${args.length}")
+        SortedJaccard(args(0), args(1), foldDouble(args(2), "threshold"))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -79,6 +79,48 @@ class VectorKernelsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == r.getLong(1)), "signature drift")
   }
 
+  test("graft_sig_agree / graft_sorted_jaccard match the NearDup UDF " +
+      "kernels on random long arrays") {
+    graft.functions.VectorKernels.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 300).map { _ =>
+      val a = Array.fill(64)(rnd.nextLong() % 32)
+      val b = a.map(v => if (rnd.nextInt(3) == 0) rnd.nextLong() % 32 else v)
+      // sorted distinct gram sets of varied, unequal sizes for jaccard
+      val ga = Array.fill(10 + rnd.nextInt(60))(rnd.nextLong() % 256)
+        .distinct.sorted
+      val gb = (ga.take(rnd.nextInt(ga.length)) ++
+        Array.fill(rnd.nextInt(40))(rnd.nextLong() % 256)).distinct.sorted
+      (a.toSeq, b.toSeq, ga.toSeq, gb.toSeq)
+    }
+    val df = rows.toDF("sa", "sb", "ga", "gb")
+    val got = df.select(
+      call_function("graft_sig_agree", col("sa"), col("sb"),
+        lit(64), lit(0.55)).as("agreeK"),
+      graft.dedup.NearDup.prefilterUdf(64, 0.7)(col("sa"), col("sb"))
+        .as("agreeU"),
+      call_function("graft_sorted_jaccard", col("ga"), col("gb"),
+        lit(0.3)).as("jacK"),
+      graft.dedup.NearDup.exactJaccardUdf(0.3)(col("ga"), col("gb"))
+        .as("jacU")).collect()
+    assert(got.forall(r => r.getBoolean(0) == r.getBoolean(1)),
+      "agreement drift")
+    assert(got.forall(r =>
+      (r.isNullAt(2) && r.isNullAt(3)) ||
+        (!r.isNullAt(2) && !r.isNullAt(3) &&
+          r.getDouble(2) == r.getDouble(3))),
+      "jaccard drift")
+    // loud invariant: a short signature throws, exactly like the UDF
+    val short = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("sa", "sb")
+    val e = intercept[Exception] {
+      short.select(call_function("graft_sig_agree", col("sa"), col("sb"),
+        lit(64), lit(0.55))).collect()
+    }
+    assert(e.getMessage.contains("shorter than numHashes") ||
+      Option(e.getCause).exists(_.getMessage.contains("shorter than numHashes")),
+      e.getMessage)
+  }
+
   test("the kernels run inside WholeStageCodegen with no ScalaUDF node") {
     graft.functions.VectorKernels.register(spark)
     val e = Tables.load(spark, dir, "embeddings")
