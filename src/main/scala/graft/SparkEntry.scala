@@ -784,6 +784,13 @@ object SparkEntry {
         ._1.select("doc_id", "lang").orderBy("doc_id")
     }),
 
+    // document chunking (r14): 6-token windows, 2-token overlap
+    // (stride 4) — the pre-embedding splitter; blank docs emit nothing
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.text.Chunker.chunk(tbl(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 6, overlapTokens = 2)
+        .orderBy("doc_id", "chunk_id")),
+
     // deterministic train/val/test assignment (r14): cumulative salted-
     // hash intervals — stable under corpus growth, boundaries shared
     // with the oracle as LITERAL hex strings
@@ -1901,6 +1908,20 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
         |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same tokenizer convention as tokCountSql; UNNEST(range(0, n,
+    // stride)) reproduces the start list, 1-based inclusive list slicing
+    // matches Spark's slice(ws, start+1, chunkTokens)
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+        |    len(trim(text)) AS nz FROM documents),
+        |c AS (SELECT doc_id, ws, UNNEST(range(0, len(ws), 4)) AS start
+        |      FROM t WHERE nz > 0)
+        |SELECT doc_id, CAST(start // 4 AS BIGINT) AS chunk_id,
+        |  CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(ws[start + 1 : start + 6], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // boundaries are the SAME literal hex strings the Spark side uses
     // (Sampling.cumulativeThresholdHex) — no float re-derivation at all

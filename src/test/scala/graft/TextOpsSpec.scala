@@ -336,4 +336,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0).getString(1) == "suffixone here")
     assert(out(1).getString(1) == "suffixtwo there")
   }
+
+  test("chunker: overlapping fixed-token windows, short tail, blank " +
+      "docs emit nothing") {
+    import graft.text.Chunker
+    val df = Seq(
+      (1L, "A b c d e f g h i"),  // 9 tokens: starts 0,3,6 (stride 3)
+      (2L, "one two"),            // shorter than a chunk: one short chunk
+      (3L, "   "),                // blank: no chunks
+      (4L, null.asInstanceOf[String])) // null: no chunks
+      .toDF("id", "t")
+    val out = Chunker.chunk(df, "id", "t", chunkTokens = 5, overlapTokens = 2)
+      .orderBy("id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 5L, "a b c d e"),
+      (1L, 1L, 5L, "d e f g h"),
+      (1L, 2L, 3L, "g h i"),
+      (2L, 0L, 2L, "one two")))
+    // overlap: each chunk's head repeats the previous chunk's tail
+    assert(out(1)._4.startsWith("d e") && out(0)._4.endsWith("d e"))
+    // degenerate params refuse
+    intercept[IllegalArgumentException] {
+      Chunker.chunk(df, "id", "t", chunkTokens = 4, overlapTokens = 4)
+    }
+    ()
+  }
 }
