@@ -298,4 +298,20 @@ class PlanQualitySpec extends SparkSpec {
       !l.contains("l_shipdate")),
       s"lineitem scan must read exactly its 3 used columns:\n$p")
   }
+
+  test("chunker and split assignment stay shuffle-free projections " +
+      "(r14)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val chunkPlan = plan(graft.text.Chunker
+      .chunk(docs, "doc_id", "text", chunkTokens = 6, overlapTokens = 2))
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking is a per-row explode — a shuffle here is a regression:\n" +
+        chunkPlan)
+    assert(!chunkPlan.contains("ScalaUDF") && !chunkPlan.contains("BatchEval"),
+      chunkPlan)
+    val splitPlan = plan(graft.ops.Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    assert(!splitPlan.contains("Exchange") && !splitPlan.contains("ScalaUDF"),
+      s"split assignment is a pure projection:\n$splitPlan")
+  }
 }
