@@ -276,6 +276,12 @@ case class HyperplaneSignature(child: Expression, dim: Int, planes: Int)
 case class SignatureAgreement(left: Expression, right: Expression,
     numHashes: Int, minFrac: Double) extends BinaryExpression {
   require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+  // minFrac is interpolated into generated Java source: NaN/Infinity are
+  // not Java literals, so a non-finite value would compile-fail codegen
+  // while the interpreted path silently ran — reject it up front (the
+  // expression is also SQL-registered, so callers are unconstrained).
+  require(java.lang.Double.isFinite(minFrac),
+    s"minFrac must be finite, got $minFrac")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -333,6 +339,9 @@ case class SignatureAgreement(left: Expression, right: Expression,
   * ~50+ longs — the heaviest boxed payload of the minhash verify. */
 case class SortedJaccard(left: Expression, right: Expression,
     threshold: Double) extends BinaryExpression {
+  // same codegen-literal constraint as SignatureAgreement.minFrac
+  require(java.lang.Double.isFinite(threshold),
+    s"threshold must be finite, got $threshold")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

@@ -32,13 +32,20 @@ object Sampling {
   private[graft] def thresholdHex(rate: Double): String =
     if (rate >= 1.0) "g" // every hex digit sorts below 'g': keep all
     else if (rate <= 0.0) "0" // prefix of every hash: keep none
-    else f"${(rate * 4294967296.0).toLong}%08x"
+    // clamp: a rate one ulp below 1.0 rounds to 2^32, which would print a
+    // 9-char "100000000" and break the fixed-8-char lexicographic compare
+    else f"${math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
 
   /** The cumulative split boundaries of [[assignSplits]] as threshold hex
     * strings — public so an external oracle can share the LITERAL
-    * boundaries instead of re-deriving them from floats. */
+    * boundaries instead of re-deriving them from floats. Cumulative sums
+    * within 1e-9 of 1.0 snap up to the keep-all sentinel: fractions meant
+    * to total 1 (e.g. 0.7+0.15+0.15 = 0.9999999999999999 in doubles) must
+    * not leave the ~2^-32 hash sliver above the last boundary unassigned. */
   def cumulativeThresholdHex(fractions: Seq[Double]): Seq[String] =
-    fractions.scanLeft(0.0)(_ + _).tail.map(thresholdHex)
+    fractions.scanLeft(0.0)(_ + _).tail
+      .map(c => if (c >= 1.0 - 1e-9) 1.0 else c)
+      .map(thresholdHex)
 
   /** The surviving-row predicate: stratum-dependent literal threshold
     * compared against the salted id hash. */

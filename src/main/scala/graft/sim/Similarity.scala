@@ -280,15 +280,18 @@ object Similarity {
   final case class IvfIndex(fingerprint: Long, nlist: Int, seed: Long,
       centers: Array[Array[Double]])
 
-  /** Order-independent corpus identity: count + XOR of xxhash64(id), one
-    * column-pruned scan (XOR, not sum: ANSI mode makes a long sum
-    * overflow an error, and XOR is wrap-free). Collision-safe enough for
-    * an index cache key (a corpus edit moves the count and, with unique
-    * ids, the XOR). */
-  def corpusFingerprint(corpus: DataFrame, idCol: String = "vec_id"): Long = {
+  /** Order-independent corpus identity: count + XOR of xxhash64(id,
+    * embedding), one column-pruned scan (XOR, not sum: ANSI mode makes a
+    * long sum overflow an error, and XOR is wrap-free). Hashing the
+    * EMBEDDING CONTENT alongside the id matters: re-embedding the same
+    * ids (same vec_id set, new vectors) must move the fingerprint, or a
+    * cached IVF index would silently serve quantizer centers fit on the
+    * old vectors, degrading recall at nprobe < nlist. */
+  def corpusFingerprint(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Long = {
     val r = corpus.agg(
       count(lit(1)).as("n"),
-      bit_xor(xxhash64(col(idCol))).as("h")).head()
+      bit_xor(xxhash64(col(idCol), col(vecCol))).as("h")).head()
     val h = if (r.isNullAt(1)) 0L else r.getLong(1)
     r.getLong(0) * 0x9E3779B97F4A7C15L ^ h
   }
@@ -299,7 +302,7 @@ object Similarity {
   def fitIvfIndex(corpus: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L): IvfIndex =
-    IvfIndex(corpusFingerprint(corpus, idCol), nlist, seed,
+    IvfIndex(corpusFingerprint(corpus, idCol, vecCol), nlist, seed,
       fitCenters(corpus, nlist, idCol, vecCol, seed))
 
   /** The center fit alone (no fingerprint scan — the inline [[ivfTopK]]
@@ -367,13 +370,14 @@ object Similarity {
       try {
         val idx = loadIvfIndex(spark, path)
         if (idx.nlist == nlist && idx.seed == seed &&
-            idx.fingerprint == corpusFingerprint(corpus, idCol)) Some(idx)
+            idx.fingerprint == corpusFingerprint(corpus, idCol, vecCol))
+          Some(idx)
         else None
-      } catch { case _: Throwable => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
     cached.getOrElse {
       val idx = fitIvfIndex(corpus, nlist, idCol, vecCol, seed)
       try saveIvfIndex(spark, idx, path)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         // a failed save must not fail the query — the index is advisory
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"IVF index save to $path failed: ${e.getMessage}")

@@ -393,6 +393,18 @@ class ExtensionsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(ids, "id", Seq("a" -> 0.8, "b" -> 0.3))
     }
+    // float edge (r14 advisory): fractions that SUM to 1 in intent but
+    // land one ulp under it in doubles (0.7+0.15+0.15) must still close
+    // the hash space — the last boundary snaps to the keep-all sentinel.
+    assert(Sampling.cumulativeThresholdHex(Seq(0.7, 0.15, 0.15)).last == "g")
+    val uneven = Sampling.assignSplits(ids, "id",
+      Seq("train" -> 0.7, "val" -> 0.15, "test" -> 0.15))
+      .collect().map(_.getString(1))
+    assert(uneven.forall(_ != null),
+      "fractions summing to 1.0-in-intent must leave no row unassigned")
+    // a rate one ulp below 1.0 rounds to 2^32 in the scale-up; the clamp
+    // must keep the threshold 8 hex chars (not a 9-char "100000000")
+    assert(Sampling.thresholdHex(math.nextDown(1.0)) == "ffffffff")
     ()
   }
 

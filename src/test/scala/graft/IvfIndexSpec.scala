@@ -81,6 +81,18 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("re-embedding the same ids moves the corpus fingerprint") {
+    // same vec_id set, new vector content — the r14 advisory gap: an
+    // id-only fingerprint would serve the stale quantizer after a
+    // re-embed. The fingerprint hashes (id, embedding) so it must move.
+    val reembedded = emb.withColumn("embedding",
+      transform(col("embedding"), v => v * 2.0f))
+    assert(Similarity.corpusFingerprint(reembedded) !=
+      Similarity.corpusFingerprint(emb),
+      "fingerprint must change when vectors change under the same ids")
+    ()
+  }
+
   test("mismatched explicit index is rejected, not silently used") {
     val idx = Similarity.fitIvfIndex(emb, nlist = 4)
     val q = emb.where(col("vec_id") < 2)

@@ -90,7 +90,7 @@ class KeywordsSpec extends SparkSpec {
     }
     assert(actionsDuring { Keywords.tfidfTopK(docs, "doc_id", "text", 3) } == 0,
       "tfidfTopK must not launch driver actions at build (N rides as a " +
-        "broadcast 1-row join)")
+        "scalar subquery)")
     val bm = actionsDuring { Keywords.bm25(docs, "doc_id", "text", Seq("dog")) }
     assert(bm == 1,
       s"bm25 must pay exactly ONE combined (N, avgdl) stat action, saw $bm")
