@@ -1223,6 +1223,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Hive-partitioned roundtrip + PRUNED read: write documents
+    // partitioned by lang (bounded at 2 files per lang via the routing
+    // shuffle), read back only lang='en' — the filter must prune at the
+    // directory level (PartitionedSpec pins PartitionFilters + the
+    // files-read set; this row pins the VALUES surviving the layout).
+    "q_partitioned_roundtrip" -> ((s, dir) => {
+      val path = roundtripPath("part", dir)
+      graft.sources.Partitioned.write(tbl(s, dir, "documents"), path,
+        partitionCols = Seq("lang"), filesPerPartition = 2,
+        bucketBy = Seq("doc_id"))
+      graft.sources.Partitioned.read(s, path)
+        .where(col("lang") === "en")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // JSONL roundtrip (the LLM-corpus interchange format): write the
     // documents table as JSON Lines, read it back, values must survive
     "q_jsonl_roundtrip" -> ((s, dir) => {
@@ -2395,6 +2411,12 @@ object SparkEntry {
     "q_avro_roundtrip" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // the partitioned write+pruned read must reproduce the source slice
+    // exactly (lang rides in directory names, read back as string)
+    "q_partitioned_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     // roundtrip fidelity: the JSONL write+read must reproduce the source
     "q_jsonl_roundtrip" ->
