@@ -36,30 +36,20 @@ object NearDup {
     * array_distinct).
     *
     * Normalization stays an EXPRESSION (exact regex parity with the
-    * DuckDB oracles); the window/dedup step is a one-pass Scala kernel.
-    * The declarative form — transform(sequence…) + substr +
-    * array_distinct — runs the per-element lambda interpreted, ~600 µs
-    * per ~300-char row; the kernel is a tight loop over the code-point
-    * array (code points, not chars: String.substring counts UTF-16
-    * units and would diverge from Spark's substr on astral input).
-    * Measured q_ngram_jaccard 6.5 s → ~2 s at sf0.1. */
-  def shingles(c: Column, k: Int = 5): Column = shingleUdf(normalize(c), lit(k))
-
-  private val shingleUdf = udf { (s: String, k: Int) =>
-    if (s == null) Array.empty[String]
-    else {
-      val cps = s.codePoints().toArray
-      if (cps.length < k) Array.empty[String]
-      else {
-        val seen = new java.util.LinkedHashSet[String](
-          math.min(cps.length, 1024))
-        var i = 0
-        while (i + k <= cps.length) {
-          seen.add(new String(cps, i, k)); i += 1
-        }
-        seen.toArray(new Array[String](seen.size))
-      }
-    }
+    * DuckDB oracles); the window/dedup step is the
+    * [[graft.functions.ShingleSet]] codegen kernel — a tight loop over
+    * the code-point array (code points, not chars: String.substring
+    * counts UTF-16 units and would diverge from Spark's substr on
+    * astral input). The kernel history: declarative
+    * transform(sequence…)+substr+array_distinct ran the per-element
+    * lambda interpreted (~600 µs per ~300-char row; 6.5 s → ~2 s on
+    * q_ngram_jaccard at sf0.1 as a Scala UDF); the r15 expression form
+    * drops the UDF's converter boxing and keeps the projection in one
+    * WholeStageCodegen span, bit-identical output. */
+  def shingles(c: Column, k: Int = 5): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextKernels.register)
+    call_function("graft_shingles", normalize(c), lit(k))
   }
 
   /** Distinct word n-gram shingles — more discriminative than character
@@ -821,33 +811,16 @@ object NearDup {
     * would re-evaluate it per bit (64 hashes per token). */
   def simhash(c: Column, bits: Int = 64,
       tokenHash: Column => Column = xxhash64(_)): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.functions.TextKernels.register)
     val hs = transform(split(normalize(c), " "), t => tokenHash(t))
-    simhashVoteUdf(hs, lit(bits))
-  }
-
-  /** The ±1 vote fold over a token-hash array as a one-pass kernel. The
-    * declarative form (aggregate + zip_with over a bits-long accumulator)
-    * allocates a fresh array per token and runs tokens×bits interpreted
-    * lambda steps — ~6 s for the two 56-bit signatures of q_simhash at
-    * sf0.1, vs primitive-loop cost here. Token HASHES stay expressions
-    * (md5/xxhash64 oracle parity); bit b of h reads identically via
-    * arithmetic or logical shift, and bit order matches the old
-    * shiftright/shiftleft formulation exactly. */
-  private val simhashVoteUdf = udf { (hs: Seq[Long], bits: Int) =>
-    if (hs == null) null
-    else {
-      val votes = new Array[Long](bits)
-      hs.foreach { h =>
-        var b = 0
-        while (b < bits) {
-          votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L); b += 1
-        }
-      }
-      var sig = 0L
-      var b = 0
-      while (b < bits) { if (votes(b) > 0) sig |= 1L << b; b += 1 }
-      java.lang.Long.valueOf(sig)
-    }
+    // the ±1 vote fold runs as the SimhashVote codegen kernel (r15; was
+    // a Scala UDF, and before that a declarative aggregate+zip_with that
+    // allocated a fresh bits-long array per token, ~6 s for the two
+    // 56-bit signatures of q_simhash at sf0.1). Token HASHES stay
+    // expressions (md5/xxhash64 oracle parity); bit order matches the
+    // old shiftright/shiftleft formulation exactly.
+    call_function("graft_simhash_vote", hs, lit(bits))
   }
 
   /** 56-bit token hash computable IDENTICALLY by an external SQL engine:

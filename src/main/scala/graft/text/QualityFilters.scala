@@ -29,11 +29,15 @@ import org.apache.spark.sql.functions._
   * (regexp_split_to_array), which is what makes q_quality_repetition
   * oracle-checkable.
   *
-  * Per-row kernel as a Scala UDF by design: one pass builds the three
-  * gram-count maps for a ~100-word document; the higher-order-function
-  * formulation runs interpreted per element and materializes per-gram
-  * arrays (the same measured trade-off as the NearDup/Similarity
-  * kernels). No shuffle — a pure projection, linear in corpus size.
+  * Per-row kernel by design: one pass builds the three gram-count maps
+  * for a ~100-word document; the higher-order-function formulation
+  * runs interpreted per element and materializes per-gram arrays (the
+  * same measured trade-off as the NearDup/Similarity kernels). Runs as
+  * the [[graft.functions.RepetitionStruct]]/[[graft.functions.RepetitionKeep]]
+  * codegen expressions (r15; formerly Scala UDFs — the expression form
+  * drops the converter boxing and keeps the filter/projection inside
+  * one WholeStageCodegen span). No shuffle — a pure projection, linear
+  * in corpus size.
   */
 object QualityFilters {
 
@@ -92,8 +96,6 @@ object QualityFilters {
       if (totalChars == 0) 0.0 else dup5 / totalChars)
   }
 
-  private val repetitionUdf = udf(repetition _)
-
   private[graft] def keep(text: String, maxDupWordFrac: Double,
       maxTopBigramCharFrac: Double, maxTopTrigramCharFrac: Double,
       maxDupFivegramCharFrac: Double): Boolean = {
@@ -104,13 +106,13 @@ object QualityFilters {
       r.dup_fivegram_char_frac <= maxDupFivegramCharFrac
   }
 
-  private val keepUdf = udf(keep _)
-
   /** Per-document repetition signals: `idCol` + the five metrics, rounded
     * to 6 decimals for cross-engine comparison. */
   def repetitionSignals(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    df.select(col(idCol), repetitionUdf(col(textCol)).as("__r"))
+    graft.functions.TextKernels.register(df.sparkSession)
+    df.select(col(idCol),
+        call_function("graft_repetition", col(textCol)).as("__r"))
       .select(col(idCol), col("__r.n_words").as("n_words"),
         round(col("__r.dup_word_frac"), 6).as("dup_word_frac"),
         round(col("__r.top_bigram_char_frac"), 6).as("top_bigram_char_frac"),
@@ -124,20 +126,23 @@ object QualityFilters {
     * the metrics that exist here). A pure filter — compose before
     * dedup/sampling in an ingest pipeline.
     *
-    * The thresholds are folded INTO one boolean UDF rather than compared
-    * against four `getField`s of a struct-returning UDF: the getField
-    * form carries four copies of the UDF call in the predicate tree and
-    * leans on codegen subexpression elimination to fold them — an
-    * optimizer assumption, not a guarantee (and one that filter pushdown
-    * through a project can silently re-duplicate). One scalar boolean
-    * call is one kernel evaluation per row BY CONSTRUCTION; the plan
-    * shape is asserted by PlanQualitySpec. */
+    * The thresholds are folded INTO one boolean kernel rather than
+    * compared against four `getField`s of the struct-returning
+    * graft_repetition: the getField form carries four copies of the
+    * kernel call in the predicate tree and leans on codegen
+    * subexpression elimination to fold them — an optimizer assumption,
+    * not a guarantee (and one that filter pushdown through a project
+    * can silently re-duplicate). One scalar boolean call is one kernel
+    * evaluation per row BY CONSTRUCTION; the plan shape is asserted by
+    * PlanQualitySpec. */
   def gopherRepetitionFilter(df: DataFrame, textCol: String,
       maxDupWordFrac: Double = 0.30,
       maxTopBigramCharFrac: Double = 0.18,
       maxTopTrigramCharFrac: Double = 0.16,
-      maxDupFivegramCharFrac: Double = 0.15): DataFrame =
-    df.where(keepUdf(col(textCol), lit(maxDupWordFrac),
-      lit(maxTopBigramCharFrac), lit(maxTopTrigramCharFrac),
-      lit(maxDupFivegramCharFrac)))
+      maxDupFivegramCharFrac: Double = 0.15): DataFrame = {
+    graft.functions.TextKernels.register(df.sparkSession)
+    df.where(call_function("graft_rep_keep", col(textCol),
+      lit(maxDupWordFrac), lit(maxTopBigramCharFrac),
+      lit(maxTopTrigramCharFrac), lit(maxDupFivegramCharFrac)))
+  }
 }

@@ -173,17 +173,20 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("gopher filter evaluates the repetition kernel exactly once per row") {
-    // the keep-predicate is ONE boolean UDF by construction; this pins
+    // the keep-predicate is ONE boolean kernel by construction; this pins
     // that no optimizer rewrite (filter pushdown through a project,
     // project collapse) re-duplicates the kernel into N getField copies
     val docs = Tables.load(spark, sf, "documents")
     val out = graft.text.QualityFilters.gopherRepetitionFilter(docs, "text")
-    val nUdf = out.queryExecution.optimizedPlan.collect {
+    val nKernel = out.queryExecution.optimizedPlan.collect {
       case p => p.expressions.map(_.collect {
-        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        case k: graft.functions.RepetitionKeep => k
       }.size).sum
     }.sum
-    assert(nUdf == 1, s"expected exactly one kernel UDF in the plan, got $nUdf")
+    assert(nKernel == 1,
+      s"expected exactly one RepetitionKeep kernel in the plan, got $nKernel")
+    assert(!plan(out).contains("ScalaUDF"),
+      "the gopher filter must not fall back to a Scala UDF")
     assert(!plan(out).contains("Exchange"), "gopher filter must not shuffle")
   }
 
