@@ -801,6 +801,20 @@ object SparkEntry {
         .select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // chunk → pack composition (r15): split long docs into 6-token
+    // chunks, then lay the chunk stream out into 8-token training
+    // sequences — the actual pre-training layout path. The composite
+    // chunk_key (doc_id·1e6 + chunk_id, valid for docs under 4M tokens
+    // at stride 4) keeps packing order identical to (doc_id, chunk_id).
+    "q_chunk_pack" -> ((s, dir) => {
+      val chunks = graft.text.Chunker.chunk(tbl(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 6, overlapTokens = 2)
+        .select((col("doc_id") * 1000000L + col("chunk_id"))
+          .as("chunk_key"), col("n_chunk_tokens"))
+      graft.plans.SequencePacking.plan(chunks, "chunk_key",
+        "n_chunk_tokens", window = 8).orderBy("chunk_key")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -1938,6 +1952,26 @@ object SparkEntry {
         |  CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ws[start + 1 : start + 6], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the q_chunk_docs chunk CTE feeding the q_seq_pack prefix-sum
+    // formula over the composite key; greatest(n,1) kept for formula
+    // parity with the Spark side even though chunks are never empty
+    "q_chunk_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+        |    len(trim(text)) AS nz FROM documents),
+        |c AS (SELECT doc_id, ws, UNNEST(range(0, len(ws), 4)) AS start
+        |      FROM t WHERE nz > 0),
+        |ch AS (SELECT CAST(doc_id * 1000000 + start // 4 AS BIGINT) AS chunk_key,
+        |    CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n_tokens FROM c),
+        |p AS (SELECT chunk_key, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY chunk_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+        |  FROM ch)
+        |SELECT chunk_key, n_tokens, start_token,
+        |  CAST(start_token // 8 AS BIGINT) AS seq_first,
+        |  CAST((start_token + greatest(n_tokens, 1) - 1) // 8 AS BIGINT) AS seq_last
+        |FROM p ORDER BY chunk_key""".stripMargin,
 
     // boundaries are the SAME literal hex strings the Spark side uses
     // (Sampling.cumulativeThresholdHex) — no float re-derivation at all

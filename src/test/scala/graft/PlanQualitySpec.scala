@@ -317,4 +317,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!splitPlan.contains("Exchange") && !splitPlan.contains("ScalaUDF"),
       s"split assignment is a pure projection:\n$splitPlan")
   }
+
+  test("chunk→pack composition adds no shuffle before the pack's own " +
+      "range exchange (r15)") {
+    val docs = Tables.load(spark, sf, "documents")
+    // the stage SequencePacking range-partitions: must still be the
+    // chunker's shuffle-free single explode — a shuffle or second
+    // Generate here means the composition broke the one-pass shape
+    val chunks = graft.text.Chunker
+      .chunk(docs, "doc_id", "text", chunkTokens = 6, overlapTokens = 2)
+      .select((col("doc_id") * 1000000L + col("chunk_id")).as("chunk_key"),
+        col("n_chunk_tokens"))
+    val p = plan(chunks)
+    assert(!p.contains("Exchange"),
+      s"chunk stage feeding the packer must stay shuffle-free:\n$p")
+    assert("Generate".r.findAllMatchIn(p).size == 1,
+      s"exactly one explode expected in the chunk stage:\n$p")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val packed = graft.plans.SequencePacking.plan(
+        chunks, "chunk_key", "n_chunk_tokens", window = 8)
+      val pp = plan(packed)
+      assert(!pp.contains("SinglePartition"),
+        s"the packing prefix sum must stay partition-parallel:\n$pp")
+      // end-to-end sanity: offsets are a prefix sum in key order
+      val rows = packed.orderBy("chunk_key")
+        .select("n_tokens", "start_token").collect()
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r.getLong(1) == cum, "start_token must equal prefix sum")
+        cum += r.getLong(0)
+      }
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
 }
