@@ -181,6 +181,23 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")).df
         .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")),
 
+    // §2.14 one-hot's >50-distinct SKIP path (r15): lang (5 values) is
+    // encoded, text (~500 distinct, over the 2·50+16 HLL margin) is
+    // skipped and passes through untouched — the reference's guard
+    // (encoding.py:127-134) against exploding a URL/id column
+    "q_encode_onehot_skip" -> ((s, dir) =>
+      Encode("onehot")(tbl(s, dir, "documents")
+        .select("doc_id", "lang", "text")).df.orderBy("doc_id")),
+
+    // §2.14 label-encoding's over-broadcast dictionary path (r15): the
+    // gate forced to 100 so c_name's 1500 uniques take rankedDistinct
+    // (partition-offset codes + shuffle join — no global window, no
+    // broadcast) — identical codes to the window path by construction
+    "q_encode_label_big" -> ((s, dir) =>
+      Encode("label", columns = Seq("c_name"), maxLabelBroadcast = 100)(
+        tbl(s, dir, "customer").select("c_custkey", "c_name"))
+        .df.orderBy("c_custkey")),
+
     // §2.12 text cleaning chain
     "q_textclean" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select(col("doc_id"),
@@ -2548,6 +2565,27 @@ object SparkEntry {
         | CAST(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_HOUSEHOLD,
         | CAST(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_MACHINERY,
         | CAST(CASE WHEN c_mktsegment IS NULL        THEN 1 ELSE 0 END AS BIGINT) AS c_mktsegment_nan
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // the skip path: text's cardinality is over the onehot margin, so it
+    // must pass through byte-identical while lang expands; langs are the
+    // generator's fixed set (same static-enumeration pattern as onehot)
+    "q_encode_onehot_skip" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS BIGINT) AS lang_de,
+        | CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS lang_en,
+        | CAST(CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS BIGINT) AS lang_es,
+        | CAST(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS BIGINT) AS lang_fr,
+        | CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS BIGINT) AS lang_zh,
+        | CAST(CASE WHEN lang IS NULL THEN 1 ELSE 0 END AS BIGINT) AS lang_nan,
+        | text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // rankedDistinct must equal dense_rank−1 over the sorted uniques —
+    // the big path's defining contract
+    "q_encode_label_big" ->
+      """SELECT c_custkey,
+        | CAST(dense_rank() OVER (ORDER BY c_name) - 1 AS BIGINT) AS c_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_encode_freq" ->

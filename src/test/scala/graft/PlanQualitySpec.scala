@@ -318,6 +318,20 @@ class PlanQualitySpec extends SparkSpec {
       s"split assignment is a pure projection:\n$splitPlan")
   }
 
+  test("over-gate label encoding takes the partition-offset path: no " +
+      "global window, no dictionary broadcast (r15)") {
+    val customer = Tables.load(spark, sf, "customer")
+      .select("c_custkey", "c_name")
+    val p = plan(graft.ops.Encode("label", columns = Seq("c_name"),
+      maxLabelBroadcast = 100)(customer).df)
+    assert(!p.contains("Window"),
+      s"an over-gate dictionary must not rank through a window:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"no single-partition stage in the big label path:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"an over-gate dictionary must not broadcast:\n$p")
+  }
+
   test("chunk→pack composition adds no shuffle before the pack's own " +
       "range exchange (r15)") {
     val docs = Tables.load(spark, sf, "documents")
