@@ -21,6 +21,21 @@ class StreamRunsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("tumblingProcessingTime (real always-on trigger) equals batch " +
+      "tumblingStats (r15)") {
+    // recentProgress is capped at spark.sql.streaming.numRecentProgressUpdates
+    // (default 100) — far above the ~4 batches the two-file staging plus
+    // empty firings produce before the guard stops the query, so the
+    // consumed-row sum in the stop guard cannot silently undercount
+    val got = StreamRuns.tumblingProcessingTime(spark, dir)
+      .collect().toSeq
+    val want = Events.tumblingStats(Events.load(spark, dir))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        round(col("avg_value"), 6).as("avg_value"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("sessionizeAvailableNow equals batch sessionize (session_id dropped)") {
     // Precondition for the cross-batch-merge coverage the r12 split adds:
     // the corpus must have a multi-event session, so the longest-session
