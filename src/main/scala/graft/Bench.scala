@@ -151,10 +151,33 @@ object Bench {
           .map(_.group(1)).toSeq
           .flatMap("\"(q_[A-Za-z0-9_]+)\"".r.findAllMatchIn(_).map(_.group(1)))
           .toSet
+      // Since r15 a results file's queries map archives min(first,
+      // re-time, re-run) for gate-re-timed rows — warm-JVM values that
+      // must never seed a baseline (the r11 ratchet lesson). Exclude the
+      // retimed object's keys like crashed ones; a history file has no
+      // "retimed" field, so its entries are unaffected.
+      val warmMin: Set[String] =
+        "\"retimed\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).toSeq
+          .flatMap("\"(q_[A-Za-z0-9_]+)\"".r.findAllMatchIn(_).map(_.group(1)))
+          .toSet
       "\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap -- crashed
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap --
+        crashed -- warmMin
     }
   }
+
+  /** Archived per-query seconds (r14 verdict #4): rows the contention
+    * gate re-timed archive min(first, re-time, post-run re-run) — the
+    * run's best evidence of the plan's cost net of a mid-run noise
+    * burst; untouched rows keep their first time. Pure so BenchGateSpec
+    * pins it. These mins are warm-JVM values for re-timed rows and are
+    * excluded from baseline seeding by [[parseQueryTimes]]. */
+  private[graft] def archivedTimes(results: Map[String, Double],
+      retimed: Map[String, (Double, Double)],
+      rerun: Map[String, Double]): Map[String, Double] =
+    results.map { case (k, t) =>
+      k -> (Seq(t) ++ retimed.get(k).map(_._2) ++ rerun.get(k)).min }
 
   /** The per-query map and its total, rendered once for BOTH the stdout
     * line and the results file (one formatter — the two outputs cannot
@@ -408,6 +431,25 @@ object Bench {
       }
       case _ => None
     }
+    // Mid-run noise hardening (r14 verdict #4): the pre-run gate proves
+    // the host was quiet at t=0, not at minute 40 — a steal burst mid-run
+    // still inflates whichever rows it lands on, and one re-time inside
+    // the same burst proves nothing. After the full pass, every re-timed
+    // row runs ONCE more (the burst has had the whole remaining run to
+    // clear), and the ARCHIVED value for that row is min(first, re-time,
+    // re-run) — the run's best evidence of the plan's real cost. The
+    // re-run is warm (same JVM, compiled codegen), which is exactly why
+    // it must NEVER feed the history file: history stays cold-first-only
+    // (the r11 ratchet lesson); the min is only for the archive, whose
+    // job is "what does this engine cost", not "what does a cold start
+    // cost". Rows the gate never flagged keep their first time untouched.
+    val rerun: Map[String, Double] = retimed.keys.flatMap { name =>
+      val before = graft.util.CacheHygiene.snapshot(spark)
+      val (t3, ok3) = timeOne(SparkEntry.queries(name))
+      graft.util.CacheHygiene.releaseNew(spark, before)
+      if (ok3) Some(name -> t3) else None
+    }.toMap
+    val archived: Map[String, Double] = archivedTimes(results, retimed, rerun)
     val loadAfter = loadAvg()
     val rddsLeft = graft.util.CacheHygiene.persistedCount(spark)
 
@@ -421,12 +463,17 @@ object Bench {
     // automatic precision/content fallback ladder below — [[stdoutLine]]
     // and [[queriesJson]] render it, the full-precision full-name map
     // goes to the results file through the same formatter.
-    val resultSeq = results.toSeq
+    val resultSeq = archived.toSeq
     val keyOf = shortKeys(results.keys)
     val fileJson = {
       val (qs, total) = queriesJson(resultSeq, 9, identity)
+      // each retimed row's attribution is [first, re-time, re-run?] —
+      // an ARRAY value so parseQueryTimes' "q_x":<number> fallback regex
+      // can never mistake a warm re-run for a baseline time
       val rt = retimed.map { case (k, (a, b)) =>
-        s"\"$k\":[${jsNum(a, 9)},${jsNum(b, 9)}]" }.mkString("{", ",", "}")
+        val tail = rerun.get(k).map(v => "," + jsNum(v, 9)).getOrElse("")
+        s"\"$k\":[${jsNum(a, 9)},${jsNum(b, 9)}$tail]" }
+        .mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"failed":$fl,""" +

@@ -63,4 +63,26 @@ class BenchGateSpec extends AnyFunSuite {
     val (_, rate, contended) = run(120, load = Seq(0.5), steal = Seq(-1.0))
     assert(!contended && rate == -1.0)
   }
+
+  test("archived times take min(first, re-time, re-run) ONLY for " +
+      "re-timed rows (r15)") {
+    val results = Map("q_a" -> 5.0, "q_b" -> 1.0, "q_c" -> 4.0)
+    val retimed = Map("q_a" -> (5.0, 2.0), "q_c" -> (4.0, 4.5))
+    val rerun = Map("q_a" -> 3.0) // q_c's re-run crashed → absent
+    val got = Bench.archivedTimes(results, retimed, rerun)
+    assert(got("q_a") == 2.0) // re-time was the best of the three
+    assert(got("q_b") == 1.0) // untouched row keeps its first time
+    assert(got("q_c") == 4.0) // first still best; crash ignored
+  }
+
+  test("results-file fallback baseline excludes re-timed rows' warm " +
+      "mins (r15)") {
+    val txt = """{"metric":"total","value":9,"unit":"sec",""" +
+      """"queries":{"q_a":2.0,"q_b":1.0},""" +
+      """"retimed":{"q_a":[5.0,2.5,2.0]},"failed":[],""" +
+      """"sf":"/root/testdata/sf0.1"}"""
+    val m = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
+    assert(m == Map("q_b" -> 1.0),
+      s"q_a's archived min is warm and must not seed a baseline: $m")
+  }
 }

@@ -23,14 +23,14 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("crashed queries are excluded from re-time baselines; sf must match") {
     val txt = """{"metric":"total","value":3.1,"unit":"sec",""" +
-      """"queries":{"q_good":1.5,"q_crashed":0.05,"q_also_bad":1.55},""" +
-      """"retimed":{"q_good":[1.5,1.4]},"failed":["q_crashed","q_also_bad"],""" +
+      """"queries":{"q_good":1.5,"q_warm":1.4,"q_crashed":0.05,"q_also_bad":1.55},""" +
+      """"retimed":{"q_warm":[3.0,1.4]},"failed":["q_crashed","q_also_bad"],""" +
       """"load":[1.0,2.0],"sf":"/root/testdata/sf0.1"}"""
-    // the retimed [a,b] arrays don't match the key:number shape, so only
-    // the queries-map entry for q_good survives, minus the crashed names
+    // crashed names drop; q_warm drops too (r15: a retimed row's
+    // archived value is a warm min) — only untouched q_good survives
     val parsed = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
     assert(parsed == Map("q_good" -> 1.5),
-      s"crash times must not become baselines: $parsed")
+      s"crash/warm times must not become baselines: $parsed")
     assert(Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.01")).isEmpty,
       "a results file from a different sf is not comparable")
   }
