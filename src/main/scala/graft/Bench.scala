@@ -239,6 +239,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Split size scaled to the corpus (the knob a real deployment
+      // tunes per table size): the bench tables are 0.5 MB-350 MB, so
+      // the 128 MB default put whole tables in ONE scan task and
+      // serialized every no-shuffle stage (r15 finding — text-kernel
+      // scaling ratios measured a single task's GC, not the engine).
+      // 2 MB yields 5-170 splits on the multi-row-group bench files; at
+      // real 100 TB scale files are 256 MB-1 GB and the default is
+      // right — this is a local-bench-scale setting, not a library one.
+      .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
