@@ -832,6 +832,20 @@ object SparkEntry {
         "n_chunk_tokens", window = 8).orderBy("chunk_key")
     }),
 
+    // packed-sequence GATHER (r15): the materialized complement of
+    // q_seq_pack/q_chunk_pack — actual 64-token training rows
+    // reassembled from every doc piece that lands in them; every
+    // sequence but the corpus tail is exactly 64 tokens
+    "q_pack_gather" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          when(length(trim(col("text"))) > 0,
+            graft.text.TextAnalysis.tokens(col("text")))
+            .otherwise(array().cast("array<string>")).as("toks"))
+      graft.plans.SequencePacking.gather(d, "doc_id", "toks", window = 64)
+        .orderBy("seq_id")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -1989,6 +2003,34 @@ object SparkEntry {
         |  CAST(start_token // 8 AS BIGINT) AS seq_first,
         |  CAST((start_token + greatest(n_tokens, 1) - 1) // 8 AS BIGINT) AS seq_last
         |FROM p ORDER BY chunk_key""".stripMargin,
+
+    // the q_seq_pack prefix sum over per-doc token counts, each doc
+    // exploded over the sequences it spans, pieces sliced by the global
+    // [gs, ge) span and reassembled in offset order (DuckDB list slicing
+    // is 1-based inclusive: [gs-start+1 : ge-start])
+    "q_pack_gather" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+        |    len(trim(text)) AS nz FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM t WHERE nz > 0),
+        |p AS (SELECT doc_id, ws, n,
+        |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM n),
+        |e AS (SELECT ws, n, start,
+        |    UNNEST(range(start // 64, (start + n - 1) // 64 + 1)) AS seq
+        |  FROM p),
+        |pc AS (SELECT seq, GREATEST(seq * 64, start) - seq * 64 AS off,
+        |    ws[CAST(GREATEST(seq * 64, start) - start + 1 AS BIGINT) :
+        |       CAST(LEAST((seq + 1) * 64, start + n) - start AS BIGINT)] AS piece
+        |  FROM e),
+        |g AS (SELECT seq, flatten(list(piece ORDER BY off)) AS toks,
+        |    count(*) AS n_docs FROM pc GROUP BY seq)
+        |SELECT CAST(seq AS BIGINT) AS seq_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  array_to_string(toks, ' ') AS seq_text
+        |FROM g ORDER BY seq_id""".stripMargin,
 
     // boundaries are the SAME literal hex strings the Spark side uses
     // (Sampling.cumulativeThresholdHex) — no float re-derivation at all

@@ -78,4 +78,64 @@ object SequencePacking {
       .withColumn("seq_last",
         expr(s"(start_token + greatest(n_tokens, 1L) - 1L) div $window"))
   }
+
+  /** Materialize the packed training sequences [[plan]] only places:
+    * one row per `window`-token sequence with its actual token array
+    * reassembled from every document (piece) that lands in it — the
+    * "pack the corpus into 2048-token rows" output itself, not just the
+    * placement. Empty-token docs pack nothing (they occupy zero tokens
+    * in the plan and a zero-length piece would only bloat the shuffle).
+    *
+    * Scale shape: the plan's two-pass prefix sum, one equi-join of the
+    * plan back to the token arrays on `idCol` (both sides shuffle-keyed
+    * on the id — no broadcast assumption: the plan is corpus-sized), one
+    * explode of each doc over the ≤ n/window + 1 sequences it spans, and
+    * ONE shuffle on `seq_id` to regroup pieces across document
+    * boundaries — the unavoidable shuffle of packing (every byte must
+    * move to its sequence). Piece offsets inside a sequence are disjoint
+    * by construction, so `array_sort` over (offset, piece) structs makes
+    * the per-sequence reassembly order deterministic under any shuffle.
+    * The final sequence may be short (the corpus tail); every other
+    * sequence is exactly `window` tokens — a guarantee the caller can
+    * assert cheaply (`n_tokens`).
+    *
+    * @param tokensCol array<string> column (already tokenized — the
+    *                  tokenizer convention is the caller's contract)
+    * @return (seq_id, n_tokens, n_docs, seq_text) */
+  def gather(df: DataFrame, idCol: String, tokensCol: String,
+      window: Long, numPartitions: Int = 0): DataFrame = {
+    require(window > 0, "window must be positive")
+    val counted = df
+      .select(col(idCol), col(tokensCol).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast(LongType))
+      .where(col("__n") > 0)
+    val pl = plan(counted.select(col(idCol), col("__n")), idCol, "__n",
+      window, numPartitions)
+    val pieces = pl.join(counted.select(col(idCol), col("__toks")),
+        Seq(idCol))
+      .withColumn("__seq", explode(sequence(col("seq_first"),
+        col("seq_last"))))
+      .select(col("__seq").as("seq_id"),
+        // global span of this doc inside this sequence:
+        // [gs, ge) = [max(seq·W, start), min((seq+1)·W, start+n))
+        (greatest(col("__seq") * window, col("start_token"))
+          - col("__seq") * window).as("__off"),
+        slice(col("__toks"),
+          (greatest(col("__seq") * window, col("start_token"))
+            - col("start_token") + 1).cast("int"),
+          (least((col("__seq") + 1) * window,
+              col("start_token") + col("n_tokens"))
+            - greatest(col("__seq") * window, col("start_token")))
+            .cast("int")).as("__piece"))
+    pieces.groupBy("seq_id")
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("__off"), col("__piece")))),
+          p => p("__piece"))).as("__seq_toks"),
+        count(lit(1)).as("n_docs"))
+      .select(col("seq_id"),
+        size(col("__seq_toks")).cast(LongType).as("n_tokens"),
+        col("n_docs"),
+        concat_ws(" ", col("__seq_toks")).as("seq_text"))
+  }
 }

@@ -123,6 +123,41 @@ class PartitionedFillSpec extends SparkSpec {
     }
   }
 
+  test("gather materializes exact window-token sequences in doc order " +
+      "(r15)") {
+    import graft.plans.SequencePacking
+    sweeping {
+      val rnd = new scala.util.Random(7)
+      // tokens encode (docId, position) so reassembly order is checkable
+      val docs = (0 until 120).map { i =>
+        val n = if (i % 11 == 0) 0 else rnd.nextInt(40) + 1
+        (i.toLong, (0 until n).map(j => s"d${i}p$j"))
+      }
+      val df = docs.toDF("id", "toks").repartition(5)
+      val got = SequencePacking.gather(df, "id", "toks", window = 16,
+        numPartitions = 4).orderBy("seq_id").collect()
+      val flat = docs.sortBy(_._1).flatMap(_._2)
+      val expectSeqs = flat.grouped(16).toSeq
+      assert(got.length == expectSeqs.length)
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) == i.toLong)
+        val toks = r.getString(3).split(' ').toSeq
+        assert(toks == expectSeqs(i),
+          s"sequence $i must be the doc-order token stream slice")
+        assert(r.getLong(1) == expectSeqs(i).size)
+        // every sequence but the corpus tail is exactly window tokens
+        if (i < expectSeqs.length - 1) assert(r.getLong(1) == 16L)
+      }
+      // token conservation: nothing dropped, nothing duplicated
+      assert(got.map(_.getLong(1)).sum == flat.size.toLong)
+      // n_docs counts contributing docs (empty docs excluded entirely)
+      val nDocsTotal = got.map(_.getLong(2)).sum
+      val nonEmpty = docs.count(_._2.nonEmpty)
+      assert(nDocsTotal >= nonEmpty,
+        "every non-empty doc contributes at least one piece")
+    }
+  }
+
   test("more partitions than rows degrades gracefully") {
     sweeping {
       val tiny = Seq[(java.lang.Long, java.lang.Double)]((1L, null), (2L, 5.0))
