@@ -629,6 +629,21 @@ object SparkEntry {
         .select("doc_id", "contaminated").orderBy("doc_id")
     }),
 
+    // the 100 TB path (r15): a broadcast Bloom filter over the benchmark
+    // grams prunes the corpus gram stream SCAN-SIDE before the exact
+    // verify semi-join sees it — bit-identical flags, shuffle volume
+    // down to true hits + fpp stragglers
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = d.where(col("doc_id") % 20 === 0)
+      val planted = bench.select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s+", "").as("text"))
+      val corpus = d.where(col("doc_id") % 20 =!= 0).unionAll(planted)
+      graft.text.Decontaminate
+        .flagContaminatedBloom(corpus, bench, "text", "doc_id", n = 6)
+        .select("doc_id", "contaminated").orderBy("doc_id")
+    }),
+
     // the FILTER form of decontamination: the kept corpus (planted
     // near-copies and any organically overlapping docs removed)
     "q_decontaminate_filter" -> ((s, dir) => {
@@ -1477,6 +1492,27 @@ object SparkEntry {
         queries.filter { case (n, _) => names(n) }
     }
 
+  /** Shared by q_decontaminate and q_decontaminate_bloom — the bloom
+    * variant's results are bit-identical by contract (prefilter + exact
+    * verify), so both hash against the same ground truth. */
+  private lazy val decontaminateFlagSql: String =
+    """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text FROM bench
+      |),
+      |cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
+      |bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM bench),
+      |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+      |       FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM cw)),
+      |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+      |       FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM bw)),
+      |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+      |SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
+      |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q_missing_drop_rows_threshold" ->
@@ -1654,23 +1690,11 @@ object SparkEntry {
     // joins on the literal gram string where Spark joins on its xxhash64
     // — equal results barring a ~2^-64 hash collision (which would flag a
     // clean doc, the safe direction)
-    "q_decontaminate" ->
-      """WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
-        |corpus AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text FROM bench
-        |),
-        |cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
-        |bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM bench),
-        |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
-        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM cw)),
-        |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
-        |       FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM bw)),
-        |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
-        |SELECT c.doc_id, h.doc_id IS NOT NULL AS contaminated
-        |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
-        |ORDER BY c.doc_id""".stripMargin,
+    "q_decontaminate" -> decontaminateFlagSql,
+
+    // bit-identical contract: the bloom path only PRUNES before the
+    // exact verify join, so its oracle IS the exact path's SQL
+    "q_decontaminate_bloom" -> decontaminateFlagSql,
 
     // q_decontaminate's CTEs, keep side only (anti-join on the hit set)
     "q_decontaminate_filter" ->

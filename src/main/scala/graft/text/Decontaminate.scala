@@ -75,4 +75,53 @@ object Decontaminate {
       textCol: String, idCol: String, n: Int = 13): DataFrame =
     flagContaminated(corpus, benchmark, textCol, idCol, n)
       .where(!col("contaminated")).drop("contaminated")
+
+  /** [[flagContaminated]] with a Bloom prefilter on the corpus gram
+    * stream — BIT-IDENTICAL results (the bloom only PRUNES; every
+    * surviving gram is still exactly verified by the semi-join), but at
+    * 100 TB the shuffle/broadcast sees only the grams the bloom passes:
+    * the benchmark's true grams plus an `fpp` fraction of the corpus's
+    * ~10^12 others, instead of all of them. The filter itself is ~9.6
+    * bits per benchmark gram at fpp=1% (a few MB for any real eval
+    * suite), ships once per executor as a broadcast, and is evaluated
+    * scan-side before any exchange — the decontamination analogue of a
+    * runtime row-group filter. Spark's sketch BloomFilter is bit-OR of
+    * hash positions, so it is insertion-order-independent and the
+    * pruned stream is deterministic for a given (item set, sizing).
+    *
+    * Two driver actions on the SMALL side build the filter (a distinct
+    * count to size it, then `stat.bloomFilter`'s aggregate); the corpus
+    * side stays one pass. The membership probe is a Long→Boolean UDF —
+    * boxing one primitive per gram; measured noise next to the
+    * explode+hash it guards (the internal BloomFilterMightContain
+    * codegen expression is not constructible from the public API). */
+  def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = corpus.sparkSession
+    val benchGrams = benchmark
+      .select(tokens(col(textCol)).as("__ws"))
+      .select(explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__gh")).distinct()
+      // staged once for the two sizing actions + the verify join; the
+      // caller-unpersists sweep contract (CacheHygiene) releases it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("__gh", nGrams, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    val corpusGrams = corpus
+      .select(col(idCol), tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .where(mightContain(col("__gh")))
+    val hits = corpusGrams.join(benchGrams, Seq("__gh"), "left_semi")
+      .select(idCol).distinct()
+      .withColumn("__hit", lit(true))
+    corpus.join(hits, Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
 }

@@ -170,6 +170,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(grams == Seq(3, 3, 4, 0))
   }
 
+  test("bloom decontamination equals the exact path bit-for-bit and " +
+      "prunes scan-side (r15)") {
+    import graft.text.Decontaminate
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id".as("id"), $"text".as("t"))
+    val bench = docs.where($"id" % 10 === 0)
+    val corpus = docs.where($"id" % 10 =!= 0)
+      .unionAll(bench.select(($"id" + 100000).as("id"),
+        regexp_replace($"t", "^\\S+\\s+", "").as("t")))
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val exact = Decontaminate
+        .flagContaminated(corpus, bench, "t", "id", n = 6)
+        .orderBy("id").collect().toSeq
+      val bloom = Decontaminate
+        .flagContaminatedBloom(corpus, bench, "t", "id", n = 6)
+        .orderBy("id").collect().toSeq
+      assert(exact.nonEmpty && bloom == exact,
+        "the bloom prefilter must never change the flag set")
+      // the plan carries the probe UDF BELOW the verify join (scan-side
+      // pruning, not post-join decoration)
+      val p = Decontaminate
+        .flagContaminatedBloom(corpus, bench, "t", "id", n = 6)
+        .queryExecution.executedPlan.toString
+      val udfAt = p.indexOf("UDF")
+      val joinAt = p.indexOf("Join")
+      assert(udfAt >= 0 && joinAt >= 0 && udfAt > joinAt,
+        s"bloom probe must sit under (print after) the verify join:\n$p")
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
