@@ -988,6 +988,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // int8 scalar quantization (r15): per-vector affine codes — exact
+    // integer compare against DuckDB recomputing the same double-math
+    // (pure projections, no UDF/shuffle; 4x storage shrink at scale)
+    "q_embed_quantize" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      graft.sim.Quantize.quantizeInt8(e, "vec_id", "embedding")
+        .select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("dim", "code")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"),
+          col("code").cast("int").as("code"))
+        .orderBy("vec_id", "dim")
+    }),
+
     // tumbling 1h event-time windows
     "q_events_window" -> ((s, dir) =>
       Events.tumblingStats(Events.load(s, dir))
@@ -2200,6 +2213,26 @@ object SparkEntry {
 
     // identical to the brute-force oracle: probing every IVF cell must
     // reproduce exact top-k
+    // same affine int8 scheme in DuckDB double math: code =
+    // clamp(round((x−min)/scale)) − 128; rounding operands are
+    // non-negative so HALF_UP (Spark) and half-away-from-zero (DuckDB)
+    // agree; codes compare as exact integers
+    "q_embed_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS minv,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, minv, scale,
+        |    UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS dim
+        |  FROM s)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(CASE WHEN scale = 0 THEN 0
+        |    ELSE LEAST(127, GREATEST(-128,
+        |      CAST(round((CAST(x AS DOUBLE) - minv) / scale) AS INTEGER) - 128))
+        |    END AS INTEGER) AS code
+        |FROM e ORDER BY vec_id, dim""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),

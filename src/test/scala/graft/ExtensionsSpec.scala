@@ -201,6 +201,41 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
+  test("int8 quantization bounds reconstruction error at scale/2 and " +
+      "handles degenerate vectors (r15)") {
+    import graft.sim.Quantize
+    val vecs = Seq(
+      (1L, Array(0.1f, -2.5f, 3.75f, 0.0f)),
+      (2L, Array(7.0f, 7.0f, 7.0f, 7.0f)),   // constant: scale 0
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero constant
+      (4L, Array(-1e-6f, 1e-6f, 0.0f, 5e-7f))) // tiny range
+      .toDF("vec_id", "embedding")
+    val q = Quantize.quantizeInt8(vecs, "vec_id", "embedding")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("ScalaUDF"),
+      s"quantization is a pure projection:\n$p")
+    val back = Quantize.dequantizeInt8(q, "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val scales = q.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0)
+      val orig = r.getSeq[Float](1)
+      val rec = back(id)
+      val bound = scales(id) / 2 + 1e-12
+      orig.zip(rec).foreach { case (o, x) =>
+        assert(math.abs(o.toDouble - x) <= bound,
+          s"vec $id: |$o - $x| must be <= scale/2 = $bound")
+      }
+    }
+    // constant vectors reconstruct exactly
+    assert(back(2L).forall(_ == 7.0f.toDouble))
+    assert(back(3L).forall(_ == 0.0))
+    // codes span the full signed-byte range on a real spread
+    val codes1 = q.where($"vec_id" === 1L)
+      .select("codes").head().getSeq[Byte](0)
+    assert(codes1.min == -128 && codes1.max == 127)
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
