@@ -833,6 +833,16 @@ object SparkEntry {
         .select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // deterministic global corpus shuffle (r15): md5-order position via
+    // the partition-offset pattern (no global window); the oracle
+    // recomputes the identical permutation with row_number over the
+    // same md5 keys
+    "q_corpus_shuffle" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "lang")
+      graft.ops.Sampling.shufflePositions(d, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // chunk → pack composition (r15): split long docs into 6-token
     // chunks, then lay the chunk stream out into 8-token training
     // sequences — the actual pre-training layout path. The composite
@@ -2020,6 +2030,14 @@ object SparkEntry {
         |  CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ws[start + 1 : start + 6], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the same salted-md5 permutation, as a plain window at oracle scale
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, lang,
+        |  CAST(row_number() OVER (ORDER BY
+        |    md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the q_chunk_docs chunk CTE feeding the q_seq_pack prefix-sum
     // formula over the composite key; greatest(n,1) kept for formula

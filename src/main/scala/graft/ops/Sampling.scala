@@ -192,6 +192,56 @@ object Sampling {
     df.withColumn(outCol, assigned)
   }
 
+  /** Deterministic global corpus shuffle — the "shuffle before packing"
+    * step of every training-data pipeline, as an explicit position
+    * column: `outCol` = this row's 0-based index in the order of
+    * `md5(salt:id)` (ties broken by id), the same engine-independent
+    * salted hash space as [[stratifiedSample]]. The permutation is a
+    * pure function of (salt, id set): reproducible across runs, engines
+    * and partitionings, and changing the salt is a fresh epoch-level
+    * reshuffle with zero state.
+    *
+    * Scale shape — a naive `row_number() over (order by hash)` is the
+    * single-partition global window; this is instead the
+    * [[graft.plans.SequencePacking]] / rankedDistinct partition-offset
+    * pattern: range-partition + local sort by (hash, id), one count per
+    * partition to the driver, prefix-scan the offsets, then seed each
+    * partition's local index — two passes over one shuffle, every stage
+    * partition-parallel. */
+  def shufflePositions(df: DataFrame, idCol: String,
+      salt: String = "graft", outCol: String = "shuffle_pos",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = df.withColumn("__shuf_h",
+      md5(concat_ws(":", lit(salt), col(idCol).cast(StringType))))
+    val sorted = keyed
+      .repartitionByRange(n, col("__shuf_h").asc, col(idCol).asc)
+      .sortWithinPartitions(col("__shuf_h").asc, col(idCol).asc)
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.size.toLong)
+    }.collect().toMap
+    val offsets = new Array[Long](math.max(counts.size, 1))
+    var acc = 0L
+    for (p <- 0 until counts.size) { offsets(p) = acc; acc += counts(p) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val hIdx = sorted.schema.fieldIndex("__shuf_h")
+    val placed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = bc.value(pid)
+      it.map { r =>
+        val vals = r.toSeq.patch(hIdx, Nil, 1) :+ pos
+        pos += 1
+        org.apache.spark.sql.Row.fromSeq(vals)
+      }
+    }
+    val outSchema = StructType(
+      sorted.schema.fields.patch(hIdx, Nil, 1) :+
+        StructField(outCol, LongType, nullable = false))
+    spark.createDataFrame(placed, outSchema)
+  }
+
   /** Deterministic per-group cap — "at most k documents per domain", the
     * anti-monoculture primitive of corpus curation (one mega-domain must
     * not dominate the training mix). Rows survive by per-group rank under

@@ -332,6 +332,30 @@ class PlanQualitySpec extends SparkSpec {
       s"an over-gate dictionary must not broadcast:\n$p")
   }
 
+  test("corpus shuffle is a partition-parallel permutation: no global " +
+      "window, positions are a bijection (r15)") {
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "lang")
+    val out = graft.ops.Sampling.shufflePositions(docs, "doc_id")
+    val p = plan(out)
+    assert(!p.contains("Window") && !p.contains("SinglePartition"),
+      s"global-order positions must come from the offset pattern:\n$p")
+    val pos = out.select("shuffle_pos").collect().map(_.getLong(0))
+    assert(pos.sorted.toSeq == (0L until pos.length).toSeq,
+      "positions must be exactly 0..n-1, each once")
+    // salt change = fresh permutation; same salt = stable
+    val again = graft.ops.Sampling.shufflePositions(docs, "doc_id")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val other = graft.ops.Sampling
+      .shufflePositions(docs, "doc_id", salt = "epoch2")
+      .select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.select("doc_id", "shuffle_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == first, "same salt must reproduce the permutation")
+    assert(other != first, "a new salt must re-shuffle")
+  }
+
   test("chunk→pack composition adds no shuffle before the pack's own " +
       "range exchange (r15)") {
     val docs = Tables.load(spark, sf, "documents")
