@@ -1011,6 +1011,20 @@ object SparkEntry {
         .orderBy("vec_id", "dim")
     }),
 
+    // quantized ANN (r15): exact top-k over the int8-reconstructed
+    // vectors — the compose check that a 4x-compressed corpus still
+    // ranks; fully deterministic (both engines recompute the same codes
+    // and the same dequantized double math)
+    "q_ann_quantized" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val deq = graft.sim.Quantize.dequantizeInt8(
+        graft.sim.Quantize.quantizeInt8(e, "vec_id", "embedding"),
+        "vec_id")
+      Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 5), 10,
+        idCol = "vec_id", vecCol = "vec")
+        .orderBy("query_id", "rank")
+    }),
+
     // tumbling 1h event-time windows
     "q_events_window" -> ((s, dir) =>
       Events.tumblingStats(Events.load(s, dir))
@@ -2250,6 +2264,32 @@ object SparkEntry {
         |      CAST(round((CAST(x AS DOUBLE) - minv) / scale) AS INTEGER) - 128))
         |    END AS INTEGER) AS code
         |FROM e ORDER BY vec_id, dim""".stripMargin,
+
+    // q_embed_quantize's code formula, dequantized back per element in a
+    // correlated lambda, then the q_ann_ivf cosine/rank tail
+    "q_ann_quantized" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS minv,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, list_transform(embedding, x ->
+        |    CASE WHEN scale = 0 THEN minv
+        |      ELSE (LEAST(127, GREATEST(-128,
+        |        CAST(round((CAST(x AS DOUBLE) - minv) / scale) AS INTEGER)
+        |        - 128)) + 128) * scale + minv END) AS v
+        |  FROM s),
+        |q AS (SELECT vec_id, v FROM d WHERE vec_id < 5),
+        |sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, a.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+        |  FROM d a, q WHERE a.vec_id <> q.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |    AS BIGINT) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

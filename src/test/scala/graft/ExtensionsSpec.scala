@@ -236,6 +236,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(codes1.min == -128 && codes1.max == 127)
   }
 
+  test("quantized ANN keeps high recall vs full-precision top-k (r15)") {
+    import graft.sim.{Quantize, Similarity}
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val exact = Similarity
+        .bruteForceTopK(e, e.where($"vec_id" < 5), 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deq = Quantize.dequantizeInt8(
+        Quantize.quantizeInt8(e, "vec_id", "embedding"), "vec_id")
+      val quant = Similarity
+        .bruteForceTopK(deq, deq.where($"vec_id" < 5), 10,
+          vecCol = "vec")
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & quant).size.toDouble / exact.size
+      assert(recall >= 0.8,
+        s"int8 reconstruction must preserve ranking: recall@10 = $recall")
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
