@@ -75,7 +75,11 @@ object Bench {
     // r12d single-char block (now the ONLY mapping for each token)
     "quality" -> "q", "winnow" -> "w", "topk" -> "k", "textclean" -> "h",
     "neardup" -> "b", "multimodal" -> "x", "join" -> "j", "filter" -> "t",
-    "fill" -> "f", "clusters" -> "g", "agg" -> "i")
+    "fill" -> "f", "clusters" -> "g", "agg" -> "i",
+    // r15 batch, per the pre-committed <letter><digit>-from-2 rule
+    "corpus" -> "c2", "shuffle" -> "s2", "gather" -> "g2",
+    "quantize" -> "q2", "quantized" -> "q3", "bloom" -> "b2",
+    "chunk" -> "c3", "partitioned" -> "p2", "skip" -> "s3")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,
@@ -535,16 +539,18 @@ object Bench {
     // 1-decimal → no queries map at all. The line can no longer outgrow
     // the driver's tail window however many queries are added. r13: the
     // prec-2 bar moved 1500 → 1700 — at 105 queries the realistic line
-    // hit 1499/1500, one char from a silent precision drop. Nothing
-    // prints after this line (spark already stopped, log level ERROR),
-    // so 1700 still leaves ~300 chars of the 2000-char window as slack —
-    // strictly more than the long-accepted 200 at the prec-1 bar.
+    // hit 1499/1500, one char from a silent precision drop. r15: 117
+    // queries outgrew 1700 even with the fresh abbrev batch, so the
+    // prec-2 bar moved to 1800 — the same 200-char slack of the
+    // 2000-char driver window the prec-1 bar has always run with
+    // (nothing prints after this line: spark already stopped, log level
+    // ERROR).
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
         prec, keyOf, withQueries, failed.size, retimed,
         loadBefore, loadAfter, idleWaitS, gateStealRate, contended, sfDir)
       val l2 = line(2, withQueries = true)
-      if (l2.length <= 1700) l2
+      if (l2.length <= 1800) l2
       else {
         val l1 = line(1, withQueries = true)
         if (l1.length <= 1800) l1 else line(2, withQueries = false)

