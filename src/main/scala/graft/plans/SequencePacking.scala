@@ -86,18 +86,21 @@ object SequencePacking {
     * placement. Empty-token docs pack nothing (they occupy zero tokens
     * in the plan and a zero-length piece would only bloat the shuffle).
     *
-    * Scale shape: the plan's two-pass prefix sum, one equi-join of the
-    * plan back to the token arrays on `idCol` (both sides shuffle-keyed
-    * on the id — no broadcast assumption: the plan is corpus-sized), one
-    * explode of each doc over the ≤ n/window + 1 sequences it spans, and
-    * ONE shuffle on `seq_id` to regroup pieces across document
-    * boundaries — the unavoidable shuffle of packing (every byte must
-    * move to its sequence). Piece offsets inside a sequence are disjoint
-    * by construction, so `array_sort` over (offset, piece) structs makes
-    * the per-sequence reassembly order deterministic under any shuffle.
-    * The final sequence may be short (the corpus tail); every other
-    * sequence is exactly `window` tokens — a guarantee the caller can
-    * assert cheaply (`n_tokens`).
+    * Scale shape: the [[plan]] two-pass prefix sum runs HERE with the
+    * token arrays riding along as row payload (r15: the first cut
+    * computed `plan` on (id, count) and equi-joined the arrays back —
+    * that joined shuffle moved the whole token corpus two extra times;
+    * carrying the payload through the range partition leaves exactly
+    * TWO full-corpus shuffles: the id-range sort and the final regroup).
+    * Then one explode of each doc over the ≤ n/window + 1 sequences it
+    * spans, and ONE shuffle on `seq_id` to regroup pieces across
+    * document boundaries — the unavoidable shuffle of packing (every
+    * byte must move to its sequence). Piece offsets inside a sequence
+    * are disjoint by construction, so `array_sort` over (offset, piece)
+    * structs makes the per-sequence reassembly order deterministic under
+    * any shuffle. The final sequence may be short (the corpus tail);
+    * every other sequence is exactly `window` tokens — a guarantee the
+    * caller can assert cheaply (`n_tokens`).
     *
     * @param tokensCol array<string> column (already tokenized — the
     *                  tokenizer convention is the caller's contract)
@@ -105,14 +108,46 @@ object SequencePacking {
   def gather(df: DataFrame, idCol: String, tokensCol: String,
       window: Long, numPartitions: Int = 0): DataFrame = {
     require(window > 0, "window must be positive")
+    val spark = df.sparkSession
+    val nParts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
     val counted = df
       .select(col(idCol), col(tokensCol).as("__toks"))
       .withColumn("__n", size(col("__toks")).cast(LongType))
       .where(col("__n") > 0)
-    val pl = plan(counted.select(col(idCol), col("__n")), idCol, "__n",
-      window, numPartitions)
-    val pieces = pl.join(counted.select(col(idCol), col("__toks")),
-        Seq(idCol))
+    // the plan() two-pass prefix sum, payload riding along: pass 1
+    // sums per-partition token counts (field 2 = __n), pass 2 seeds the
+    // running global offset; the sorted stage is staged DISK_ONLY and
+    // released by the caller-unpersists sweep
+    val sorted = counted.repartitionByRange(nParts, col(idCol).asc)
+      .sortWithinPartitions(col(idCol).asc)
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val totals: Map[Int, Long] = sortedRdd.mapPartitionsWithIndex {
+      (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(2))
+        Iterator.single((pid, s))
+    }.collect().toMap
+    val offsets = new Array[Long](math.max(totals.size, 1))
+    for (p <- 1 until totals.size) offsets(p) = offsets(p - 1) + totals(p - 1)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val placedRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bc.value(pid)
+      it.map { r =>
+        val start = cum
+        cum += r.getLong(2)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    val placed = spark.createDataFrame(placedRdd, StructType(
+      sorted.schema.fields :+
+        StructField("start_token", LongType, nullable = false)))
+      .withColumn("n_tokens", col("__n"))
+      .withColumn("seq_first", expr(s"start_token div $window"))
+      .withColumn("seq_last",
+        expr(s"(start_token + greatest(n_tokens, 1L) - 1L) div $window"))
+    val pieces = placed
       .withColumn("__seq", explode(sequence(col("seq_first"),
         col("seq_last"))))
       .select(col("__seq").as("seq_id"),
