@@ -117,12 +117,15 @@ object SequencePacking {
       .where(col("__n") > 0)
     // the plan() two-pass prefix sum, payload riding along: pass 1
     // sums per-partition token counts (field 2 = __n), pass 2 seeds the
-    // running global offset; the sorted stage is staged DISK_ONLY and
-    // released by the caller-unpersists sweep
+    // running global offset. No persist between the passes: `rdd` is a
+    // lazy val, so both jobs share the one physical plan and pass 2's
+    // post-shuffle stages are SKIPPED stages reading pass 1's shuffle
+    // files (the rankedDistinct pattern) — an explicit DISK_ONLY stage
+    // here would re-write the whole token corpus a second time for
+    // nothing (measured r15: dropping it cut gather's sf3 cost).
     val sorted = counted.repartitionByRange(nParts, col(idCol).asc)
       .sortWithinPartitions(col(idCol).asc)
     val sortedRdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val totals: Map[Int, Long] = sortedRdd.mapPartitionsWithIndex {
       (pid, it) =>
         var s = 0L
@@ -147,6 +150,14 @@ object SequencePacking {
       .withColumn("seq_first", expr(s"start_token div $window"))
       .withColumn("seq_last",
         expr(s"(start_token + greatest(n_tokens, 1L) - 1L) div $window"))
+    // pieces cross the regroup shuffle as flat STRINGS, not
+    // array<string> (r15: struct-of-array rows paid per-token object
+    // overhead through the exchange); the per-piece token count rides
+    // along so n_tokens needs no re-split downstream
+    val pieceLen =
+      least((col("__seq") + 1) * window,
+        col("start_token") + col("n_tokens")) -
+        greatest(col("__seq") * window, col("start_token"))
     val pieces = placed
       .withColumn("__seq", explode(sequence(col("seq_first"),
         col("seq_last"))))
@@ -155,22 +166,18 @@ object SequencePacking {
         // [gs, ge) = [max(seq·W, start), min((seq+1)·W, start+n))
         (greatest(col("__seq") * window, col("start_token"))
           - col("__seq") * window).as("__off"),
-        slice(col("__toks"),
+        pieceLen.as("__plen"),
+        concat_ws(" ", slice(col("__toks"),
           (greatest(col("__seq") * window, col("start_token"))
             - col("start_token") + 1).cast("int"),
-          (least((col("__seq") + 1) * window,
-              col("start_token") + col("n_tokens"))
-            - greatest(col("__seq") * window, col("start_token")))
-            .cast("int")).as("__piece"))
+          pieceLen.cast("int"))).as("__piece"))
     pieces.groupBy("seq_id")
       .agg(
-        flatten(transform(
+        concat_ws(" ", transform(
           array_sort(collect_list(struct(col("__off"), col("__piece")))),
-          p => p("__piece"))).as("__seq_toks"),
+          p => p("__piece"))).as("seq_text"),
+        sum(col("__plen")).cast(LongType).as("n_tokens"),
         count(lit(1)).as("n_docs"))
-      .select(col("seq_id"),
-        size(col("__seq_toks")).cast(LongType).as("n_tokens"),
-        col("n_docs"),
-        concat_ws(" ", col("__seq_toks")).as("seq_text"))
+      .select("seq_id", "n_tokens", "n_docs", "seq_text")
   }
 }
