@@ -157,17 +157,22 @@ object Bench {
           .toSet
       // Since r15 a results file's queries map archives min(first,
       // re-time, re-run) for gate-re-timed rows — warm-JVM values that
-      // must never seed a baseline (the r11 ratchet lesson). Exclude the
-      // retimed object's keys like crashed ones; a history file has no
-      // "retimed" field, so its entries are unaffected.
-      val warmMin: Set[String] =
+      // must never seed a baseline (the r11 ratchet lesson). For those
+      // keys the retimed array's FIRST element is the valid cold
+      // first-run time, so it replaces the queries-map value (r15 ADVICE:
+      // excluding the keys wholesale cost them their re-time gate on the
+      // next history-less run). A history file has no "retimed" field, so
+      // its entries are unaffected.
+      val coldFirst: Map[String, Double] =
         "\"retimed\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
           .map(_.group(1)).toSeq
-          .flatMap("\"(q_[A-Za-z0-9_]+)\"".r.findAllMatchIn(_).map(_.group(1)))
-          .toSet
-      "\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap --
-        crashed -- warmMin
+          .flatMap("\"(q_[A-Za-z0-9_]+)\":\\[([0-9]+\\.?[0-9]*)".r
+            .findAllMatchIn(_)
+            .map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
+      ("\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap ++ coldFirst) --
+        crashed
     }
   }
 

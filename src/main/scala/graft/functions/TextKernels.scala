@@ -93,6 +93,100 @@ object TextKernels {
       s"$what must be a foldable number, got $other")
   }
 
+  /** [[graft.ops.TypeConvert.probeMask]] over a UTF8String — the kernel
+    * behind [[ProbeMask]] (r15 verdict next-#1: the probe ran as a
+    * per-cell Scala UDF on the single most expensive bench row,
+    * `q_typeconvert_auto`). Pure-ASCII values (no byte ≥ 0x80, no \n/\r)
+    * scan the UTF-8 BYTES directly — no UTF-16 decode, no String
+    * allocation, which is the UDF's real per-cell cost since the probes
+    * only accept ASCII shapes anyway; anything else (multibyte chars,
+    * line terminators, and every exotic terminator U+0085/U+2028/U+2029,
+    * all multibyte in UTF-8) falls back to the existing String kernel,
+    * so the two paths cannot disagree on the inputs the fast path
+    * handles — ProbeMaskSpec additionally pins byte-path/String-path
+    * equality property-style. */
+  def probeMaskUtf8(u: UTF8String): Long = {
+    if (u == null) return 0L
+    val b = u.getBytes
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (c < 0 || c == '\n' || c == '\r')
+        return graft.ops.TypeConvert.probeMask(u.toString)
+      i += 1
+    }
+    probeMaskAscii(b)
+  }
+
+  /** The fused five-probe scanner over a pure-ASCII byte array — the
+    * byte-for-char mirror of [[graft.ops.TypeConvert.probeMask]]'s
+    * scanner branch (which see for the grammar each probe accepts).
+    * Bits: 0 non-null, 1 numeric, 2 integral, 3 datetime-shape,
+    * 4 bool-token. */
+  private def probeMaskAscii(b: Array[Byte]): Long = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi && b(lo) == ' ') lo += 1
+    while (hi > lo && b(hi - 1) == ' ') hi -= 1
+    val n = hi - lo
+    def at(k: Int): Char = (b(lo + k) & 0xff).toChar
+    def digit(c: Char): Boolean = c >= '0' && c <= '9'
+    var mask = 1L
+    // integral: ^[+-]?\d+$
+    var i = if (n > 0 && (at(0) == '+' || at(0) == '-')) 1 else 0
+    var d = 0
+    while (i < n && digit(at(i))) { i += 1; d += 1 }
+    if (d > 0 && i == n) mask |= 6L // integral implies numeric
+    else {
+      // numeric: ^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$
+      i = if (n > 0 && (at(0) == '+' || at(0) == '-')) 1 else 0
+      d = 0
+      while (i < n && digit(at(i))) { i += 1; d += 1 }
+      var ok = d > 0
+      if (i < n && at(i) == '.' && (d > 0 || {
+        var j = i + 1; var d2 = 0
+        while (j < n && digit(at(j))) { j += 1; d2 += 1 }
+        d2 > 0
+      })) {
+        i += 1
+        while (i < n && digit(at(i))) i += 1
+        ok = true
+      }
+      if (ok && i < n && (at(i) == 'e' || at(i) == 'E')) {
+        i += 1
+        if (i < n && (at(i) == '+' || at(i) == '-')) i += 1
+        var de = 0
+        while (i < n && digit(at(i))) { i += 1; de += 1 }
+        ok = de > 0
+      }
+      if (ok && i == n) mask |= 2L
+      else if (n <= 9) {
+        val off = if (n > 0 && (at(0) == '+' || at(0) == '-')) 1 else 0
+        val body = new String(b, lo + off, n - off,
+          java.nio.charset.StandardCharsets.US_ASCII)
+          .toLowerCase(java.util.Locale.ROOT)
+        if (body == "inf" || body == "infinity") mask |= 2L
+      }
+    }
+    // datetime shape: ^\d{1,4}[-/]\d{1,2}[-/]\d{1,4}([ T].*)?$
+    i = 0
+    def run(max: Int): Int = {
+      var k = 0
+      while (i < n && k < max && digit(at(i))) { i += 1; k += 1 }
+      k
+    }
+    def sep(): Boolean =
+      i < n && (at(i) == '-' || at(i) == '/') && { i += 1; true }
+    if (run(4) >= 1 && sep() && run(2) >= 1 && sep() && run(4) >= 1 &&
+      (i == n || at(i) == ' ' || at(i) == 'T')) mask |= 8L
+    if (n <= 5) {
+      val t = new String(b, lo, n, java.nio.charset.StandardCharsets.US_ASCII)
+        .toLowerCase(java.util.Locale.ROOT)
+      if (graft.ops.TypeConvert.boolTokenSet.contains(t)) mask |= 16L
+    }
+    mask
+  }
+
   /** The [[RepetitionStruct]] result schema — field order is the
     * reading order of QualityFilters.Repetition. */
   val repetitionSchema: StructType = StructType(Seq(
@@ -127,6 +221,14 @@ object TextKernels {
         require(args.length == 1,
           s"graft_repetition takes (text), got ${args.length}")
         RepetitionStruct(args(0))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_probe_mask",
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_probe_mask takes (text), got ${args.length}")
+        ProbeMask(args(0))
       },
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -318,4 +420,88 @@ case class RepetitionKeep(child: Expression, maxDupWordFrac: Double,
 
   override protected def withNewChildInternal(
       newChild: Expression): RepetitionKeep = copy(child = newChild)
+}
+
+/** The TypeConvert five-probe bitmask — codegen twin of the former
+  * `TypeConvert.probeMask` Scala UDF (the per-cell probe on every string
+  * column of the auto-detection scan). One static kernel call per cell
+  * ([[TextKernels.probeMaskUtf8]] — ASCII cells scan the UTF-8 bytes in
+  * place, no String allocation), no converter boxing, and the detection
+  * projection stays inside one WholeStageCodegen span. Null text → 0L
+  * (bit 0 clear), the UDF contract, so the expression handles its own
+  * null. */
+case class ProbeMask(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_probe_mask needs a string argument, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_probe_mask"
+
+  override def eval(input: InternalRow): Any =
+    TextKernels.probeMaskUtf8(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = graft.functions.TextKernels.probeMaskUtf8(
+        ${c.isNull} ? null : ${c.value});
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ProbeMask = copy(child = newChild)
+}
+
+/** Bloom membership probe over a 64-bit hash — codegen twin of the
+  * former `Decontaminate.flagContaminatedBloom` Long→Boolean UDF. The
+  * filter rides as a BROADCAST handle (not a child expression): a
+  * serialized-bytes literal child would embed megabytes in the plan
+  * string and re-ship per stage, while the broadcast ships once per
+  * executor — the 100 TB shape. Codegen materializes the filter from
+  * the broadcast ONCE per codegen instance (a mutable-state init, the
+  * `addReferenceObj` route [[HyperplaneSignature]] established) and
+  * probes with a primitive long per row — no boxing, no codegen-span
+  * break.
+  *
+  * Not in [[TextKernels.register]]: a broadcast cannot be built from
+  * `Seq[Expression]` args, so callers register a per-call builder that
+  * closes over the broadcast, build their DataFrame (analysis is EAGER
+  * on DataFrame construction — the function resolves before the
+  * builder can be dropped or replaced), then drop the entry
+  * ([[graft.text.Decontaminate.flagContaminatedBloom]] shows the
+  * dance). */
+case class BloomMightContainLong(child: Expression,
+    bloom: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_contains needs a bigint argument, got $t")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  override protected def nullSafeEval(h: Any): Any =
+    bloom.value.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloom,
+      "org.apache.spark.broadcast.Broadcast")
+    val filter = ctx.addMutableState(
+      "org.apache.spark.util.sketch.BloomFilter", "graftBloomFilter",
+      v => s"$v = (org.apache.spark.util.sketch.BloomFilter) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = $filter.mightContainLong($h);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContainLong = copy(child = newChild)
 }

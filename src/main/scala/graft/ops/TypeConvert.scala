@@ -83,9 +83,13 @@ final case class TypeConvert(
     // measured 13.1 s -> 23.6 s when round 2 tried it; it also accepts
     // tokens pandas rejects, e.g. "1.5f", hex floats, "NaN"). The mask
     // feeds trivial bit-extract sums, keeping each codegen unit small.
-    val probe = udf(TypeConvert.probeMask)
+    // r16: the scan runs as the graft_probe_mask codegen kernel
+    // ([[graft.functions.ProbeMask]] — ASCII cells scan UTF-8 bytes in
+    // place), not the Scala UDF it started as; same bitmask bit for bit.
+    graft.functions.TextKernels.register(df.sparkSession)
     val flagCols = strCols.flatMap { c =>
-      Seq(probe(col(c)).as(s"${c}__m"), col(c).as(s"${c}__v"))
+      Seq(call_function("graft_probe_mask", col(c)).as(s"${c}__m"),
+        col(c).as(s"${c}__v"))
     }
     val flags = manualDf.select(flagCols: _*)
     def bit(c: String, b: Int): Column =
@@ -248,7 +252,7 @@ object TypeConvert {
         if (run(4) >= 1 && sep() && run(2) >= 1 && sep() && run(4) >= 1 &&
           (i == n || s.charAt(i) == ' ' || s.charAt(i) == 'T')) mask |= 8L
       }
-      if (n <= 5 && BoolTokenSet.contains(s.toLowerCase(java.util.Locale.ROOT)))
+      if (n <= 5 && boolTokenSet.contains(s.toLowerCase(java.util.Locale.ROOT)))
         mask |= 16L
       mask
     }
@@ -261,7 +265,7 @@ object TypeConvert {
   private val IntPattern = java.util.regex.Pattern.compile("^[+-]?\\d+$")
   private lazy val DtShapePattern =
     java.util.regex.Pattern.compile(DatetimeShapeRegex)
-  private lazy val BoolTokenSet: Set[String] = BoolTokens.toSet
+  private[graft] lazy val boolTokenSet: Set[String] = BoolTokens.toSet
 
   /** Cheap necessary condition for every pattern in [[DefaultFormats]]:
     * three 1-4 digit groups joined by - or /. Gates the expensive

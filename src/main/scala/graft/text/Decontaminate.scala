@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
 /** Test-set decontamination: flag corpus documents sharing any word
@@ -91,10 +92,20 @@ object Decontaminate {
     *
     * Two driver actions on the SMALL side build the filter (a distinct
     * count to size it, then `stat.bloomFilter`'s aggregate); the corpus
-    * side stays one pass. The membership probe is a Long→Boolean UDF —
-    * boxing one primitive per gram; measured noise next to the
-    * explode+hash it guards (the internal BloomFilterMightContain
-    * codegen expression is not constructible from the public API). */
+    * side stays one pass. The membership probe is the
+    * [[graft.functions.BloomMightContainLong]] codegen kernel over the
+    * broadcast handle — a primitive long probe per gram inside the
+    * scan's WholeStageCodegen span, replacing the r15 Long→Boolean UDF.
+    *
+    * CACHE CONTRACT: the benchmark gram set is persisted
+    * (MEMORY_AND_DISK) because it feeds two driver sizing actions plus
+    * the verify join, and the RESULT DataFrame still references it — it
+    * cannot be unpersisted before the caller materializes the result.
+    * Callers must release it afterwards: either
+    * `spark.sharedState.cacheManager`-level sweeps like the repo's
+    * CacheHygiene snapshot/releaseNew pair (what Bench and Verify do),
+    * or `spark.catalog.clearCache()`. A long-lived session calling this
+    * in a loop without either leaks one cached gram set per call. */
   def flagContaminatedBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 13,
       fpp: Double = 0.01): DataFrame = {
@@ -104,24 +115,41 @@ object Decontaminate {
       .select(tokens(col(textCol)).as("__ws"))
       .select(explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
       .select(xxhash64(col("__g")).as("__gh")).distinct()
-      // staged once for the two sizing actions + the verify join; the
-      // caller-unpersists sweep contract (CacheHygiene) releases it
+      // staged once for the two sizing actions + the verify join; see
+      // the CACHE CONTRACT in the scaladoc above
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nGrams = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("__gh", nGrams, fpp)
     val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
-    val corpusGrams = corpus
-      .select(col(idCol), tokens(col(textCol)).as("__ws"))
-      .select(col(idCol),
-        explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
-      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
-      .where(mightContain(col("__gh")))
-    val hits = corpusGrams.join(benchGrams, Seq("__gh"), "left_semi")
-      .select(idCol).distinct()
-      .withColumn("__hit", lit(true))
-    corpus.join(hits, Seq(idCol), "left")
-      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
-      .drop("__hit")
+    // A broadcast is not constructible from Seq[Expression] args, so the
+    // kernel registers under a per-call name whose builder closes over
+    // it; DataFrame analysis is EAGER, so the function is resolved into
+    // the plan by the time the entry is dropped below.
+    val fname = s"graft_bloom_probe_${bloomProbeIds.incrementAndGet()}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      fname,
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"$fname takes (hash), got ${args.length}")
+        graft.functions.BloomMightContainLong(args(0), bc)
+      },
+      "scala_udf")
+    try {
+      val corpusGrams = corpus
+        .select(col(idCol), tokens(col(textCol)).as("__ws"))
+        .select(col(idCol),
+          explode(ngramsOfTokens(col("__ws"), n)).as("__g"))
+        .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+        .where(call_function(fname, col("__gh")))
+      val hits = corpusGrams.join(benchGrams, Seq("__gh"), "left_semi")
+        .select(idCol).distinct()
+        .withColumn("__hit", lit(true))
+      corpus.join(hits, Seq(idCol), "left")
+        .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+        .drop("__hit")
+    } finally spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(fname))
   }
+
+  private val bloomProbeIds = new java.util.concurrent.atomic.AtomicLong(0L)
 }

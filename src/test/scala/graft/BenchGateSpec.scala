@@ -75,14 +75,18 @@ class BenchGateSpec extends AnyFunSuite {
     assert(got("q_c") == 4.0) // first still best; crash ignored
   }
 
-  test("results-file fallback baseline excludes re-timed rows' warm " +
-      "mins (r15)") {
+  test("results-file fallback baseline replaces re-timed rows' warm " +
+      "mins with their cold first-run time (r16)") {
     val txt = """{"metric":"total","value":9,"unit":"sec",""" +
       """"queries":{"q_a":2.0,"q_b":1.0},""" +
       """"retimed":{"q_a":[5.0,2.5,2.0]},"failed":[],""" +
       """"sf":"/root/testdata/sf0.1"}"""
     val m = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
-    assert(m == Map("q_b" -> 1.0),
-      s"q_a's archived min is warm and must not seed a baseline: $m")
+    // q_a's archived 2.0 is a warm min and must not seed a baseline,
+    // but its retimed[0]=5.0 IS the valid cold first run — dropping the
+    // key wholesale (the r15 behavior) cost it the re-time gate on the
+    // next history-less run (r15 ADVICE)
+    assert(m == Map("q_a" -> 5.0, "q_b" -> 1.0),
+      s"retimed[0] is the cold baseline, the warm min is not: $m")
   }
 }

@@ -26,10 +26,11 @@ class BenchLineSpec extends AnyFunSuite {
       """"queries":{"q_good":1.5,"q_warm":1.4,"q_crashed":0.05,"q_also_bad":1.55},""" +
       """"retimed":{"q_warm":[3.0,1.4]},"failed":["q_crashed","q_also_bad"],""" +
       """"load":[1.0,2.0],"sf":"/root/testdata/sf0.1"}"""
-    // crashed names drop; q_warm drops too (r15: a retimed row's
-    // archived value is a warm min) — only untouched q_good survives
+    // crashed names drop; q_warm's archived 1.4 is a warm min, replaced
+    // by its retimed[0]=3.0 cold first run (r16 — dropping the key
+    // wholesale cost it the re-time gate on history-less runs)
     val parsed = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
-    assert(parsed == Map("q_good" -> 1.5),
+    assert(parsed == Map("q_good" -> 1.5, "q_warm" -> 3.0),
       s"crash/warm times must not become baselines: $parsed")
     assert(Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.01")).isEmpty,
       "a results file from a different sf is not comparable")

@@ -189,14 +189,16 @@ class ExtensionsSpec extends SparkSpec {
         .orderBy("id").collect().toSeq
       assert(exact.nonEmpty && bloom == exact,
         "the bloom prefilter must never change the flag set")
-      // the plan carries the probe UDF BELOW the verify join (scan-side
-      // pruning, not post-join decoration)
+      // the plan carries the probe kernel BELOW the verify join
+      // (scan-side pruning, not post-join decoration), and as the
+      // r16 codegen expression — no ScalaUDF wrapper left
       val p = Decontaminate
         .flagContaminatedBloom(corpus, bench, "t", "id", n = 6)
         .queryExecution.executedPlan.toString
-      val udfAt = p.indexOf("UDF")
+      assert(!p.contains("ScalaUDF"), p)
+      val probeAt = p.indexOf("graft_bloom_contains")
       val joinAt = p.indexOf("Join")
-      assert(udfAt >= 0 && joinAt >= 0 && udfAt > joinAt,
+      assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt,
         s"bloom probe must sit under (print after) the verify join:\n$p")
     } finally graft.util.CacheHygiene.releaseNew(spark, before)
   }

@@ -36,6 +36,31 @@ class StreamRunsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("hoppingProcessingTime (real always-on trigger) equals batch " +
+      "hoppingStats (r16)") {
+    val got = StreamRuns.hoppingProcessingTime(spark, dir).collect().toSeq
+    val want = Events.hoppingStats(Events.load(spark, dir))
+      .orderBy("window_start_sec", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("sessionizeProcessingTime (real always-on trigger) equals batch " +
+      "sessionize (r16)") {
+    // same multi-event-session precondition as the AvailableNow test:
+    // without it the longest-session cut degrades to the no-merge
+    // midpoint fallback and the wall-clock-boundary merge goes untested
+    val maxDur = Events.sessionize(Events.load(spark, dir))
+      .agg(max($"duration_sec")).head().getDouble(0)
+    assert(maxDur > 0,
+      s"no multi-event session at $dir — the sessionize stream run would " +
+        "not exercise a cross-batch session merge")
+    val got = StreamRuns.sessionizeProcessingTime(spark, dir).collect().toSeq
+    val want = Events.sessionize(Events.load(spark, dir))
+      .select($"user_id", $"n_events", $"start_sec", $"duration_sec")
+      .orderBy("user_id", "start_sec").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("sessionizeAvailableNow equals batch sessionize (session_id dropped)") {
     // Precondition for the cross-batch-merge coverage the r12 split adds:
     // the corpus must have a multi-event session, so the longest-session

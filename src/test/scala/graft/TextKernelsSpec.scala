@@ -149,6 +149,98 @@ class TextKernelsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project""".r.findFirstIn(repPlan).nonEmpty, repPlan)
   }
 
+  test("graft_probe_mask equals the UDF-era String kernel on adversarial " +
+      "inputs and the byte fast path cannot diverge from it (r16)") {
+    graft.functions.TextKernels.register(spark)
+    val cases: Seq[String] = Seq(
+      null, "", " ", "   ", "123", "+123", "-123", "12.5", ".5", "5.",
+      "+.5", "-5.", ".", "+", "-", "+-1", "1e5", "1E5", "1.5e-3", ".5e2",
+      "1e", "1e+", "e5", "inf", "INF", "Infinity", "-inf", "+infinity",
+      "-infinity9", "infin", "nan", "NaN", "1.5f", "0x1f", "1_000",
+      "2024-01-15", "2024/1/5", "1-2-3", "15-01-2024", "2024-01-15 10:30:00",
+      "2024-01-15T10:30", "12345-1-1", "202-1-1 rest", "1-2", "1--2",
+      "true", "FALSE", "Yes", "n", "T", "0", "1", "y", "no", "f",
+      "truee", "tru", " true ", "  1  ",
+      "123\n", "\n123", "12\r3", "true\n", "2024-01-15\n",
+      "café", "ü12", "123µ", " ", "123 ",
+      "123", "123 ", "😀", "1😀2",
+      "9999-99-99", "0-0-0", "12.34.56", "1/2/3456 T", "1/2/3456 x",
+      "192.168.0.1", "-0", "+0.0", "00123", "007")
+    val maskOf = graft.ops.TypeConvert.probeMask
+    cases.foreach { s =>
+      val viaBytes = graft.functions.TextKernels.probeMaskUtf8(
+        if (s == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(viaBytes == maskOf(s),
+        s"probe mask divergence on ${if (s == null) "null" else s"'$s'"}: " +
+          s"bytes=$viaBytes string=${maskOf(s)}")
+    }
+    // and through the expression, both engines
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map(Row(_)), 2),
+      StructType(Seq(StructField("s", StringType, nullable = true))))
+    val got = df.select(call_function("graft_probe_mask", col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == cases.map(maskOf))
+  }
+
+  test("probe-mask byte/String agreement on random ASCII-dense strings") {
+    // property-style sweep over the grammar's alphabet: every divergence
+    // class the byte scanner could introduce (sign/dot/exponent edges,
+    // partial dates, space trim, bool-token casing) is reachable from
+    // these chars at these lengths
+    val alphabet = "0123456789+-./eE Tty é\n"
+    val rnd = new scala.util.Random(16)
+    val maskOf = graft.ops.TypeConvert.probeMask
+    (0 until 20000).foreach { i =>
+      val n = rnd.nextInt(12)
+      val s = Seq.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val viaBytes = graft.functions.TextKernels.probeMaskUtf8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(viaBytes == maskOf(s), s"divergence on '$s' (iter $i)")
+    }
+  }
+
+  test("graft_bloom_contains equals BloomFilter.mightContainLong and " +
+      "runs codegen'd without a ScalaUDF node (r16)") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0L until 500L).map(_ * 7919L).foreach(bf.putLong)
+    val bc = spark.sparkContext.broadcast(bf)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_test",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.BloomMightContainLong(args(0), bc),
+      "scala_udf")
+    val probes = ((0L until 500L).map(_ * 7919L) ++
+      (0L until 2000L).map(_ * 104729L + 13L)).distinct
+    // RDD-backed, not a local Seq: ConvertToLocalRelation would fold a
+    // LocalRelation projection at the driver and never exercise codegen
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(probes.map(org.apache.spark.sql.Row(_)), 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val plan = df.select(call_function("graft_bloom_test", col("h")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).nonEmpty, plan)
+    val got = df.select(col("h"),
+        call_function("graft_bloom_test", col("h")).as("hit"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getBoolean(1) == bf.mightContainLong(r.getLong(0)),
+        s"bloom divergence on ${r.getLong(0)}")
+    }
+    // every inserted key MUST hit (no false negatives through the kernel)
+    val inserted = (0L until 500L).map(_ * 7919L).toSet
+    got.filter(r => inserted(r.getLong(0))).foreach(r =>
+      assert(r.getBoolean(1)))
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_test"))
+  }
+
   test("interpreted eval path (codegen fallback) agrees with codegen") {
     val key = "spark.sql.codegen.factoryMode"
     val prev = spark.conf.get(key, "FALLBACK")
@@ -160,6 +252,7 @@ class TextKernelsSpec extends SparkSpec {
         NearDup.shingles(col("text")).as("sh"),
         NearDup.simhash(col("text")).as("sig"),
         call_function("graft_repetition", col("text")).as("r"),
+        call_function("graft_probe_mask", col("text")).as("pm"),
         call_function("graft_rep_keep", col("text"),
           lit(0.30), lit(0.18), lit(0.16), lit(0.15)).as("keep")).head()
       val withCodegen = run()

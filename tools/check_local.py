@@ -9,7 +9,7 @@ SPARK_GRAFT_ONLY=<names>) to have populated <outDir>/<name>/ parquet and
 sf tables and compares rows/schema/values the way the driver does: columns
 sorted by name, values stringified with float rounding, then hashed.
 """
-import json, os, sys, hashlib
+import decimal, json, os, sys, hashlib
 
 import duckdb
 
@@ -23,7 +23,16 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            # Type-representation differences between Spark-written
+            # parquet read back through DuckDB and the oracle expression
+            # must not read as value differences (r15 ADVICE): coerce
+            # Decimal/int-valued floats through one numeric path, snap
+            # -0.0 to 0.0, and normalize bool casing via str(bool).
+            if isinstance(v, decimal.Decimal):
+                v = float(v)
             if isinstance(v, float):
+                if v == 0.0:
+                    v = 0.0  # -0.0 and 0.0 must render identically
                 vals.append(f"{v:.6g}")
             elif v is None:
                 vals.append("NULL")
