@@ -1353,7 +1353,58 @@ object SparkEntry {
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(
         tbl(s, dir, "documents"), "text"), frameBytes = 64, every = 4)
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // REAL multimodal decode (r16): well-formed 24bpp BMPs synthesized
+    // per row (dims from doc_id, pixels from the text's md5 stream),
+    // header fields decoded back with pure byte-math expressions —
+    // every 7th doc stays raw octet-stream media to exercise the
+    // non-BMP null/fallback path. The oracle recomputes the embedded
+    // dims from the same id arithmetic, so any endianness/offset slip
+    // in EITHER the synthesizer or the decoder breaks the hash; a
+    // hand-written golden BMP in MultimodalDecodeSpec rules out a
+    // mirrored encode/decode error.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bmp = Multimodal.synthBmp(
+        docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text")
+      val raw = Multimodal.asMedia(
+        docs.where(col("doc_id") % 7 === 0), "text")
+      val media = bmp.select("doc_id", "content", "meta")
+        .unionAll(raw.select("doc_id", "content", "meta"))
+      Multimodal.decodeBmpMeta(media)
+        .select(col("doc_id"), col("is_bmp"),
+          col("bmp_width").as("width"), col("bmp_height").as("height"),
+          col("bmp_bpp").as("bpp"), col("bmp_file_size").as("file_size"),
+          col("bmp_data_offset").as("data_offset"),
+          col("bmp_compression").as("compression"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")
+    }),
+
+    // the audio twin: canonical PCM WAV headers (channels/rate from
+    // doc_id, samples from the md5 stream) decoded back with byte math;
+    // every 5th doc stays raw. duration is integer-derived from the
+    // header's byte_rate — exactly what a real ingest computes.
+    "q_multimodal_wav" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val wav = Multimodal.synthWav(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val raw = Multimodal.asMedia(
+        docs.where(col("doc_id") % 5 === 0), "text")
+      val media = wav.select("doc_id", "content", "meta")
+        .unionAll(raw.select("doc_id", "content", "meta"))
+      Multimodal.decodeWavMeta(media)
+        .select(col("doc_id"), col("is_wav"),
+          col("wav_channels").as("channels"),
+          col("wav_sample_rate").as("sample_rate"),
+          col("wav_bits").as("bits"),
+          col("wav_data_bytes").as("data_bytes"),
+          col("wav_n_samples").as("n_samples"),
+          col("wav_duration_ms").as("duration_ms"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")
+    })
   )
 
   // ---- oracle SQL (DuckDB dialect, same parquet tables) ------------------
@@ -2603,6 +2654,48 @@ object SparkEntry {
          | $feats
          |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    // DuckDB twin of synthBmp→decodeBmpMeta: the decoded header fields
+    // must equal the values the synthesizer embedded, recomputed from
+    // the same doc_id arithmetic (width=id%21+1, height=id%13+1, rows
+    // padded to 4 bytes, 54-byte header)
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        | doc_id % 7 <> 0 AS is_bmp,
+        | CASE WHEN doc_id % 7 <> 0 THEN doc_id % 21 + 1 END AS width,
+        | CASE WHEN doc_id % 7 <> 0 THEN doc_id % 13 + 1 END AS height,
+        | CASE WHEN doc_id % 7 <> 0 THEN 24 END AS bpp,
+        | CASE WHEN doc_id % 7 <> 0 THEN
+        |   (((doc_id % 21 + 1) * 3 + 3) // 4) * 4 * (doc_id % 13 + 1) + 54
+        | END AS file_size,
+        | CASE WHEN doc_id % 7 <> 0 THEN 54 END AS data_offset,
+        | CASE WHEN doc_id % 7 <> 0 THEN 0 END AS compression,
+        | CASE WHEN doc_id % 7 <> 0 THEN 'image/bmp'
+        |      ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB twin of synthWav→decodeWavMeta (16-bit PCM: block = 2ch,
+    // byte_rate = rate*block, duration from integer header math)
+    "q_multimodal_wav" ->
+      """SELECT doc_id,
+        | doc_id % 5 <> 0 AS is_wav,
+        | CASE WHEN doc_id % 5 <> 0 THEN doc_id % 2 + 1 END AS channels,
+        | CASE WHEN doc_id % 5 <> 0 THEN
+        |   CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |        ELSE 44100 END
+        | END AS sample_rate,
+        | CASE WHEN doc_id % 5 <> 0 THEN 16 END AS bits,
+        | CASE WHEN doc_id % 5 <> 0 THEN
+        |   (doc_id % 200 + 1) * (doc_id % 2 + 1) * 2 END AS data_bytes,
+        | CASE WHEN doc_id % 5 <> 0 THEN doc_id % 200 + 1 END AS n_samples,
+        | CASE WHEN doc_id % 5 <> 0 THEN
+        |   CAST(floor((doc_id % 200 + 1) * 1000.0 /
+        |     CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          ELSE 44100 END) AS BIGINT)
+        | END AS duration_ms,
+        | CASE WHEN doc_id % 5 <> 0 THEN 'audio/wav'
+        |      ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // the CSV round-trip must reproduce the parquet original exactly
     "q_csv_roundtrip" ->

@@ -41,8 +41,180 @@ object Multimodal {
     df.withColumn("byte_len", length(col("content")).cast(LongType))
       .withColumn("content_sha", sha2(col("content"), 256))
 
-  /** STUB decoder: where a real pipeline would decode media and extract
-    * features (via a partition-parallel batch UDF), this produces a
+  // ---- real container decode (r16) ---------------------------------------
+  // Uncompressed containers parse with pure byte-math expressions — no
+  // codec library, no UDF, scan-stage only. BMP and canonical PCM WAV are
+  // decoded for real; everything else falls through to the STUB decoder
+  // below, which is now the unsupported-format fallback rather than the
+  // only path.
+
+  /** Hex pair of one byte value (0..255). Spark's `hex` is minimal-width,
+    * so pad to 2. */
+  private def hexByte(v: Column): Column =
+    lpad(hex(v.cast(LongType)), 2, "0")
+
+  /** Little-endian hex of the low `bytes` bytes of an integer column —
+    * the building block for synthesizing binary headers via `unhex`. */
+  private def leHex(v: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      hexByte(shiftright(v.cast(LongType), 8 * i).bitwiseAND(lit(255L)))): _*)
+
+  /** Unsigned little-endian integer read from `len` bytes of a binary
+    * column at 1-based `pos` — bytes re-hexed in reverse order, then one
+    * base-16 `conv`. Null when the slice is short (conv of ''). */
+  private def leUint(c: Column, pos: Int, len: Int): Column =
+    conv(concat((len - 1 to 0 by -1).map(i =>
+      hex(substring(c, pos + i, 1))): _*), 16, 10).cast(LongType)
+
+  /** Two's-complement reinterpretation of an unsigned 32-bit read —
+    * BMP width/height are SIGNED (negative height = top-down rows). */
+  private def signed32(v: Column): Column =
+    when(v >= lit(2147483648L), v - lit(4294967296L)).otherwise(v)
+
+  private def asciiLit(s: String): Column =
+    lit(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
+  /** True when the column starts with a parseable BITMAPINFOHEADER BMP:
+    * "BM" magic and at least the 54 header bytes present. */
+  def isBmp(c: Column): Column =
+    length(c) >= 54 && substring(c, 1, 2) === asciiLit("BM")
+
+  /** True for a canonical 44-byte-header PCM WAV: RIFF/WAVE/fmt /data
+    * chunk layout (the layout every uncompressed recorder writes). */
+  def isWav(c: Column): Column =
+    length(c) >= 44 &&
+      substring(c, 1, 4) === asciiLit("RIFF") &&
+      substring(c, 9, 8) === asciiLit("WAVEfmt ") &&
+      substring(c, 37, 4) === asciiLit("data")
+
+  /** REAL BMP header decode with pure byte math (offsets per the public
+    * BITMAPFILEHEADER/BITMAPINFOHEADER layout): width/height (signed),
+    * bits-per-pixel, declared file size, pixel-data offset and
+    * compression code; all null on non-BMP content. Also refreshes the
+    * [[MetaType]] struct (mime + dims) for BMP rows — the convention's
+    * metadata is now derived from the bytes, not asserted by the
+    * caller. */
+  def decodeBmpMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val bmp = isBmp(c)
+    def f(v: Column): Column = when(bmp, v)
+    val width = f(signed32(leUint(c, 19, 4)))
+    val height = f(signed32(leUint(c, 23, 4)))
+    val withFields = df
+      .withColumn("is_bmp", bmp)
+      .withColumn("bmp_width", width)
+      .withColumn("bmp_height", height)
+      .withColumn("bmp_bpp", f(leUint(c, 29, 2)))
+      .withColumn("bmp_file_size", f(leUint(c, 3, 4)))
+      .withColumn("bmp_data_offset", f(leUint(c, 11, 4)))
+      .withColumn("bmp_compression", f(leUint(c, 31, 4)))
+    if (!withFields.columns.contains("meta")) withFields
+    else withFields.withColumn("meta",
+      when(col("is_bmp"), struct(
+        lit("image/bmp").as("mime"),
+        col("bmp_width").cast(IntegerType).as("width"),
+        // rows render bottom-up for positive heights, top-down for
+        // negative — the dimension is the magnitude either way
+        abs(col("bmp_height")).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+        .otherwise(col("meta")))
+  }
+
+  /** REAL canonical-PCM-WAV header decode: channels, sample rate, bits
+    * per sample, data-chunk byte length, derived sample count and
+    * duration (integer math — byte_rate is exact for PCM); null on
+    * non-WAV content. Refreshes [[MetaType]].duration_ms. */
+  def decodeWavMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val wav = isWav(c)
+    def f(v: Column): Column = when(wav, v)
+    val blockAlign = leUint(c, 33, 2)
+    val byteRate = leUint(c, 29, 4)
+    val dataSize = leUint(c, 41, 4)
+    val withFields = df
+      .withColumn("is_wav", wav)
+      .withColumn("wav_channels", f(leUint(c, 23, 2)))
+      .withColumn("wav_sample_rate", f(leUint(c, 25, 4)))
+      .withColumn("wav_bits", f(leUint(c, 35, 2)))
+      .withColumn("wav_data_bytes", f(dataSize))
+      .withColumn("wav_n_samples", f(floor(dataSize / blockAlign).cast(LongType)))
+      .withColumn("wav_duration_ms",
+        f(floor(dataSize * 1000 / byteRate).cast(LongType)))
+    if (!withFields.columns.contains("meta")) withFields
+    else withFields.withColumn("meta",
+      when(col("is_wav"), struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        col("wav_duration_ms").as("duration_ms")))
+        .otherwise(col("meta")))
+  }
+
+  /** Deterministic WELL-FORMED 24bpp BMP per row — dims derived from the
+    * id, pixel bytes from the text's md5 stream — so the corpus (which
+    * ships no real media) can exercise [[decodeBmpMeta]] end to end and
+    * an external engine can verify the decoded fields from the same id
+    * arithmetic. width = id%21+1, height = id%13+1, rows padded to 4
+    * bytes per the format. Pure expressions: header hex is concatenated
+    * little-endian byte pairs through one `unhex`. */
+  def synthBmp(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = (col(idCol) % 21 + 1).cast(LongType)
+    val h = (col(idCol) % 13 + 1).cast(LongType)
+    // (3w + 3) & ~3 — BMP rows pad to 4-byte boundaries
+    val rowSize = (w * 3 + 3).bitwiseAND(lit(-4L))
+    val pixelBytes = rowSize * h
+    val fileSize = pixelBytes + 54
+    // max pixelBytes = 64*13 = 832 bytes = 1664 hex chars = 52 md5 reps
+    val pixHex = repeat(md5(coalesce(col(textCol), lit(""))), 52)
+      .substr(lit(1), (pixelBytes * 2).cast(IntegerType))
+    val headerHex = concat(
+      lit("424D"), leHex(fileSize, 4), lit("00000000"), leHex(lit(54), 4),
+      leHex(lit(40), 4), leHex(w, 4), leHex(h, 4),
+      leHex(lit(1), 2), leHex(lit(24), 2), leHex(lit(0), 4),
+      leHex(pixelBytes, 4), leHex(lit(2835), 4), leHex(lit(2835), 4),
+      leHex(lit(0), 4), leHex(lit(0), 4))
+    df.withColumn("content", unhex(concat(headerHex, pixHex)))
+      .withColumn("meta", struct(
+        lit("image/bmp").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  /** Deterministic canonical PCM WAV per row (16-bit; channels and
+    * sample rate derived from the id, data bytes from the text's md5
+    * stream) — the audio twin of [[synthBmp]]. channels = id%2+1,
+    * rate ∈ {8000, 16000, 44100} by id%3, samples-per-channel =
+    * id%200+1. */
+  def synthWav(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val channels = (col(idCol) % 2 + 1).cast(LongType)
+    val rate = when(col(idCol) % 3 === 0, 8000L)
+      .when(col(idCol) % 3 === 1, 16000L).otherwise(44100L)
+    val blockAlign = channels * 2 // 16-bit PCM
+    val byteRate = rate * blockAlign
+    val nSamples = (col(idCol) % 200 + 1).cast(LongType)
+    val dataSize = nSamples * blockAlign
+    // max dataSize = 200*4 = 800 bytes = 1600 hex chars = 50 md5 reps
+    val dataHex = repeat(md5(coalesce(col(textCol), lit(""))), 50)
+      .substr(lit(1), (dataSize * 2).cast(IntegerType))
+    val headerHex = concat(
+      lit("52494646"), leHex(dataSize + 36, 4), lit("57415645"),
+      lit("666D7420"), leHex(lit(16), 4), leHex(lit(1), 2),
+      leHex(channels, 2), leHex(rate, 4), leHex(byteRate, 4),
+      leHex(blockAlign, 2), leHex(lit(16), 2),
+      lit("64617461"), leHex(dataSize, 4))
+    df.withColumn("content", unhex(concat(headerHex, dataHex)))
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  /** STUB decoder — since r16 the UNSUPPORTED-FORMAT FALLBACK (BMP and
+    * PCM WAV decode for real above; compressed codecs are excluded by
+    * the sandbox build): where a real pipeline would decode media and
+    * extract features (via a partition-parallel batch UDF), this produces a
     * deterministic `dims`-dim pseudo-feature row from the content's sha-256
     * digest. Scalar `feature_i` columns (not an array) so downstream
     * tooling — including a pandas comparator — can sort/hash the output.
