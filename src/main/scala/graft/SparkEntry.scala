@@ -871,6 +871,38 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
+    // real pre-training pipeline runs, composed from the r14/r15 pieces —
+    // Gopher repetition filter → Bloom-prefiltered decontamination
+    // (benchmark = every 20th doc) → ≤40-docs-per-lang cap → deterministic
+    // epoch shuffle → 6-token/stride-4 chunks keyed by shuffle position →
+    // 64-token packed training rows. Every stage is the already-green
+    // operator with its production knobs; the oracle replays the chain in
+    // SQL CTE by CTE. PlanQualitySpec pins the shuffle budget.
+    "q_train_layout" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      val quality = graft.text.QualityFilters.gopherRepetitionFilter(
+        d, "text", maxDupWordFrac = 0.60, maxTopBigramCharFrac = 0.15,
+        maxTopTrigramCharFrac = 0.15, maxDupFivegramCharFrac = 0.15)
+      val bench = d.where(col("doc_id") % 20 === 0).select("doc_id", "text")
+      val clean = graft.text.Decontaminate
+        .flagContaminatedBloom(quality, bench, "text", "doc_id", n = 6)
+        .where(!col("contaminated")).drop("contaminated")
+      val capped = graft.ops.Sampling.capPerGroup(clean, "lang", "doc_id",
+        k = 40)
+      val shuffled = graft.ops.Sampling.shufflePositions(
+        capped.select("doc_id", "text"), "doc_id")
+      // chunk in SHUFFLED order: the epoch permutation, not doc_id, is
+      // the packing order — chunk_key = pos·1e6 + chunk_id tiles it
+      val chunks = graft.text.Chunker.chunk(shuffled, "shuffle_pos",
+          "text", chunkTokens = 6, overlapTokens = 2)
+        .select((col("shuffle_pos") * 1000000L + col("chunk_id"))
+          .as("chunk_key"),
+          split(col("chunk_text"), " ").as("toks"))
+      graft.plans.SequencePacking.gather(chunks, "chunk_key", "toks",
+        window = 64).orderBy("seq_id")
+    }),
+
     // §7.6 near-dup CLUSTER RESOLUTION: connected components over the
     // minhash pair list via min-label propagation — a chain of pairwise
     // near-dups resolves to ONE cluster even where the endpoints' own
@@ -2138,6 +2170,99 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
         |  FROM n),
         |e AS (SELECT ws, n, start,
+        |    UNNEST(range(start // 64, (start + n - 1) // 64 + 1)) AS seq
+        |  FROM p),
+        |pc AS (SELECT seq, GREATEST(seq * 64, start) - seq * 64 AS off,
+        |    ws[CAST(GREATEST(seq * 64, start) - start + 1 AS BIGINT) :
+        |       CAST(LEAST((seq + 1) * 64, start + n) - start AS BIGINT)] AS piece
+        |  FROM e),
+        |g AS (SELECT seq, flatten(list(piece ORDER BY off)) AS toks,
+        |    count(*) AS n_docs FROM pc GROUP BY seq)
+        |SELECT CAST(seq AS BIGINT) AS seq_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  array_to_string(toks, ' ') AS seq_text
+        |FROM g ORDER BY seq_id""".stripMargin,
+
+    // the full training-layout chain replayed CTE by CTE: the
+    // q_quality_filter CTEs (kept ids) → the q_decontaminate_filter
+    // CTEs over the kept corpus → per-lang md5-rank cap (40) →
+    // md5-order epoch positions → the q_chunk_docs chunk CTE keyed by
+    // position → the q_pack_gather prefix-sum/slice/regroup at window 64
+    "q_train_layout" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT doc_id, ws, len(ws) AS nw,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) AS tc,
+        |    len(list_distinct(ws)) AS nd
+        |  FROM w
+        |),
+        |i2 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 1 AS BIGINT))) AS i FROM base),
+        |a2 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1])) AS cl
+        |    FROM i2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i3 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 2 AS BIGINT))) AS i FROM base),
+        |a3 AS (SELECT doc_id, max(c * cl) AS cover FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g, count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2])) AS cl
+        |    FROM i3 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |i5 AS (SELECT doc_id, ws, unnest(generate_series(1, CAST(nw - 4 AS BIGINT))) AS i FROM base),
+        |a5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * cl ELSE 0 END) AS cover FROM (
+        |    SELECT doc_id,
+        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g,
+        |      count(*) AS c,
+        |      max(length(ws[i]) + length(ws[i+1]) + length(ws[i+2]) + length(ws[i+3]) + length(ws[i+4])) AS cl
+        |    FROM i5 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |qk AS (SELECT b.doc_id
+        |  FROM base b
+        |  LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) LEFT JOIN a5 USING (doc_id)
+        |  WHERE (CASE WHEN b.nw = 0 THEN 0.0 ELSE 1.0 - b.nd / CAST(b.nw AS DOUBLE) END) <= CAST(0.60 AS DOUBLE)
+        |    AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a2.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
+        |    AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a3.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)
+        |    AND (CASE WHEN COALESCE(b.tc, 0) = 0 THEN 0.0 ELSE COALESCE(a5.cover, 0) / b.tc END) <= CAST(0.15 AS DOUBLE)),
+        |corpus AS (SELECT d.doc_id, d.lang, d.text FROM documents d JOIN qk USING (doc_id)),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |cw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM corpus),
+        |bw AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws FROM bench),
+        |cg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM cw)),
+        |bg AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] AS g
+        |       FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 5 AS BIGINT))) AS i FROM bw)),
+        |hits AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+        |clean AS (SELECT c.doc_id, c.lang, c.text
+        |  FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |  WHERE h.doc_id IS NULL),
+        |capped AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    FROM clean)
+        |  WHERE rn <= 40),
+        |shuf AS (SELECT text,
+        |    CAST(row_number() OVER (ORDER BY
+        |      md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS BIGINT) AS pos
+        |  FROM capped),
+        |t AS (SELECT pos,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS ws,
+        |    len(trim(text)) AS nz FROM shuf),
+        |c AS (SELECT pos, ws, UNNEST(range(0, len(ws), 4)) AS start
+        |      FROM t WHERE nz > 0),
+        |ch AS (SELECT CAST(pos * 1000000 + start // 4 AS BIGINT) AS chunk_key,
+        |    ws[start + 1 : start + 6] AS cts,
+        |    CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n FROM c),
+        |p AS (SELECT chunk_key, cts, n,
+        |    CAST(COALESCE(sum(n) OVER (ORDER BY chunk_key
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM ch),
+        |e AS (SELECT cts AS ws, n, start,
         |    UNNEST(range(start // 64, (start + n - 1) // 64 + 1)) AS seq
         |  FROM p),
         |pc AS (SELECT seq, GREATEST(seq * 64, start) - seq * 64 AS off,

@@ -388,4 +388,66 @@ class PlanQualitySpec extends SparkSpec {
       }
     } finally graft.util.CacheHygiene.releaseNew(spark, before)
   }
+
+  test("q_train_layout composition keeps the documented shuffle budget " +
+      "(r16): pushed quality filter, scan-side bloom, 2 exchanges before " +
+      "the epoch shuffle") {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try {
+      val d = Tables.load(spark, sf, "documents")
+        .select("doc_id", "lang", "text")
+      val quality = graft.text.QualityFilters.gopherRepetitionFilter(
+        d, "text", 0.60, 0.15, 0.15, 0.15)
+      val bench = d.where(col("doc_id") % 20 === 0).select("doc_id", "text")
+      val clean = graft.text.Decontaminate
+        .flagContaminatedBloom(quality, bench, "text", "doc_id", n = 6)
+        .where(!col("contaminated")).drop("contaminated")
+      val capped = graft.ops.Sampling
+        .capPerGroup(clean, "lang", "doc_id", k = 40)
+        .select("doc_id", "text")
+      val p = plan(capped)
+      // the cached benchGrams build (after "InMemoryRelation") is a
+      // separate, already-pinned query — budget the MAIN chain only
+      val main = p.split("InMemoryRelation")(0)
+      // exactly 2 data shuffles before the epoch shuffle: the hit-id
+      // distinct and the per-lang cap window — everything else must be
+      // scan-side (pushed repetition filter, bloom probe) or broadcast
+      val exchanges = "Exchange hashpartitioning".r
+        .findAllMatchIn(main).size
+      assert(exchanges == 2,
+        s"expected exactly 2 hash exchanges in the main chain, got $exchanges:\n$main")
+      assert(!main.contains("SinglePartition") &&
+        !main.contains("SortMergeJoin"), main)
+      // the repetition keep-predicate reaches the parquet scan as a data
+      // filter — the corpus is pruned before anything else touches it
+      assert(main.linesIterator.exists(l =>
+        l.contains("DataFilters") && l.contains("graft_rep_keep")), main)
+      // the bloom probe sits under (prints after) the verify semi-join
+      val probeAt = main.indexOf("graft_bloom_contains")
+      val joinAt = main.indexOf("LeftSemi")
+      assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt, main)
+      // the cap runs the two-phase WindowGroupLimit (partial before the
+      // exchange) — a mega-lang cannot materialize on one partition
+      assert(main.contains("WindowGroupLimit") && main.contains("Partial"),
+        main)
+      // end-to-end: gather emits exactly-64-token sequences except the
+      // corpus tail, contiguous seq_ids, and total tokens add up
+      val shuffled = graft.ops.Sampling.shufflePositions(capped, "doc_id")
+      val chunks = graft.text.Chunker.chunk(shuffled, "shuffle_pos",
+          "text", chunkTokens = 6, overlapTokens = 2)
+        .select((col("shuffle_pos") * 1000000L + col("chunk_id"))
+          .as("chunk_key"), split(col("chunk_text"), " ").as("toks"))
+      val seqs = graft.plans.SequencePacking
+        .gather(chunks, "chunk_key", "toks", window = 64)
+        .orderBy("seq_id").collect()
+      assert(seqs.nonEmpty)
+      assert(seqs.map(_.getLong(0)).toSeq == (0L until seqs.length).toSeq,
+        "seq_ids must be contiguous from 0")
+      seqs.init.foreach(r => assert(r.getLong(1) == 64L,
+        s"non-tail sequence ${r.getLong(0)} must be exactly 64 tokens"))
+      val chunkTokens = chunks.select(sum(size(col("toks")))).head().getLong(0)
+      assert(seqs.map(_.getLong(1)).sum == chunkTokens,
+        "packed tokens must equal the chunk stream's total")
+    } finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
 }
