@@ -1057,6 +1057,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF × QUANTIZATION composition (r16): the search scans int8 codes
+    // (4× less data), candidates rank by rounded quantized sim, the top
+    // k·overfetch per query re-rank EXACTLY against the full-precision
+    // vectors through a broadcast id-join — via the persistent index
+    // whose fingerprint keys on the QUANTIZED corpus. nprobe == nlist
+    // makes both stages deterministic pure functions of the codes +
+    // floats, so the oracle replays candidate cut and refine in SQL;
+    // the nprobe < nlist recall pin vs full-precision IVF lives in
+    // ExtensionsSpec.
+    "q_ann_ivf_quantized" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val idx = Similarity.ivfIndexAtQuantized(e,
+        roundtripPath("ivfq8", dir), nlist = 8)
+      Similarity.ivfTopKQuantizedRefine(e, e.where(col("vec_id") < 5), 10,
+        nlist = 8, nprobe = 8, overfetch = 2, index = Some(idx))
+        .orderBy("query_id", "rank")
+    }),
+
     // tumbling 1h event-time windows
     "q_events_window" -> ((s, dir) =>
       Events.tumblingStats(Events.load(s, dir))
@@ -2464,6 +2482,45 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER
         |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
         |    AS BIGINT) AS rank FROM sc)
+        |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the q_embed_quantize/q_ann_quantized dequant CTEs feeding the
+    // candidate cut (rounded quantized sim, id tie-break, k·overfetch =
+    // 20), then the exact re-rank over the RAW vectors — both stages
+    // replayed value-for-value
+    "q_ann_ivf_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |    CAST(list_min(embedding) AS DOUBLE) AS minv,
+        |    (CAST(list_max(embedding) AS DOUBLE)
+        |      - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, list_transform(embedding, x ->
+        |    CASE WHEN scale = 0 THEN minv
+        |      ELSE (LEAST(127, GREATEST(-128,
+        |        CAST(round((CAST(x AS DOUBLE) - minv) / scale) AS INTEGER)
+        |        - 128)) + 128) * scale + minv END) AS v
+        |  FROM s),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    round(list_dot_product(q.v, a.v)
+        |      / (sqrt(list_dot_product(q.v, q.v))
+        |         * sqrt(list_dot_product(a.v, a.v))), 6) AS qsim
+        |  FROM d a, q WHERE a.vec_id <> q.vec_id),
+        |c AS (SELECT *, row_number() OVER
+        |    (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS crk
+        |  FROM sc),
+        |cand AS (SELECT query_id, neighbor_id FROM c WHERE crk <= 20),
+        |x AS (SELECT cand.query_id, cand.neighbor_id,
+        |    round(list_dot_product(qv.v, av.v)
+        |      / (sqrt(list_dot_product(qv.v, qv.v))
+        |         * sqrt(list_dot_product(av.v, av.v))), 6) AS sim
+        |  FROM cand JOIN e qv ON qv.vec_id = cand.query_id
+        |            JOIN e av ON av.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+        |    AS BIGINT) AS rank FROM x)
         |SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

@@ -364,27 +364,78 @@ object Similarity {
     * refit. */
   def ivfIndexAt(corpus: DataFrame, path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): IvfIndex = {
-    val spark = corpus.sparkSession
+      seed: Long = 42L): IvfIndex =
+    indexAt(corpus.sparkSession, path, nlist, seed,
+      corpusFingerprint(corpus, idCol, vecCol),
+      () => fitCenters(corpus, nlist, idCol, vecCol, seed))
+
+  /** The load-match-or-fit-and-save skeleton shared by [[ivfIndexAt]]
+    * and [[ivfIndexAtQuantized]]: reuse the saved index only when
+    * (fingerprint, nlist, seed) all match; otherwise fit and save
+    * (best-effort — a failed save must not fail the query, the index is
+    * advisory). */
+  private def indexAt(spark: org.apache.spark.sql.SparkSession,
+      path: String, nlist: Int, seed: Long, fingerprint: Long,
+      fit: () => Array[Array[Double]]): IvfIndex = {
     val cached =
       try {
         val idx = loadIvfIndex(spark, path)
         if (idx.nlist == nlist && idx.seed == seed &&
-            idx.fingerprint == corpusFingerprint(corpus, idCol, vecCol))
+            idx.fingerprint == fingerprint)
           Some(idx)
         else None
       } catch { case scala.util.control.NonFatal(_) => None }
     cached.getOrElse {
-      val idx = fitIvfIndex(corpus, nlist, idCol, vecCol, seed)
+      val idx = IvfIndex(fingerprint, nlist, seed, fit())
       try saveIvfIndex(spark, idx, path)
       catch { case scala.util.control.NonFatal(e) =>
-        // a failed save must not fail the query — the index is advisory
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"IVF index save to $path failed: ${e.getMessage}")
       }
       idx
     }
   }
+
+  /** Order-independent identity of a QUANTIZED corpus (the
+    * [[Quantize.quantizeInt8]] layout): count + XOR of xxhash64(id,
+    * minv, scale, codes). The quantized-IVF index key hashes exactly
+    * what that search path scans — re-embedding OR re-quantizing the
+    * same ids moves the key, so a stale quantizer can never serve new
+    * codes. */
+  def quantizedFingerprint(q8: DataFrame, idCol: String = "vec_id"): Long = {
+    val r = q8.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col(idCol), col("minv"), col("scale"),
+        col("codes"))).as("h")).head()
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    r.getLong(0) * 0x9E3779B97F4A7C15L ^ h
+  }
+
+  /** [[ivfIndexAt]] for the quantized search path ([[
+    * ivfTopKQuantizedRefine]]): the coarse quantizer is fit on the
+    * DEQUANTIZED vectors (exactly what that path assigns and scores —
+    * centers fit on raw floats would drift from the scanned space) and
+    * the index key is [[quantizedFingerprint]] over the codes. */
+  def ivfIndexAtQuantized(corpus: DataFrame, path: String, nlist: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): IvfIndex = {
+    val deq = dequantizedCorpus(corpus, idCol, vecCol)
+    indexAt(corpus.sparkSession, path, nlist, seed,
+      quantizedFingerprint(
+        graft.sim.Quantize.quantizeInt8(
+          withVec(corpus, vecCol, "__fv"), idCol, "__fv"), idCol),
+      () => fitCenters(deq, nlist, idCol, "__dq", seed))
+  }
+
+  /** The corpus as the quantized path sees it: int8 codes off the scan,
+    * vectors reconstructed in place as `__dq` (array<double>). */
+  private def dequantizedCorpus(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    graft.sim.Quantize.quantizeInt8(withVec(corpus, vecCol, "__fv"),
+        idCol, "__fv")
+      .withColumn("__dq", transform(col("codes"), c =>
+        (c.cast(DoubleType) + 128.0) * col("scale") + col("minv")))
+      .select(col(idCol), col("__dq"))
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer (deterministic
     * Lloyd fit over a bounded driver-side sample — see [[fitIvfIndex]])
@@ -412,21 +463,7 @@ object Similarity {
         s"(nlist=$nlist, seed=$seed)"))
     val centers = index.map(_.centers)
       .getOrElse(fitCenters(corpus, nlist, idCol, vecCol, seed))
-    val bc = spark.sparkContext.broadcast(centers)
-    val assignUdf = udf { v: Seq[Double] =>
-      var best = 0; var bestD = Double.MaxValue
-      val cs = bc.value
-      var i = 0
-      while (i < cs.length) {
-        val d = dist2(v, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
-      }
-      best
-    }
-    val probeUdf = udf { v: Seq[Double] =>
-      bc.value.indices
-        .sortBy(i => dist2(v, bc.value(i)))
-        .take(math.min(nprobe, bc.value.length))
-    }
+    val (assignUdf, probeUdf) = cellUdfs(spark, centers, nprobe)
     val c = withVec(corpus, vecCol, "c_vec")
       .select(col(idCol).as("c_id"), col("c_vec"))
       .withColumn("__cell", assignUdf(col("c_vec")))
@@ -444,6 +481,101 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+  }
+
+  /** The nearest-cell / nearest-`nprobe`-cells UDF pair over a broadcast
+    * center table — shared by [[ivfTopK]] and
+    * [[ivfTopKQuantizedRefine]]. */
+  private def cellUdfs(spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Double]], nprobe: Int)
+      : (org.apache.spark.sql.expressions.UserDefinedFunction,
+         org.apache.spark.sql.expressions.UserDefinedFunction) = {
+    val bc = spark.sparkContext.broadcast(centers)
+    val assignUdf = udf { v: Seq[Double] =>
+      var best = 0; var bestD = Double.MaxValue
+      val cs = bc.value
+      var i = 0
+      while (i < cs.length) {
+        val d = dist2(v, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
+      }
+      best
+    }
+    val probeUdf = udf { v: Seq[Double] =>
+      bc.value.indices
+        .sortBy(i => dist2(v, bc.value(i)))
+        .take(math.min(nprobe, bc.value.length))
+    }
+    (assignUdf, probeUdf)
+  }
+
+  /** IVF over the QUANTIZED corpus with exact full-precision refine —
+    * the faiss IVF+SQ8-with-refine composition (r15 verdict #7): the
+    * corpus side of the search reads int8 CODES (4× less off disk and
+    * through the scan pipeline at 100 TB), candidates score against the
+    * in-place DEQUANTIZED vectors, the top `k·overfetch` candidates per
+    * query (ranked by rounded quantized sim, id tie-break — stable
+    * across engines) join back to the FULL-PRECISION vectors BY ID —
+    * only candidate rows move, broadcast-joined against the corpus scan
+    * — and re-rank exactly. Query vectors stay full precision
+    * throughout (they are few; quantizing them buys nothing).
+    *
+    * Pass `index` from [[ivfIndexAtQuantized]] to reuse a persisted
+    * quantizer — its key is the QUANTIZED corpus fingerprint, and its
+    * centers were fit on the dequantized space this method assigns in.
+    *
+    * Determinism contract (oracle-pinned in q_ann_ivf_quantized with
+    * nprobe == nlist, where the probed union is the whole corpus): both
+    * stages are pure functions of the affine codes and the raw floats,
+    * so an external engine replays candidate cut and refine exactly.
+    * Recall at nprobe < nlist vs the full-precision IVF is
+    * property-pinned in ExtensionsSpec. */
+  def ivfTopKQuantizedRefine(corpus: DataFrame, queries: DataFrame,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, overfetch: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, index: Option[IvfIndex] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(overfetch >= 1, s"overfetch must be >= 1, got $overfetch")
+    graft.functions.VectorKernels.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    index.foreach(i => require(i.nlist == nlist && i.seed == seed,
+      s"index (nlist=${i.nlist}, seed=${i.seed}) does not match the call " +
+        s"(nlist=$nlist, seed=$seed)"))
+    val deq = dequantizedCorpus(corpus, idCol, vecCol)
+    val centers = index.map(_.centers)
+      .getOrElse(fitCenters(deq, nlist, idCol, "__dq", seed))
+    val (assignUdf, probeUdf) = cellUdfs(spark, centers, nprobe)
+    val c = deq
+      .select(col(idCol).as("c_id"), col("__dq").as("c_vec"))
+      .withColumn("__cell", assignUdf(col("c_vec")))
+    val q = withVec(queries, vecCol, "q_vec")
+      .select(col(idCol).as("query_id"), col("q_vec"))
+      .withColumn("__cell", explode(probeUdf(col("q_vec"))))
+    // stage 1: quantized candidate cut — rank on the ROUNDED quantized
+    // sim (6dp, id tie-break) so the candidate SET is reproducible in
+    // another engine's double math
+    val qsimed = c.join(broadcast(q), Seq("__cell"))
+      .where(col("c_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_vec"),
+        col("c_id").as("neighbor_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("c_vec")), 6)
+          .as("qsim"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(desc("qsim"), asc("neighbor_id"))
+    val cand = qsimed.withColumn("__crk", row_number().over(wq))
+      .where(col("__crk") <= k * overfetch)
+      .select("query_id", "q_vec", "neighbor_id")
+    // stage 2: exact refine — candidates broadcast back onto the
+    // full-precision scan; the corpus never shuffles
+    val full = withVec(corpus, vecCol, "a_vec")
+      .select(col(idCol).as("neighbor_id"), col("a_vec"))
+    val exact = full.join(broadcast(cand), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(call_function("graft_cosine", col("q_vec"), col("a_vec")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("sim"), asc("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast(LongType))
       .where(col("rank") <= k)
   }
 }

@@ -260,6 +260,53 @@ class ExtensionsSpec extends SparkSpec {
     } finally graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
+  test("quantized IVF + exact refine keeps recall vs full-precision IVF " +
+      "at nprobe < nlist, and the quantized fingerprint keys the index " +
+      "(r16)") {
+    import graft.sim.{Quantize, Similarity}
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val path = s"/tmp/graft_ivfq8_spec_${ProcessHandle.current().pid()}"
+    try {
+      // the scale path: nprobe < nlist on both sides, same cell budget
+      val full = Similarity
+        .ivfTopK(e, e.where($"vec_id" < 5), 10, nlist = 8, nprobe = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val idx = Similarity.ivfIndexAtQuantized(e, path, nlist = 8)
+      val quant = Similarity
+        .ivfTopKQuantizedRefine(e, e.where($"vec_id" < 5), 10,
+          nlist = 8, nprobe = 3, overfetch = 2, index = Some(idx))
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (full & quant).size.toDouble / full.size
+      assert(recall >= 0.7,
+        s"quantized cells + exact refine must track full-precision IVF: " +
+          s"recall@10 = $recall")
+      // persistent-index cycle: a second call with the same corpus
+      // reuses the saved index (fingerprints match)...
+      val idx2 = Similarity.ivfIndexAtQuantized(e, path, nlist = 8)
+      assert(idx2.fingerprint == idx.fingerprint &&
+        idx2.centers.map(_.toSeq).toSeq == idx.centers.map(_.toSeq).toSeq)
+      // ...and the fingerprint keys on the QUANTIZED content: the same
+      // ids with perturbed vectors produce different codes, so the key
+      // must move even though the id set is identical
+      val perturbed = e.select($"vec_id",
+        transform($"embedding", x => x * 2.0f + 1.0f).as("embedding"))
+      val q8a = Quantize.quantizeInt8(e, "vec_id", "embedding")
+      val q8b = Quantize.quantizeInt8(perturbed, "vec_id", "embedding")
+      assert(Similarity.quantizedFingerprint(q8a) !=
+        Similarity.quantizedFingerprint(q8b),
+        "re-embedding the same ids must move the quantized index key")
+    } finally {
+      graft.util.CacheHygiene.releaseNew(spark, before)
+      val d = new java.io.File(path)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+  }
+
   test("language id votes on function words, CJK short-circuits") {
     val df = Seq(
       (1L, "the cat is on the mat and it was good"),
