@@ -408,7 +408,182 @@ case class SortedJaccard(left: Expression, right: Expression,
       newRight: Expression): SortedJaccard = copy(newLeft, newRight)
 }
 
+/** IVF nearest-cell assignment — the codegen twin of the former
+  * `Similarity.cellUdfs` `assignUdf`: index of the center with the
+  * smallest squared L2 distance to the vector (first-wins on exact
+  * ties, the UDF's strict `<` scan). Runs once per CORPUS row — the
+  * exact `Seq[Double]`-boxing shape [[DotProduct]] already eliminated
+  * for scoring. The fitted centers ride flattened as a codegen
+  * reference object (one `double[]` per codegen instance, not per
+  * row); the per-center inner loop accumulates `(v_j - c_j)^2` left to
+  * right over `min(len, dim)` — bit-identical to the UDF's `dist2`.
+  *
+  * Centers are runtime data (a Lloyd fit), not constructible from
+  * `Seq[Expression]` args — callers register a per-call builder that
+  * closes over them and drop it after DataFrame construction, the
+  * [[graft.functions.BloomMightContainLong]] dance. Null-element
+  * contract as [[DotProduct]] (callers pre-filter via `withVec`). */
+case class IvfCellAssign(child: Expression,
+    centers: Array[Array[Double]]) extends UnaryExpression {
+  require(centers.nonEmpty, "ivf assignment needs at least one center")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_assign needs array<double>, got $t")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+
+  private lazy val dim: Int = centers.map(_.length).max
+  // flat [c * dim + j]; ragged centers (never produced by kmeansFit)
+  // zero-pad, and the per-row loop bounds at the true per-center length
+  // via lens so dist2 semantics are preserved exactly
+  private lazy val flat: Array[Double] = {
+    val w = new Array[Double](centers.length * dim)
+    var c = 0
+    while (c < centers.length) {
+      System.arraycopy(centers(c), 0, w, c * dim, centers(c).length)
+      c += 1
+    }
+    w
+  }
+  private lazy val lens: Array[Int] = centers.map(_.length)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.ivfAssign(v.asInstanceOf[ArrayData], flat, lens, dim)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("graftIvfCenters", flat, "double[]")
+    val lRef = ctx.addReferenceObj("graftIvfLens", lens, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.ivfAssign(" +
+        s"$a, $fRef, $lRef, $dim);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfCellAssign = copy(child = newChild)
+}
+
+/** The `nprobe` nearest cells for a QUERY vector, ordered nearest
+  * first — the codegen twin of the former `probeUdf`
+  * (`indices.sortBy(dist2).take(nprobe)`): repeated strict-min scans in
+  * ascending index order reproduce a stable sort's (distance, index)
+  * tie-break exactly. Query side is small, but the UDF still broke the
+  * probe projection out of the codegen span. Same center
+  * reference-object layout and dance as [[IvfCellAssign]]. */
+case class IvfCellProbe(child: Expression,
+    centers: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
+  require(centers.nonEmpty, "ivf probe needs at least one center")
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_probe needs array<double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_probe"
+
+  private lazy val dim: Int = centers.map(_.length).max
+  private lazy val flat: Array[Double] = {
+    val w = new Array[Double](centers.length * dim)
+    var c = 0
+    while (c < centers.length) {
+      System.arraycopy(centers(c), 0, w, c * dim, centers(c).length)
+      c += 1
+    }
+    w
+  }
+  private lazy val lens: Array[Int] = centers.map(_.length)
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.ivfProbe(v.asInstanceOf[ArrayData], flat, lens, dim, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fRef = ctx.addReferenceObj("graftIvfCenters", flat, "double[]")
+    val lRef = ctx.addReferenceObj("graftIvfLens", lens, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorKernels.ivfProbe(" +
+        s"$a, $fRef, $lRef, $dim, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): IvfCellProbe = copy(child = newChild)
+}
+
 object VectorKernels {
+
+  /** Squared-L2 scan shared by [[IvfCellAssign]]'s eval and codegen
+    * paths (the generated code calls this static forwarder — the
+    * [[graft.functions.TextKernels.probeMaskUtf8]] pattern): per-center
+    * accumulation order and the `min(len, dim_c)` bound match the old
+    * UDF's `dist2` exactly, so assignments are bit-identical. */
+  def ivfAssign(v: ArrayData, flat: Array[Double], lens: Array[Int],
+      dim: Int): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < lens.length) {
+      val bound = math.min(n, lens(c))
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < bound) {
+        val d = v.getDouble(j) - flat(off + j); s += d * d; j += 1
+      }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-`nprobe` cell indices, nearest first, (distance, index)
+    * tie-break — [[IvfCellProbe]]'s shared eval/codegen body. The
+    * `sel < 0` fallback only fires when every remaining distance is
+    * NaN (unscoreable vectors are filtered upstream); it keeps the
+    * scan total rather than failing. */
+  def ivfProbe(v: ArrayData, flat: Array[Double], lens: Array[Int],
+      dim: Int, nprobe: Int): ArrayData = {
+    val n = v.numElements()
+    val nlist = lens.length
+    val dists = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val bound = math.min(n, lens(c))
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < bound) {
+        val d = v.getDouble(j) - flat(off + j); s += d * d; j += 1
+      }
+      dists(c) = s
+      c += 1
+    }
+    val take = math.min(nprobe, nlist)
+    val out = new Array[Int](take)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < take) {
+      var sel = -1
+      var selD = 0.0
+      var i = 0
+      while (i < nlist) {
+        if (!used(i) && (sel < 0 || dists(i) < selD)) {
+          sel = i; selD = dists(i)
+        }
+        i += 1
+      }
+      used(sel) = true
+      out(r) = sel
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 
   private def foldInt(e: Expression, what: String): Int = e.eval() match {
     case i: Int => i

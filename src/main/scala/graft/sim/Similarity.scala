@@ -419,21 +419,28 @@ object Similarity {
   def ivfIndexAtQuantized(corpus: DataFrame, path: String, nlist: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L): IvfIndex = {
-    val deq = dequantizedCorpus(corpus, idCol, vecCol)
+    // ONE quantization plan feeds both the fingerprint scan and the fit
+    // input, and the fit input is built inside the thunk — on a cache
+    // hit only the fingerprint aggregation touches the corpus (r16
+    // ADVICE: the old shape constructed quantizeInt8 twice per call).
+    val q8 = graft.sim.Quantize.quantizeInt8(
+      withVec(corpus, vecCol, "__fv"), idCol, "__fv")
     indexAt(corpus.sparkSession, path, nlist, seed,
-      quantizedFingerprint(
-        graft.sim.Quantize.quantizeInt8(
-          withVec(corpus, vecCol, "__fv"), idCol, "__fv"), idCol),
-      () => fitCenters(deq, nlist, idCol, "__dq", seed))
+      quantizedFingerprint(q8, idCol),
+      () => fitCenters(dequantized(q8, idCol), nlist, idCol, "__dq", seed))
   }
 
   /** The corpus as the quantized path sees it: int8 codes off the scan,
     * vectors reconstructed in place as `__dq` (array<double>). */
   private def dequantizedCorpus(corpus: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    graft.sim.Quantize.quantizeInt8(withVec(corpus, vecCol, "__fv"),
-        idCol, "__fv")
-      .withColumn("__dq", transform(col("codes"), c =>
+    dequantized(graft.sim.Quantize.quantizeInt8(
+      withVec(corpus, vecCol, "__fv"), idCol, "__fv"), idCol)
+
+  /** In-place dequantization of an already-quantized frame (the
+    * [[graft.sim.Quantize.quantizeInt8]] layout) as `__dq`. */
+  private def dequantized(q8: DataFrame, idCol: String): DataFrame =
+    q8.withColumn("__dq", transform(col("codes"), c =>
         (c.cast(DoubleType) + 128.0) * col("scale") + col("minv")))
       .select(col(idCol), col("__dq"))
 
@@ -463,51 +470,67 @@ object Similarity {
         s"(nlist=$nlist, seed=$seed)"))
     val centers = index.map(_.centers)
       .getOrElse(fitCenters(corpus, nlist, idCol, vecCol, seed))
-    val (assignUdf, probeUdf) = cellUdfs(spark, centers, nprobe)
-    val c = withVec(corpus, vecCol, "c_vec")
-      .select(col(idCol).as("c_id"), col("c_vec"))
-      .withColumn("__cell", assignUdf(col("c_vec")))
-      .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
-    val q = withVec(queries, vecCol, "q_vec")
-      .select(col(idCol).as("query_id"), col("q_vec"))
-      .withColumn("__cell", explode(probeUdf(col("q_vec"))))
-      .withColumn("q_norm", sqrt(dotK(col("q_vec"), col("q_vec"))))
-    val scored = c.join(broadcast(q), Seq("__cell"))
-      .where(col("c_id") =!= col("query_id"))
-      .select(col("query_id"), col("c_id").as("neighbor_id"),
-        round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
-          dotK(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
-          .as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    withCellKernels(spark, centers, nprobe) { (assign, probe) =>
+      val c = withVec(corpus, vecCol, "c_vec")
+        .select(col(idCol).as("c_id"), col("c_vec"))
+        .withColumn("__cell", assign(col("c_vec")))
+        .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
+      val q = withVec(queries, vecCol, "q_vec")
+        .select(col(idCol).as("query_id"), col("q_vec"))
+        .withColumn("__cell", explode(probe(col("q_vec"))))
+        .withColumn("q_norm", sqrt(dotK(col("q_vec"), col("q_vec"))))
+      val scored = c.join(broadcast(q), Seq("__cell"))
+        .where(col("c_id") =!= col("query_id"))
+        .select(col("query_id"), col("c_id").as("neighbor_id"),
+          round(when(col("q_norm") =!= 0.0 && col("c_norm") =!= 0.0,
+            dotK(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))), 6)
+            .as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= k)
+    }
   }
 
-  /** The nearest-cell / nearest-`nprobe`-cells UDF pair over a broadcast
-    * center table — shared by [[ivfTopK]] and
-    * [[ivfTopKQuantizedRefine]]. */
-  private def cellUdfs(spark: org.apache.spark.sql.SparkSession,
-      centers: Array[Array[Double]], nprobe: Int)
-      : (org.apache.spark.sql.expressions.UserDefinedFunction,
-         org.apache.spark.sql.expressions.UserDefinedFunction) = {
-    val bc = spark.sparkContext.broadcast(centers)
-    val assignUdf = udf { v: Seq[Double] =>
-      var best = 0; var bestD = Double.MaxValue
-      val cs = bc.value
-      var i = 0
-      while (i < cs.length) {
-        val d = dist2(v, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
-      }
-      best
+  /** The nearest-cell / nearest-`nprobe`-cells column builders over the
+    * fitted centers — shared by [[ivfTopK]] and
+    * [[ivfTopKQuantizedRefine]]. Since r17 these are the
+    * [[graft.functions.IvfCellAssign]]/[[graft.functions.IvfCellProbe]]
+    * codegen kernels, replacing the per-row `Seq[Double]` UDF pair that
+    * boxed every CORPUS vector once per row (the shape `graft_dot`
+    * already eliminated for scoring, ~3× there). Centers are runtime
+    * data (a Lloyd fit) — not constructible from `Seq[Expression]`
+    * args — so the kernels register under per-call names whose builders
+    * close over them, `body` constructs its DataFrames (analysis is
+    * EAGER, the plan holds the resolved expression before we return),
+    * and the entries drop on the way out — the
+    * [[graft.text.Decontaminate.flagContaminatedBloom]] dance. */
+  private def withCellKernels[T](spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Double]], nprobe: Int)(
+      body: (Column => Column, Column => Column) => T): T = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val id = cellKernelIds.incrementAndGet()
+    val aName = s"graft_ivf_assign_$id"
+    val pName = s"graft_ivf_probe_$id"
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(aName,
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$aName takes (vec), got ${args.length}")
+        graft.functions.IvfCellAssign(args(0), centers)
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction(pName,
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"$pName takes (vec), got ${args.length}")
+        graft.functions.IvfCellProbe(args(0), centers, nprobe)
+      }, "scala_udf")
+    try body(v => call_function(aName, v), v => call_function(pName, v))
+    finally {
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(aName))
+      reg.dropFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(pName))
     }
-    val probeUdf = udf { v: Seq[Double] =>
-      bc.value.indices
-        .sortBy(i => dist2(v, bc.value(i)))
-        .take(math.min(nprobe, bc.value.length))
-    }
-    (assignUdf, probeUdf)
   }
+
+  private val cellKernelIds = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** IVF over the QUANTIZED corpus with exact full-precision refine —
     * the faiss IVF+SQ8-with-refine composition (r15 verdict #7): the
@@ -544,38 +567,39 @@ object Similarity {
     val deq = dequantizedCorpus(corpus, idCol, vecCol)
     val centers = index.map(_.centers)
       .getOrElse(fitCenters(deq, nlist, idCol, "__dq", seed))
-    val (assignUdf, probeUdf) = cellUdfs(spark, centers, nprobe)
-    val c = deq
-      .select(col(idCol).as("c_id"), col("__dq").as("c_vec"))
-      .withColumn("__cell", assignUdf(col("c_vec")))
-    val q = withVec(queries, vecCol, "q_vec")
-      .select(col(idCol).as("query_id"), col("q_vec"))
-      .withColumn("__cell", explode(probeUdf(col("q_vec"))))
-    // stage 1: quantized candidate cut — rank on the ROUNDED quantized
-    // sim (6dp, id tie-break) so the candidate SET is reproducible in
-    // another engine's double math
-    val qsimed = c.join(broadcast(q), Seq("__cell"))
-      .where(col("c_id") =!= col("query_id"))
-      .select(col("query_id"), col("q_vec"),
-        col("c_id").as("neighbor_id"),
-        round(call_function("graft_cosine", col("q_vec"), col("c_vec")), 6)
-          .as("qsim"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(desc("qsim"), asc("neighbor_id"))
-    val cand = qsimed.withColumn("__crk", row_number().over(wq))
-      .where(col("__crk") <= k * overfetch)
-      .select("query_id", "q_vec", "neighbor_id")
-    // stage 2: exact refine — candidates broadcast back onto the
-    // full-precision scan; the corpus never shuffles
-    val full = withVec(corpus, vecCol, "a_vec")
-      .select(col(idCol).as("neighbor_id"), col("a_vec"))
-    val exact = full.join(broadcast(cand), Seq("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(call_function("graft_cosine", col("q_vec"), col("a_vec")), 6)
-          .as("sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(desc("sim"), asc("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w).cast(LongType))
-      .where(col("rank") <= k)
+    withCellKernels(spark, centers, nprobe) { (assign, probe) =>
+      val c = deq
+        .select(col(idCol).as("c_id"), col("__dq").as("c_vec"))
+        .withColumn("__cell", assign(col("c_vec")))
+      val q = withVec(queries, vecCol, "q_vec")
+        .select(col(idCol).as("query_id"), col("q_vec"))
+        .withColumn("__cell", explode(probe(col("q_vec"))))
+      // stage 1: quantized candidate cut — rank on the ROUNDED quantized
+      // sim (6dp, id tie-break) so the candidate SET is reproducible in
+      // another engine's double math
+      val qsimed = c.join(broadcast(q), Seq("__cell"))
+        .where(col("c_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_vec"),
+          col("c_id").as("neighbor_id"),
+          round(call_function("graft_cosine", col("q_vec"), col("c_vec")), 6)
+            .as("qsim"))
+      val wq = Window.partitionBy("query_id")
+        .orderBy(desc("qsim"), asc("neighbor_id"))
+      val cand = qsimed.withColumn("__crk", row_number().over(wq))
+        .where(col("__crk") <= k * overfetch)
+        .select("query_id", "q_vec", "neighbor_id")
+      // stage 2: exact refine — candidates broadcast back onto the
+      // full-precision scan; the corpus never shuffles
+      val full = withVec(corpus, vecCol, "a_vec")
+        .select(col(idCol).as("neighbor_id"), col("a_vec"))
+      val exact = full.join(broadcast(cand), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(call_function("graft_cosine", col("q_vec"), col("a_vec")), 6)
+            .as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("sim"), asc("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w).cast(LongType))
+        .where(col("rank") <= k)
+    }
   }
 }

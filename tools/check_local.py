@@ -25,15 +25,27 @@ def canon(rows, cols):
             v = r[i]
             # Type-representation differences between Spark-written
             # parquet read back through DuckDB and the oracle expression
-            # must not read as value differences (r15 ADVICE): coerce
-            # Decimal/int-valued floats through one numeric path, snap
-            # -0.0 to 0.0, and normalize bool casing via str(bool).
+            # must not read as value differences (r15 ADVICE): one
+            # numeric path for Decimal/float, -0.0 snapped to 0.0,
+            # bool casing via str(bool). Integral values render EXACTLY
+            # (r16 ADVICE: .6g masked integer drift above 1e6 and
+            # cent-level decimal drift); non-integral Decimals get .12g
+            # — they only arise from exact decimal-domain oracle
+            # expressions, where 6 significant digits is too forgiving.
+            # Non-integral floats stay .6g: cross-engine double
+            # summation order legitimately differs in low bits.
             if isinstance(v, decimal.Decimal):
-                v = float(v)
-            if isinstance(v, float):
+                if v == v.to_integral_value():
+                    vals.append(str(int(v)))
+                else:
+                    vals.append(f"{float(v):.12g}")
+            elif isinstance(v, float):
                 if v == 0.0:
                     v = 0.0  # -0.0 and 0.0 must render identically
-                vals.append(f"{v:.6g}")
+                if v.is_integer() and abs(v) < 1e15:
+                    vals.append(str(int(v)))
+                else:
+                    vals.append(f"{v:.6g}")
             elif v is None:
                 vals.append("NULL")
             else:

@@ -15,7 +15,7 @@ Usage: python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/sf1]
                                  [replicas=10]
 e.g. a 30x ("sf3") build: python3 tools/make_sf1.py /root/testdata/sf0.1 /tmp/sf3 30
 """
-import os, shutil, sys
+import json, os, shutil, sys
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -55,12 +55,17 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     replicas = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
+    # Durable record of the EFFECTIVE per-table factor (caps below can
+    # silently lower it) so scaling ratios are quoted against reality
+    # even after the stdout note scrolls away.
+    manifest = {"src": src, "requested_replicas": replicas, "tables": {}}
     for f in os.listdir(src):
         if not f.endswith(".parquet"):
             continue
         name = f[: -len(".parquet")]
         if name not in PLANS:
             shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+            manifest["tables"][name] = {"replicas": 1, "capped": False}
             continue
         # Per-table replica cap (r16, needed past ~49 replicas): each
         # table replicates at most as far as its planted-id ceiling
@@ -86,6 +91,11 @@ def main() -> None:
         pq.write_table(out, os.path.join(dst, f), compression="snappy",
                        row_group_size=ROW_GROUP_ROWS[name])
         print(name, out.num_rows, f"x{n}")
+        manifest["tables"][name] = {
+            "replicas": n, "capped": n < replicas, "rows": out.num_rows}
+    with open(os.path.join(dst, "MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":
