@@ -87,7 +87,20 @@ object StreamRuns {
           .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
       } finally spark.conf.set(confKey, prevParts)
     try q.awaitTermination() finally q.stop()
-    spark.table(name)
+    materializeAndDrop(spark, name)
+  }
+
+  /** Resolve the memory-sink table, then DROP its temp-view
+    * registration (r16 ADVICE): `spark.table` resolves eagerly, so the
+    * returned Dataset's plan already holds the sink relation and
+    * outlives the view — while the registration itself would pin a full
+    * result copy in the driver catalog for the session lifetime, one
+    * per run. */
+  private def materializeAndDrop(spark: SparkSession,
+      name: String): DataFrame = {
+    val out = spark.table(name)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Stage the events table's (ts, event_type, value) projection into
@@ -294,7 +307,7 @@ object StreamRuns {
       if (!done) throw new IllegalStateException(
         s"processing-time run did not drain $staged rows in ${maxWaitMs}ms")
     } finally q.stop()
-    spark.table(name)
+    materializeAndDrop(spark, name)
   }
 
   /** [[Events.streamingTumbling]] under `Trigger.ProcessingTime`
@@ -379,9 +392,66 @@ object StreamRuns {
       val out = runToMemory(spark, in,
         s => graft.ops.Dedup.streamingExact(s, "ts", watermark,
           Seq("user_id", "event_type")), "append")
-      out.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-          col("user_id"), col("event_type"), col("value"))
-        .orderBy("user_id", "event_type")
+      dedupResult(out)
     } finally deleteRec(in)
   }
+
+  /** [[graft.ops.Dedup.streamingExact]] under a REAL
+    * `Trigger.ProcessingTime` — key-state RETENTION across wall-clock
+    * batch boundaries, the one stateful path [[dedupExactAvailableNow]]
+    * (single data batch, drain-and-stop trigger) never exercised
+    * always-on (r16 verdict #3). The corpus is staged as TWO
+    * chronological single-part files cut at the median event time, each
+    * sorted by (ts, event_id): a chronological cut plus one input
+    * partition per batch keeps per-key arrival order equal to
+    * event-time order (same argument as the AvailableNow run — a
+    * single-partition batch keeps its order through the key shuffle),
+    * and every key whose first occurrence landed in batch 1 reaches its
+    * batch-2 duplicates only through state the store RETAINED across a
+    * wall-clock trigger boundary. The dedup watermark is sized past the
+    * corpus's whole event-time span so no state evicts mid-replay —
+    * the final rows must equal the batch twin's global
+    * min-(ts, event_id) survivor set exactly; any divergence isolates
+    * the always-on trigger's state commit/reload. Parity-only
+    * (StreamRunsSpec), no oracle row — the same framing as the other
+    * ProcessingTime runs. */
+  def dedupExactProcessingTime(spark: SparkSession, dir: String,
+      intervalMs: Long = 200L, maxWaitMs: Long = 180000L): DataFrame = {
+    val in = scratch("dedup_pt", dir)
+    try {
+      Files.createDirectories(in)
+      val base = Events.load(spark, dir)
+      // median-ts cut (by row mass, not range midpoint — a skewed ts
+      // distribution must not leave one batch near-empty); identical-ts
+      // rows can never straddle the cut, so key+ts tie groups stay
+      // whole-batch and the (ts, event_id) arrival order is global
+      val (minUs, maxUs, midUs) = {
+        val r = base.select(unix_micros(col("ts")).as("__us"))
+          .agg(min(col("__us")), max(col("__us")),
+            expr("percentile_approx(__us, 0.5)")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      // watermark > full event-time span => zero evictions mid-replay
+      val wmSec = (maxUs - minUs) / 1000000L + 3600L
+      val t0 = System.currentTimeMillis()
+      def stage(cond: Column, name: String, mtimeMs: Long): Unit = {
+        val d = in.resolve(s"__$name")
+        base.where(cond).coalesce(1).sortWithinPartitions("ts", "event_id")
+          .write.parquet(d.toString)
+        moveOnlyPart(d, in, s"$name.parquet", mtimeMs)
+      }
+      stage(unix_micros(col("ts")) <= midUs, "data1", t0)
+      stage(unix_micros(col("ts")) > midUs, "data2", t0 + 10000L)
+      val out = runProcessingTime(spark, in,
+        s => graft.ops.Dedup.streamingExact(s, "ts", s"$wmSec seconds",
+          Seq("user_id", "event_type")), "append", intervalMs, maxWaitMs)
+      dedupResult(out)
+    } finally deleteRec(in)
+  }
+
+  /** Canonical projection/ordering shared by the dedup runs. */
+  private def dedupResult(out: DataFrame): DataFrame =
+    out.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("user_id", "event_type")
 }

@@ -86,6 +86,32 @@ class StreamRunsSpec extends SparkSpec {
     assert(want.nonEmpty && got == want)
   }
 
+  test("dedupExactProcessingTime (real always-on trigger) equals the " +
+      "batch stream twin — key state retained across wall-clock " +
+      "batch boundaries (r17)") {
+    // Precondition for the retention coverage: at least one dedup key
+    // must appear on BOTH sides of the median-ts cut, or batch 2 never
+    // consults batch-1 state and the test silently degrades to two
+    // independent dedups. Fail loudly instead.
+    val ev = Events.load(spark, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val midUs = ev.agg(expr("percentile_approx(us, 0.5)")).head().getLong(0)
+    val straddling = ev.groupBy("user_id", "event_type")
+      .agg(min($"us").as("lo"), max($"us").as("hi"))
+      .where($"lo" <= midUs && $"hi" > midUs).count()
+    assert(straddling > 0,
+      s"no dedup key straddles the median-ts cut at $dir — the " +
+        "processing-time run would not exercise cross-batch state retention")
+    val got = StreamRuns.dedupExactProcessingTime(spark, dir).collect().toSeq
+    val want = graft.ops.Dedup
+      .streamTwinExact(Events.load(spark, dir), "ts",
+        Seq("user_id", "event_type"), "event_id")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(want.nonEmpty && got == want)
+  }
+
   test("dedupExactAvailableNow equals the batch stream twin") {
     val got = StreamRuns.dedupExactAvailableNow(spark, dir).collect().toSeq
     val want = graft.ops.Dedup
