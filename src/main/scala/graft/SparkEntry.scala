@@ -1454,6 +1454,52 @@ object SparkEntry {
           col("wav_duration_ms").as("duration_ms"),
           col("meta.mime").as("mime"))
         .orderBy("doc_id")
+    }),
+
+    // the big-endian container (r17): PNG signature + IHDR synthesized
+    // per doc (real CRC32), decoded back with the beUint byte-math twin;
+    // every 6th doc stays raw octet-stream to exercise the non-PNG path.
+    // Raw docs can never sniff as PNG — the signature's first byte is
+    // 0x89, outside any text encoding the corpus uses.
+    "q_multimodal_png" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val png = Multimodal.synthPng(
+        docs.where(col("doc_id") % 6 =!= 0), "doc_id")
+      val raw = Multimodal.asMedia(
+        docs.where(col("doc_id") % 6 === 0), "text")
+      val media = png.select("doc_id", "content", "meta")
+        .unionAll(raw.select("doc_id", "content", "meta"))
+      Multimodal.decodePngMeta(media)
+        .select(col("doc_id"), col("is_png"),
+          col("png_width").as("width"), col("png_height").as("height"),
+          col("png_bit_depth").as("bit_depth"),
+          col("png_color_type").as("color_type"),
+          col("png_interlace").as("interlace"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")
+    }),
+
+    // GIF logical-screen descriptor (r17): complete no-frame GIF89a per
+    // doc (LE dims, global color table sized 2^(id%8+1) from the md5
+    // stream, trailer), decoded back with byte math; every 4th doc
+    // stays raw. MediaSniffSpec pins that no raw doc text begins with
+    // "GIF87a"/"GIF89a" (the one ASCII magic in the family).
+    "q_multimodal_gif" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val gif = Multimodal.synthGif(
+        docs.where(col("doc_id") % 4 =!= 0), "doc_id", "text")
+      val raw = Multimodal.asMedia(
+        docs.where(col("doc_id") % 4 === 0), "text")
+      val media = gif.select("doc_id", "content", "meta")
+        .unionAll(raw.select("doc_id", "content", "meta"))
+      Multimodal.decodeGifMeta(media)
+        .select(col("doc_id"), col("is_gif"),
+          col("gif_width").as("width"), col("gif_height").as("height"),
+          col("gif_has_gct").as("has_gct"),
+          col("gif_gct_size").as("gct_size"),
+          col("gif_bg_index").as("bg_index"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")
     })
   )
 
@@ -2876,6 +2922,37 @@ object SparkEntry {
         |          ELSE 44100 END) AS BIGINT)
         | END AS duration_ms,
         | CASE WHEN doc_id % 5 <> 0 THEN 'audio/wav'
+        |      ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB twin of synthPng→decodePngMeta: decoded IHDR fields equal
+    // the synthesizer's id arithmetic (the CRC is not re-derived — the
+    // decoder reads fixed offsets, and a CRC slip cannot move them)
+    "q_multimodal_png" ->
+      """SELECT doc_id,
+        | doc_id % 6 <> 0 AS is_png,
+        | CASE WHEN doc_id % 6 <> 0 THEN doc_id % 21 + 1 END AS width,
+        | CASE WHEN doc_id % 6 <> 0 THEN doc_id % 13 + 1 END AS height,
+        | CASE WHEN doc_id % 6 <> 0 THEN 8 END AS bit_depth,
+        | CASE WHEN doc_id % 6 <> 0 THEN
+        |   CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+        | END AS color_type,
+        | CASE WHEN doc_id % 6 <> 0 THEN 0 END AS interlace,
+        | CASE WHEN doc_id % 6 <> 0 THEN 'image/png'
+        |      ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB twin of synthGif→decodeGifMeta (LE 16-bit dims, packed
+    // byte 0xF0 | id%8 => GCT present with 2^(id%8+1) entries)
+    "q_multimodal_gif" ->
+      """SELECT doc_id,
+        | doc_id % 4 <> 0 AS is_gif,
+        | CASE WHEN doc_id % 4 <> 0 THEN doc_id % 321 + 1 END AS width,
+        | CASE WHEN doc_id % 4 <> 0 THEN doc_id % 214 + 1 END AS height,
+        | CASE WHEN doc_id % 4 <> 0 THEN TRUE END AS has_gct,
+        | CASE WHEN doc_id % 4 <> 0 THEN (2 << (doc_id % 8)) END AS gct_size,
+        | CASE WHEN doc_id % 4 <> 0 THEN doc_id % 2 END AS bg_index,
+        | CASE WHEN doc_id % 4 <> 0 THEN 'image/gif'
         |      ELSE 'application/octet-stream' END AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
 

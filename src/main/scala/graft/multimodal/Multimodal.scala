@@ -41,12 +41,14 @@ object Multimodal {
     df.withColumn("byte_len", length(col("content")).cast(LongType))
       .withColumn("content_sha", sha2(col("content"), 256))
 
-  // ---- real container decode (r16) ---------------------------------------
-  // Uncompressed containers parse with pure byte-math expressions — no
-  // codec library, no UDF, scan-stage only. BMP and canonical PCM WAV are
-  // decoded for real; everything else falls through to the STUB decoder
-  // below, which is now the unsupported-format fallback rather than the
-  // only path.
+  // ---- real container decode (r16 BMP/WAV, r17 PNG/GIF) ------------------
+  // Container headers parse with pure byte-math expressions — no codec
+  // library, no UDF, scan-stage only. BMP, canonical PCM WAV, PNG IHDR
+  // (big-endian) and GIF logical-screen descriptors are decoded for
+  // real; everything else falls through to the STUB decoder below,
+  // which is the unsupported-format fallback rather than the only path.
+  // JPEG stays out: its dims live in a variable-offset SOF segment that
+  // needs a marker scan, not fixed-offset byte math.
 
   /** Hex pair of one byte value (0..255). Spark's `hex` is minimal-width,
     * so pad to 2. */
@@ -65,6 +67,14 @@ object Multimodal {
   private def leUint(c: Column, pos: Int, len: Int): Column =
     conv(concat((len - 1 to 0 by -1).map(i =>
       hex(substring(c, pos + i, 1))): _*), 16, 10).cast(LongType)
+
+  /** Unsigned BIG-endian integer read from `len` bytes at 1-based
+    * `pos` — the big-endian twin of [[leUint]] (r16 verdict #4): a
+    * binary slice's `hex` is already most-significant-byte-first, so
+    * one substring + one base-16 `conv` does it. Null when the slice is
+    * short. PNG's IHDR is the big-endian container in the family. */
+  private def beUint(c: Column, pos: Int, len: Int): Column =
+    conv(hex(substring(c, pos, len)), 16, 10).cast(LongType)
 
   /** Two's-complement reinterpretation of an unsigned 32-bit read —
     * BMP width/height are SIGNED (negative height = top-down rows). */
@@ -86,6 +96,78 @@ object Multimodal {
       substring(c, 1, 4) === asciiLit("RIFF") &&
       substring(c, 9, 8) === asciiLit("WAVEfmt ") &&
       substring(c, 37, 4) === asciiLit("data")
+
+  /** True when the column starts with a parseable PNG: the fixed 8-byte
+    * signature, the IHDR chunk tag at its mandatory first-chunk offset,
+    * and at least the 33 bytes through IHDR's CRC present. */
+  def isPng(c: Column): Column =
+    length(c) >= 33 &&
+      substring(c, 1, 8) === lit(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47,
+        0x0D, 0x0A, 0x1A, 0x0A)) &&
+      substring(c, 13, 4) === asciiLit("IHDR")
+
+  /** True when the column starts with a GIF87a/GIF89a header with the
+    * full 13-byte logical-screen descriptor present. */
+  def isGif(c: Column): Column =
+    length(c) >= 13 &&
+      (substring(c, 1, 6) === asciiLit("GIF89a") ||
+        substring(c, 1, 6) === asciiLit("GIF87a"))
+
+  /** REAL PNG IHDR decode with pure byte math — the BIG-endian twin of
+    * [[decodeBmpMeta]] (fixed offsets after the 8-byte signature:
+    * 4-byte chunk length, "IHDR", then width/height as unsigned 32-bit
+    * BE and five single-byte fields); all null on non-PNG content.
+    * Header-only by design: dims/depth/color-type/interlace are what an
+    * ingest filter needs, and none of it requires inflating IDAT.
+    * Refreshes [[MetaType]] (mime + dims) for PNG rows. */
+  def decodePngMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val png = isPng(c)
+    def f(v: Column): Column = when(png, v)
+    val withFields = df
+      .withColumn("is_png", png)
+      .withColumn("png_width", f(beUint(c, 17, 4)))
+      .withColumn("png_height", f(beUint(c, 21, 4)))
+      .withColumn("png_bit_depth", f(beUint(c, 25, 1)))
+      .withColumn("png_color_type", f(beUint(c, 26, 1)))
+      .withColumn("png_interlace", f(beUint(c, 29, 1)))
+    if (!withFields.columns.contains("meta")) withFields
+    else withFields.withColumn("meta",
+      when(col("is_png"), struct(
+        lit("image/png").as("mime"),
+        col("png_width").cast(IntegerType).as("width"),
+        col("png_height").cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+        .otherwise(col("meta")))
+  }
+
+  /** REAL GIF logical-screen-descriptor decode: canvas width/height
+    * (16-bit LE), the packed flags byte split into global-color-table
+    * presence and size (2^(bits+1) entries), and the background color
+    * index; all null on non-GIF content. Refreshes [[MetaType]]. */
+  def decodeGifMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val c = col(contentCol)
+    val gif = isGif(c)
+    def f(v: Column): Column = when(gif, v)
+    val packed = leUint(c, 11, 1)
+    val withFields = df
+      .withColumn("is_gif", gif)
+      .withColumn("gif_width", f(leUint(c, 7, 2)))
+      .withColumn("gif_height", f(leUint(c, 9, 2)))
+      .withColumn("gif_has_gct", f(shiftright(packed, 7) === 1L))
+      .withColumn("gif_gct_size",
+        f(when(shiftright(packed, 7) === 1L,
+          call_function("shiftleft", lit(2L), packed.bitwiseAND(lit(7L)).cast(IntegerType)))))
+      .withColumn("gif_bg_index", f(leUint(c, 12, 1)))
+    if (!withFields.columns.contains("meta")) withFields
+    else withFields.withColumn("meta",
+      when(col("is_gif"), struct(
+        lit("image/gif").as("mime"),
+        col("gif_width").cast(IntegerType).as("width"),
+        col("gif_height").cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+        .otherwise(col("meta")))
+  }
 
   /** REAL BMP header decode with pure byte math (offsets per the public
     * BITMAPFILEHEADER/BITMAPINFOHEADER layout): width/height (signed),
@@ -181,6 +263,66 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")))
   }
 
+  /** Big-endian hex of the low `bytes` bytes of an integer column —
+    * [[leHex]]'s twin for the PNG header. */
+  private def beHex(v: Column, bytes: Int): Column =
+    concat((bytes - 1 to 0 by -1).map(i =>
+      hexByte(shiftright(v.cast(LongType), 8 * i).bitwiseAND(lit(255L)))): _*)
+
+  /** Deterministic PNG signature + IHDR per row — dims from the same id
+    * arithmetic as [[synthBmp]] (width=id%21+1, height=id%13+1), bit
+    * depth 8, color type cycling {gray, rgb, rgba} by id%3, with a REAL
+    * CRC32 over the chunk type+data (Spark's `crc32` builtin — any
+    * external PNG parser accepts the IHDR). Header-only by design: the
+    * decode under test never inflates IDAT, so synthesizing compressed
+    * pixel data would add bytes no assertion reads. */
+  def synthPng(df: DataFrame, idCol: String): DataFrame = {
+    val w = (col(idCol) % 21 + 1).cast(LongType)
+    val h = (col(idCol) % 13 + 1).cast(LongType)
+    val colorType = when(col(idCol) % 3 === 0, 0L)
+      .when(col(idCol) % 3 === 1, 2L).otherwise(6L)
+    // IHDR tag + 13 data bytes; CRC32 covers exactly these 17 bytes
+    val typeData = concat(
+      lit("49484452"), beHex(w, 4), beHex(h, 4),
+      lit("08"), beHex(colorType, 1), lit("00"), lit("00"), lit("00"))
+    val png = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D"), typeData,
+      beHex(crc32(unhex(typeData)), 4))
+    df.withColumn("content", unhex(png))
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  /** Deterministic complete GIF89a per row: 16-bit LE canvas dims
+    * (width=id%321+1, height=id%214+1 — exercising both descriptor
+    * bytes), a packed byte with the global color table present at
+    * 2^(id%8+1) entries (color resolution 8), background index id%2
+    * (always within the smallest table), the table bytes from the
+    * text's md5 stream, and the 0x3B trailer — a well-formed no-frame
+    * GIF. */
+  def synthGif(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = (col(idCol) % 321 + 1).cast(LongType)
+    val h = (col(idCol) % 214 + 1).cast(LongType)
+    val gctBits = (col(idCol) % 8).cast(LongType)
+    val packed = lit(0xF0L) + gctBits
+    val gctBytes = call_function("shiftleft", lit(2L), gctBits.cast(IntegerType)) * 3
+    // max GCT = 256 entries * 3 = 768 bytes = 1536 hex chars = 48 reps
+    val gctHex = repeat(md5(coalesce(col(textCol), lit(""))), 48)
+      .substr(lit(1), (gctBytes * 2).cast(IntegerType))
+    val gif = concat(
+      lit("474946383961"), leHex(w, 2), leHex(h, 2), leHex(packed, 1),
+      leHex(col(idCol) % 2, 1), lit("00"), gctHex, lit("3B"))
+    df.withColumn("content", unhex(gif))
+      .withColumn("meta", struct(
+        lit("image/gif").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
   /** Deterministic canonical PCM WAV per row (16-bit; channels and
     * sample rate derived from the id, data bytes from the text's md5
     * stream) — the audio twin of [[synthBmp]]. channels = id%2+1,
@@ -211,9 +353,9 @@ object Multimodal {
         lit(null).cast(LongType).as("duration_ms")))
   }
 
-  /** STUB decoder — since r16 the UNSUPPORTED-FORMAT FALLBACK (BMP and
-    * PCM WAV decode for real above; compressed codecs are excluded by
-    * the sandbox build): where a real pipeline would decode media and
+  /** STUB decoder — since r16 the UNSUPPORTED-FORMAT FALLBACK (BMP,
+    * PCM WAV, PNG and GIF headers decode for real above; compressed
+    * codecs are excluded by the sandbox build): where a real pipeline would decode media and
     * extract features (via a partition-parallel batch UDF), this produces a
     * deterministic `dims`-dim pseudo-feature row from the content's sha-256
     * digest. Scalar `feature_i` columns (not an array) so downstream

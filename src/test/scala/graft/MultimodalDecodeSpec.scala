@@ -75,19 +75,106 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(r.getLong(6) == 0L) // 0.5 ms floors to 0 — integer contract
   }
 
+  // 2x3 8-bit truecolor PNG: signature + IHDR with the REAL CRC32 of
+  // the 17 type+data bytes (368849D6, zlib) — laid out by hand from the
+  // public PNG spec (big-endian dims at fixed offsets 17/21)
+  private val goldenPngHex =
+    "89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000002" + "00000003" + "08" + "02" + "00" + "00" + "00" +
+      "368849D6"
+
+  // 3x2 GIF89a: LE dims, packed 0x91 (GCT present, 2^(1+1)=4 entries),
+  // background index 1, 12 color-table bytes, trailer
+  private val goldenGifHex =
+    "474946383961" + "0300" + "0200" + "91" + "01" + "00" +
+      "000000FFFFFF00FF00FF0000" + "3B"
+
+  test("golden hand-written PNG decodes to its known IHDR fields") {
+    val r = Multimodal.decodePngMeta(mediaOf(1L -> goldenPngHex))
+      .select("is_png", "png_width", "png_height", "png_bit_depth",
+        "png_color_type", "png_interlace")
+      .head()
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 8L && r.getLong(4) == 2L && r.getLong(5) == 0L)
+  }
+
+  test("golden hand-written GIF decodes its logical-screen descriptor; " +
+      "GIF87a is accepted too") {
+    val gif87 = goldenGifHex.patch(8, "37", 2) // version byte '7'
+    val rs = Multimodal.decodeGifMeta(
+        mediaOf(1L -> goldenGifHex, 2L -> gif87))
+      .select("is_gif", "gif_width", "gif_height", "gif_has_gct",
+        "gif_gct_size", "gif_bg_index")
+      .orderBy("gif_width").collect()
+    rs.foreach { r =>
+      assert(r.getBoolean(0))
+      assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+      assert(r.getBoolean(3) && r.getLong(4) == 4L && r.getLong(5) == 1L)
+    }
+  }
+
   test("non-container content yields false magic and all-null fields, " +
       "never a throw") {
     val junk = mediaOf(
       1L -> "00",                       // 1 byte
       2L -> ("424D" + "00" * 10),       // BM magic but truncated header
       3L -> ("52494646" + "00" * 60),   // RIFF but not WAVE/fmt/data
-      4L -> ("FF" * 100))
+      4L -> ("FF" * 100),
+      5L -> "89504E470D0A1A0A00000004",   // PNG signature, truncated
+      6L -> ("89504E470D0A1A0A" + "0000000D" + "49454E44" + "00" * 17),
+      7L -> "474946383961030002")         // GIF magic, descriptor short
     val b = Multimodal.decodeBmpMeta(junk)
       .select("is_bmp", "bmp_width").collect()
     assert(b.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
     val w = Multimodal.decodeWavMeta(junk)
       .select("is_wav", "wav_sample_rate").collect()
     assert(w.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+    val p = Multimodal.decodePngMeta(junk)
+      .select("is_png", "png_width").collect()
+    assert(p.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+    val g = Multimodal.decodeGifMeta(junk)
+      .select("is_gif", "gif_width").collect()
+    assert(g.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+  }
+
+  test("synthPng emits a REAL IHDR (CRC verifies) and decode returns " +
+      "the embedded fields, scan-stage only (corpus-wide)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val decoded = Multimodal.decodePngMeta(
+      Multimodal.synthPng(docs, "doc_id"))
+    val bad = decoded.where(!col("is_png") ||
+        col("png_width") =!= col("doc_id") % 21 + 1 ||
+        col("png_height") =!= col("doc_id") % 13 + 1 ||
+        col("png_bit_depth") =!= 8 ||
+        // independent CRC re-check over the synthesized bytes
+        crc32(substring(col("content"), 13, 17)) =!=
+          conv(hex(substring(col("content"), 30, 4)), 16, 10).cast("long"))
+      .count()
+    assert(bad == 0L)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("synthGif emits a complete no-frame GIF (trailer present, table " +
+      "sized to the packed bits) and decode returns the embedded fields") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val decoded = Multimodal.decodeGifMeta(
+      Multimodal.synthGif(docs, "doc_id", "text"))
+    val bad = decoded.where(!col("is_gif") ||
+        col("gif_width") =!= col("doc_id") % 321 + 1 ||
+        col("gif_height") =!= col("doc_id") % 214 + 1 ||
+        !col("gif_has_gct") ||
+        col("gif_gct_size") =!= call_function("shiftleft", lit(2L), (col("doc_id") % 8).cast("int")) ||
+        // 13-byte header + 3 bytes/entry + 1-byte trailer
+        length(col("content")) =!= col("gif_gct_size") * 3 + 14 ||
+        substring(col("content"), -1, 1) =!= lit(Array[Byte](0x3B.toByte)))
+      .count()
+    assert(bad == 0L)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
   }
 
   test("synthBmp emits well-formed files: declared size equals actual " +
