@@ -81,7 +81,9 @@ object Bench {
     "quantize" -> "q2", "quantized" -> "q3", "bloom" -> "b2",
     "chunk" -> "c3", "partitioned" -> "p2", "skip" -> "s3",
     // r16 batch, same rule
-    "decode" -> "d2", "train" -> "t2", "layout" -> "l2")
+    "decode" -> "d2", "train" -> "t2", "layout" -> "l2",
+    // r17 batch, same rule
+    "jpeg" -> "j2", "png" -> "p3", "gif" -> "g3")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,

@@ -1479,6 +1479,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JPEG frame header (r17): baseline JFIF streams whose SOF0 sits at
+    // an id-dependent offset (a COM segment of id%37+1 bytes precedes
+    // it), decoded by the graft_jpeg_sof codegen marker-scan kernel —
+    // the one container whose dims fixed-offset byte math cannot reach;
+    // every 9th doc stays raw (text can never start with 0xFFD8).
+    "q_multimodal_jpeg" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val jpg = Multimodal.synthJpeg(
+        docs.where(col("doc_id") % 9 =!= 0), "doc_id", "text")
+      val raw = Multimodal.asMedia(
+        docs.where(col("doc_id") % 9 === 0), "text")
+      val media = jpg.select("doc_id", "content", "meta")
+        .unionAll(raw.select("doc_id", "content", "meta"))
+      Multimodal.decodeJpegMeta(media)
+        .select(col("doc_id"), col("is_jpeg"),
+          col("jpeg_width").as("width"), col("jpeg_height").as("height"),
+          col("jpeg_precision").as("precision"),
+          col("jpeg_ncomp").as("ncomp"),
+          col("jpeg_progressive").as("progressive"),
+          col("meta.mime").as("mime"))
+        .orderBy("doc_id")
+    }),
+
     // GIF logical-screen descriptor (r17): complete no-frame GIF89a per
     // doc (LE dims, global color table sized 2^(id%8+1) from the md5
     // stream, trailer), decoded back with byte math; every 4th doc
@@ -2939,6 +2962,21 @@ object SparkEntry {
         | END AS color_type,
         | CASE WHEN doc_id % 6 <> 0 THEN 0 END AS interlace,
         | CASE WHEN doc_id % 6 <> 0 THEN 'image/png'
+        |      ELSE 'application/octet-stream' END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB twin of synthJpeg→decodeJpegMeta: the marker scan's SOF
+    // fields equal the synthesizer's id arithmetic regardless of the
+    // id-dependent COM length the scanner had to skip
+    "q_multimodal_jpeg" ->
+      """SELECT doc_id,
+        | doc_id % 9 <> 0 AS is_jpeg,
+        | CASE WHEN doc_id % 9 <> 0 THEN doc_id % 333 + 1 END AS width,
+        | CASE WHEN doc_id % 9 <> 0 THEN doc_id % 501 + 1 END AS height,
+        | CASE WHEN doc_id % 9 <> 0 THEN 8 END AS precision,
+        | CASE WHEN doc_id % 9 <> 0 THEN 3 END AS ncomp,
+        | CASE WHEN doc_id % 9 <> 0 THEN FALSE END AS progressive,
+        | CASE WHEN doc_id % 9 <> 0 THEN 'image/jpeg'
         |      ELSE 'application/octet-stream' END AS mime
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -41,14 +41,15 @@ object Multimodal {
     df.withColumn("byte_len", length(col("content")).cast(LongType))
       .withColumn("content_sha", sha2(col("content"), 256))
 
-  // ---- real container decode (r16 BMP/WAV, r17 PNG/GIF) ------------------
-  // Container headers parse with pure byte-math expressions — no codec
-  // library, no UDF, scan-stage only. BMP, canonical PCM WAV, PNG IHDR
-  // (big-endian) and GIF logical-screen descriptors are decoded for
-  // real; everything else falls through to the STUB decoder below,
-  // which is the unsupported-format fallback rather than the only path.
-  // JPEG stays out: its dims live in a variable-offset SOF segment that
-  // needs a marker scan, not fixed-offset byte math.
+  // ---- real container decode (r16 BMP/WAV, r17 PNG/GIF/JPEG) -------------
+  // Container headers parse for real, scan-stage only, no codec
+  // library, no Scala UDF. BMP, canonical PCM WAV, PNG IHDR
+  // (big-endian) and GIF logical-screen descriptors are fixed-offset
+  // pure byte-math expressions; JPEG's dims live in a variable-offset
+  // SOF segment, so its decode is the one codegen marker-scan kernel
+  // (functions/MediaKernels.JpegSofPacked). Everything else falls
+  // through to the STUB decoder below, which is the unsupported-format
+  // fallback rather than the only path.
 
   /** Hex pair of one byte value (0..255). Spark's `hex` is minimal-width,
     * so pad to 2. */
@@ -167,6 +168,51 @@ object Multimodal {
         col("gif_height").cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")))
         .otherwise(col("meta")))
+  }
+
+  /** True when the column starts with the JPEG SOI marker — the cheap
+    * magic sniff ([[decodeJpegMeta]] then requires a parseable SOF). */
+  def isJpeg(c: Column): Column =
+    length(c) >= 4 &&
+      substring(c, 1, 2) === lit(Array[Byte](0xFF.toByte, 0xD8.toByte))
+
+  /** REAL JPEG frame-header decode (r17) — unlike the fixed-offset
+    * containers above, JPEG dims live in whichever SOF0/1/2 segment the
+    * variable-length segment walk reaches, so the scan is the
+    * [[graft.functions.JpegSofPacked]] codegen kernel (one static
+    * marker walk per row inside the scan stage); the field extraction
+    * from its packed long is plain shift/mask columns. `is_jpeg` is
+    * true only for SOI + a parseable SOF — truncated or malformed
+    * streams read as clean false/null rows, and `jpeg_progressive`
+    * flags the SOF2 frames a downstream decoder pipeline treats
+    * differently. Refreshes [[MetaType]] (mime + dims). */
+  def decodeJpegMeta(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    graft.functions.MediaKernels.register(df.sparkSession)
+    val c = col(contentCol)
+    val withPacked = df.withColumn("__jp",
+      when(isJpeg(c), call_function("graft_jpeg_sof", c)))
+    val p = col("__jp")
+    def f(v: Column): Column = when(p.isNotNull, v)
+    val withFields = withPacked
+      .withColumn("is_jpeg", p.isNotNull)
+      .withColumn("jpeg_width", f(p.bitwiseAND(lit(0xFFFFL))))
+      .withColumn("jpeg_height",
+        f(shiftright(p, 16).bitwiseAND(lit(0xFFFFL))))
+      .withColumn("jpeg_precision",
+        f(shiftright(p, 40).bitwiseAND(lit(0xFFL))))
+      .withColumn("jpeg_ncomp", f(shiftright(p, 32).bitwiseAND(lit(0xFFL))))
+      .withColumn("jpeg_progressive",
+        f(shiftright(p, 48).bitwiseAND(lit(0xFFL)) === 0xC2L))
+    val out =
+      if (!withFields.columns.contains("meta")) withFields
+      else withFields.withColumn("meta",
+        when(col("is_jpeg"), struct(
+          lit("image/jpeg").as("mime"),
+          col("jpeg_width").cast(IntegerType).as("width"),
+          col("jpeg_height").cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")))
+          .otherwise(col("meta")))
+    out.drop("__jp")
   }
 
   /** REAL BMP header decode with pure byte math (offsets per the public
@@ -318,6 +364,37 @@ object Multimodal {
     df.withColumn("content", unhex(gif))
       .withColumn("meta", struct(
         lit("image/gif").as("mime"),
+        lit(null).cast(IntegerType).as("width"),
+        lit(null).cast(IntegerType).as("height"),
+        lit(null).cast(LongType).as("duration_ms")))
+  }
+
+  /** Deterministic baseline JFIF JPEG per row whose SOF0 sits at an
+    * ID-DEPENDENT offset: SOI, a fixed 16-byte APP0, a COM segment of
+    * id%37+1 payload bytes (md5 stream) — the variable-length segment
+    * the scanner must actually SKIP, not just step over fixed offsets —
+    * then SOF0 with height=id%501+1, width=id%333+1 (both descriptor
+    * bytes exercised), 3 components, a minimal SOS and EOI. A decoder
+    * that only reads fixed offsets cannot pass the corpus roundtrip. */
+  def synthJpeg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = (col(idCol) % 501 + 1).cast(LongType)
+    val w = (col(idCol) % 333 + 1).cast(LongType)
+    val comPayload = (col(idCol) % 37 + 1).cast(LongType)
+    // max payload 37 bytes = 74 hex chars -> 3 md5 reps (96)
+    val comHex = repeat(md5(coalesce(col(textCol), lit(""))), 3)
+      .substr(lit(1), (comPayload * 2).cast(IntegerType))
+    val jpeg = concat(
+      lit("FFD8"),
+      lit("FFE0" + "0010" + "4A46494600" + "0101" + "00" +
+        "0001" + "0001" + "00" + "00"),
+      lit("FFFE"), beHex(comPayload + 2, 2), comHex,
+      lit("FFC0" + "0011" + "08"), beHex(h, 2), beHex(w, 2),
+      lit("03" + "012200" + "021101" + "031101"),
+      lit("FFDA" + "000C" + "03" + "010002110311" + "003F00"),
+      lit("00000000"), lit("FFD9"))
+    df.withColumn("content", unhex(jpeg))
+      .withColumn("meta", struct(
+        lit("image/jpeg").as("mime"),
         lit(null).cast(IntegerType).as("width"),
         lit(null).cast(IntegerType).as("height"),
         lit(null).cast(LongType).as("duration_ms")))

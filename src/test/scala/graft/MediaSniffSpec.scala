@@ -13,14 +13,15 @@ import graft.multimodal.Multimodal
   * the directory. */
 class MediaSniffSpec extends SparkSpec {
 
-  test("no raw document text sniffs as BMP/WAV/PNG/GIF in any sf dir") {
+  test("no raw document text sniffs as BMP/WAV/PNG/GIF/JPEG in any sf dir") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")) {
       val c = col("content")
       val n = Multimodal.asMedia(
           Tables.load(spark, dir, "documents"), "text")
         .where(Multimodal.isBmp(c) || Multimodal.isWav(c) ||
-          Multimodal.isPng(c) || Multimodal.isGif(c))
+          Multimodal.isPng(c) || Multimodal.isGif(c) ||
+          Multimodal.isJpeg(c))
         .count()
       assert(n == 0L,
         s"$dir: $n raw docs carry container magic — a regenerated corpus " +

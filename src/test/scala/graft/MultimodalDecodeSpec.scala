@@ -114,6 +114,90 @@ class MultimodalDecodeSpec extends SparkSpec {
     }
   }
 
+  // hand-written JFIF stream: SOI, a 2-payload-byte COM segment, one
+  // legal FF fill byte, then SOF1 (extended baseline) 128x256, 8-bit,
+  // 3 components — the scanner must skip the COM by its length word and
+  // step over the fill byte to reach the SOF
+  private val goldenJpegHex =
+    "FFD8" + "FFFE0004ABCD" + "FF" + "FFC1" + "0011" + "08" +
+      "0100" + "0080" + "03" + "011100" + "021101" + "031101"
+
+  // same stream with a TEM standalone marker (no length word) before
+  // the frame, and SOF2 — progressive must flag
+  private val goldenJpegProgHex =
+    "FFD8" + "FF01" + "FFC2" + "0011" + "08" +
+      "0040" + "0020" + "03" + "011100" + "021101" + "031101"
+
+  test("golden hand-written JPEG: the marker scan skips COM by length, " +
+      "steps fill bytes and standalone markers, reads SOF1/SOF2") {
+    val rs = Multimodal.decodeJpegMeta(
+        mediaOf(1L -> goldenJpegHex, 2L -> goldenJpegProgHex))
+      .select("doc_id", "is_jpeg", "jpeg_width", "jpeg_height",
+        "jpeg_precision", "jpeg_ncomp", "jpeg_progressive")
+      .orderBy("doc_id").collect()
+    assert(rs(0).getBoolean(1))
+    assert(rs(0).getLong(2) == 128L && rs(0).getLong(3) == 256L)
+    assert(rs(0).getLong(4) == 8L && rs(0).getLong(5) == 3L)
+    assert(!rs(0).getBoolean(6))
+    assert(rs(1).getBoolean(1))
+    assert(rs(1).getLong(2) == 32L && rs(1).getLong(3) == 64L)
+    assert(rs(1).getBoolean(6), "SOF2 must flag progressive")
+  }
+
+  test("hostile JPEG streams read as clean false rows: bad lengths, " +
+      "SOS/EOI before any SOF, truncation") {
+    val junk = mediaOf(
+      1L -> ("FFD8" + "FFFE" + "0001" + "00"),     // length word < 2
+      2L -> ("FFD8" + "FFFE" + "0FFF" + "0000"),   // length past buffer
+      3L -> ("FFD8" + "FFDA" + "000C" + "00" * 10), // SOS before SOF
+      4L -> "FFD8FFD9",                             // EOI immediately
+      5L -> "FFD8FF",                               // truncated marker
+      6L -> ("FFD8" + "00" * 30),                   // no marker prefix
+      7L -> ("FFD8" + ("FF010000" * 2)))            // malformed after TEM
+    val rs = Multimodal.decodeJpegMeta(junk)
+      .select("is_jpeg", "jpeg_width").collect()
+    assert(rs.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+  }
+
+  test("jpeg kernel: NO_CODEGEN fallback agrees with codegen") {
+    // (plan-shape asserts live in the corpus-wide synth test below — a
+    // local Seq relation constant-folds to a LocalTableScan here)
+    val df = mediaOf(1L -> goldenJpegHex, 2L -> goldenJpegProgHex,
+      3L -> "FFD8FFD9", 4L -> "00")
+    def run(): Seq[org.apache.spark.sql.Row] =
+      Multimodal.decodeJpegMeta(df)
+        .select("doc_id", "is_jpeg", "jpeg_width", "jpeg_height",
+          "jpeg_progressive")
+        .orderBy("doc_id").collect().toSeq
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    val withCodegen = run()
+    try {
+      spark.conf.set(key, "NO_CODEGEN")
+      assert(run() == withCodegen)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("synthJpeg puts SOF at an id-dependent offset and decode " +
+      "returns the embedded fields, scan-stage only (corpus-wide)") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val decoded = Multimodal.decodeJpegMeta(
+      Multimodal.synthJpeg(docs, "doc_id", "text"))
+    val bad = decoded.where(!col("is_jpeg") ||
+        col("jpeg_width") =!= col("doc_id") % 333 + 1 ||
+        col("jpeg_height") =!= col("doc_id") % 501 + 1 ||
+        col("jpeg_precision") =!= 8 || col("jpeg_ncomp") =!= 3 ||
+        col("jpeg_progressive") ||
+        // the COM segment really varies: total length tracks id%37
+        length(col("content")) =!= col("doc_id") % 37 + 1 + 63)
+      .count()
+    assert(bad == 0L)
+    val plan = decoded.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_jpeg_sof"), plan)
+    assert(!plan.contains("Exchange") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("non-container content yields false magic and all-null fields, " +
       "never a throw") {
     val junk = mediaOf(

@@ -389,47 +389,69 @@ class PlanQualitySpec extends SparkSpec {
     } finally graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
+  /** The q_train_layout shuffle-budget assertions against `dir`'s
+    * documents table: pushed quality filter, scan-side bloom probe,
+    * exactly 2 hash exchanges before the epoch shuffle, two-phase
+    * window-group-limit cap. Returns the capped frame for further
+    * checks. Shared by the sf0.001 test and the sf1-build test — the
+    * budget is a property of the PLAN, so partition counts (1 file vs
+    * 50 row groups) must not move it. */
+  private def assertTrainLayoutBudget(dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text")
+    val quality = graft.text.QualityFilters.gopherRepetitionFilter(
+      d, "text", 0.60, 0.15, 0.15, 0.15)
+    val bench = d.where(col("doc_id") % 20 === 0).select("doc_id", "text")
+    val clean = graft.text.Decontaminate
+      .flagContaminatedBloom(quality, bench, "text", "doc_id", n = 6)
+      .where(!col("contaminated")).drop("contaminated")
+    val capped = graft.ops.Sampling
+      .capPerGroup(clean, "lang", "doc_id", k = 40)
+      .select("doc_id", "text")
+    val p = plan(capped)
+    // the cached benchGrams build (after "InMemoryRelation") is a
+    // separate, already-pinned query — budget the MAIN chain only
+    val main = p.split("InMemoryRelation")(0)
+    // exactly 2 data shuffles before the epoch shuffle: the hit-id
+    // distinct and the per-lang cap window — everything else must be
+    // scan-side (pushed repetition filter, bloom probe) or broadcast
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(main).size
+    assert(exchanges == 2,
+      s"expected exactly 2 hash exchanges in the main chain, got $exchanges:\n$main")
+    assert(!main.contains("SinglePartition") &&
+      !main.contains("SortMergeJoin"), main)
+    // the repetition keep-predicate reaches the parquet scan as a data
+    // filter — the corpus is pruned before anything else touches it
+    assert(main.linesIterator.exists(l =>
+      l.contains("DataFilters") && l.contains("graft_rep_keep")), main)
+    // the bloom probe sits under (prints after) the verify semi-join
+    val probeAt = main.indexOf("graft_bloom_contains")
+    val joinAt = main.indexOf("LeftSemi")
+    assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt, main)
+    // the cap runs the two-phase WindowGroupLimit (partial before the
+    // exchange) — a mega-lang cannot materialize on one partition
+    assert(main.contains("WindowGroupLimit") && main.contains("Partial"),
+      main)
+    capped
+  }
+
+  test("q_train_layout shuffle budget holds under the sf1 bench build " +
+      "(r17): 50 row-group files instead of one — partition counts " +
+      "change, the budget must not") {
+    assume(new java.io.File("/tmp/sf1/documents.parquet").exists(),
+      "/tmp/sf1 bench dataset not built (tools/make_sf1.py)")
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    try assertTrainLayoutBudget("/tmp/sf1")
+    finally graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
   test("q_train_layout composition keeps the documented shuffle budget " +
       "(r16): pushed quality filter, scan-side bloom, 2 exchanges before " +
       "the epoch shuffle") {
     val before = graft.util.CacheHygiene.snapshot(spark)
     try {
-      val d = Tables.load(spark, sf, "documents")
-        .select("doc_id", "lang", "text")
-      val quality = graft.text.QualityFilters.gopherRepetitionFilter(
-        d, "text", 0.60, 0.15, 0.15, 0.15)
-      val bench = d.where(col("doc_id") % 20 === 0).select("doc_id", "text")
-      val clean = graft.text.Decontaminate
-        .flagContaminatedBloom(quality, bench, "text", "doc_id", n = 6)
-        .where(!col("contaminated")).drop("contaminated")
-      val capped = graft.ops.Sampling
-        .capPerGroup(clean, "lang", "doc_id", k = 40)
-        .select("doc_id", "text")
-      val p = plan(capped)
-      // the cached benchGrams build (after "InMemoryRelation") is a
-      // separate, already-pinned query — budget the MAIN chain only
-      val main = p.split("InMemoryRelation")(0)
-      // exactly 2 data shuffles before the epoch shuffle: the hit-id
-      // distinct and the per-lang cap window — everything else must be
-      // scan-side (pushed repetition filter, bloom probe) or broadcast
-      val exchanges = "Exchange hashpartitioning".r
-        .findAllMatchIn(main).size
-      assert(exchanges == 2,
-        s"expected exactly 2 hash exchanges in the main chain, got $exchanges:\n$main")
-      assert(!main.contains("SinglePartition") &&
-        !main.contains("SortMergeJoin"), main)
-      // the repetition keep-predicate reaches the parquet scan as a data
-      // filter — the corpus is pruned before anything else touches it
-      assert(main.linesIterator.exists(l =>
-        l.contains("DataFilters") && l.contains("graft_rep_keep")), main)
-      // the bloom probe sits under (prints after) the verify semi-join
-      val probeAt = main.indexOf("graft_bloom_contains")
-      val joinAt = main.indexOf("LeftSemi")
-      assert(probeAt >= 0 && joinAt >= 0 && probeAt > joinAt, main)
-      // the cap runs the two-phase WindowGroupLimit (partial before the
-      // exchange) — a mega-lang cannot materialize on one partition
-      assert(main.contains("WindowGroupLimit") && main.contains("Partial"),
-        main)
+      val capped = assertTrainLayoutBudget(sf)
       // end-to-end: gather emits exactly-64-token sequences except the
       // corpus tail, contiguous seq_ids, and total tokens add up
       val shuffled = graft.ops.Sampling.shufflePositions(capped, "doc_id")
