@@ -582,11 +582,16 @@ object Bench {
         s"\"$k\":[${jsNum(results(k), 9)},${jsNum(v, 9)}]" }
         .mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // SPARK_GRAFT_SKIP attribution: a consumer diffing this file
+      // against a full run must see which rows were intentionally absent
+      val sk = sys.env.get("SPARK_GRAFT_SKIP").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""retimed":$rt,"repass":$rp,"repass_why":"$repassWhy",""" +
         s""""hist_ratio":${jsNum(histRatio, 4)},""" +
         s""""load_midmax":${jsNum(loadMidMax, 2)},""" +
-        s""""failed":$fl,""" +
+        s""""failed":$fl,"skipped":$sk,""" +
         s""""load":[${jsNum(loadBefore, 2)},${jsNum(loadAfter, 2)}],""" +
         s""""io_read_bytes":[$ioReadBefore,${procSelfIo("read_bytes")}],""" +
         s""""io_rchar":[$ioRcharBefore,${procSelfIo("rchar")}],""" +

@@ -1690,7 +1690,25 @@ object SparkEntry {
     * warn loudly — a typo must not silently select nothing. */
   def selectedQueries(): Map[String, (SparkSession, String) => DataFrame] =
     sys.env.get("SPARK_GRAFT_ONLY") match {
-      case None => queries
+      case None =>
+        // SPARK_GRAFT_SKIP: the complement filter (r17) — run everything
+        // EXCEPT the named queries. Unlike ONLY, a skip run still updates
+        // bench history: with only a handful of rows excluded, JVM/JIT
+        // warmup amortizes over the ~120 that remain exactly as in a full
+        // run, so the cold firsts stay baseline-grade. Exists for
+        // re-running a scale suite minus its replication-artifact pair
+        // monsters (sf10: minhash pair mass is C(100,2)/group by
+        // construction and its shuffle spill evicts the page cache for
+        // whoever runs next).
+        sys.env.get("SPARK_GRAFT_SKIP") match {
+          case None => queries
+          case Some(raw) =>
+            val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+            val unknown = names.filterNot(queries.contains)
+            if (unknown.nonEmpty) System.err.println(
+              s"[graft] SPARK_GRAFT_SKIP names not in queries: ${unknown.mkString(", ")}")
+            queries.filterNot { case (n, _) => names(n) }
+        }
       case Some(raw) =>
         val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
         val unknown = names.filterNot(queries.contains)
