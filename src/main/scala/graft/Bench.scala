@@ -83,7 +83,9 @@ object Bench {
     // r16 batch, same rule
     "decode" -> "d2", "train" -> "t2", "layout" -> "l2",
     // r17 batch, same rule
-    "jpeg" -> "j2", "png" -> "p3", "gif" -> "g3")
+    "jpeg" -> "j2", "png" -> "p3", "gif" -> "g3",
+    "weighted" -> "w2", "collocations" -> "c4", "inverted" -> "i2",
+    "index" -> "x2", "bucketed" -> "b3")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,
@@ -643,10 +645,13 @@ object Bench {
     // hit 1499/1500, one char from a silent precision drop. r15: 117
     // queries outgrew 1700 even with the fresh abbrev batch, so the
     // prec-2 bar moved to 1800. r16: 123 queries + the hratio/repass
-    // self-labels moved it to 1850 — 150 chars of the 2000-char driver
-    // window in reserve (nothing prints after this line: spark already
-    // stopped, log level ERROR); the prec-1 ladder step still clears
-    // 1800 at a 130-query horizon (BenchLineSpec).
+    // self-labels moved it to 1850. r17: 127 queries (corpus-stats
+    // batch) → 1920, the last step this window affords — 80 chars of
+    // the 2000-char driver window in reserve (nothing prints after
+    // this line: spark already stopped, log level ERROR); the prec-1
+    // ladder step still clears 1800 at a 130-query horizon
+    // (BenchLineSpec). The NEXT query batch must come with either a
+    // key-table overhaul or a tighter value rendering, not a bar move.
     val out = {
       def line(prec: Int, withQueries: Boolean) = stdoutLine(resultSeq,
         prec, keyOf, withQueries, failed.size, retimed,
@@ -656,10 +661,10 @@ object Bench {
         else repassImproved.size,
         sfDir)
       val l2 = line(2, withQueries = true)
-      if (l2.length <= 1850) l2
+      if (l2.length <= 1920) l2
       else {
         val l1 = line(1, withQueries = true)
-        if (l1.length <= 1850) l1 else line(2, withQueries = false)
+        if (l1.length <= 1920) l1 else line(2, withQueries = false)
       }
     }
     spark.sparkContext.setLogLevel("ERROR")

@@ -1523,6 +1523,62 @@ object SparkEntry {
           col("gif_bg_index").as("bg_index"),
           col("meta.mime").as("mime"))
         .orderBy("doc_id")
+    }),
+
+    // weighted sampling without replacement (r17): 200 documents drawn
+    // proportional to n_chars via the Efraimidis–Spirakis key (ln(u)/w,
+    // u from the salted-md5 52-bit prefix) — deterministic, partition-
+    // independent, TakeOrdered-planned (per-partition k-heaps, no
+    // corpus shuffle). Keys pre-rounded to 6 dp + id tie-break, the
+    // repo ulp convention; the oracle replays the identical hash fold.
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        tbl(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", k = 200)
+        .orderBy("doc_id")),
+
+    // PMI bigram collocations (r17): phrase mining / the association
+    // statistic of tokenizer-merge induction. minCount 2 keeps the
+    // sf0.01 result set non-trivial while dropping hapax-pair noise.
+    "q_collocations" -> ((s, dir) =>
+      graft.text.Collocations.pmiTopK(
+        tbl(s, dir, "documents"), "text", minCount = 2L, k = 100)),
+
+    // inverted-index materialization (r17): adjacent-word PHRASE terms
+    // (the synthetic corpus has a ~31-word vocabulary where every
+    // single word is a stopword by df — phrases are the granularity
+    // with discriminating df) with a FRACTIONAL df window [1%, 5%] —
+    // the scale guard (a stopword phrase's postings are the corpus; it
+    // is dropped at the COUNT stage, before any list is assembled, and
+    // the fraction keeps the same call meaningful at every sf).
+    "q_inverted_index" -> ((s, dir) =>
+      graft.text.InvertedIndex.phrasePostings(
+        tbl(s, dir, "documents"), "doc_id", "text",
+        minDfFrac = 0.01, maxDfFrac = 0.05)
+        .orderBy("term")),
+
+    // bucketed-table layout + co-located join (r17): both fact tables
+    // written bucketed on the join key (8 buckets, in-bucket sorted),
+    // then joined with ZERO Exchange — the ingest-once/join-free-forever
+    // layout lever. BucketedSpec pins the no-Exchange plan; here the
+    // result must also be VALUE-correct against a plain join oracle.
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = roundtripPath("bucketed", dir)
+      graft.sources.Bucketed.writeTable(
+        tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        "graft_orders_bkt", base + "_orders", 8, "o_orderkey")
+      graft.sources.Bucketed.writeTable(
+        tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "graft_lineitem_bkt", base + "_lineitem", 8, "l_orderkey")
+      graft.sources.Bucketed.colocatedJoin(s,
+        "graft_orders_bkt", "graft_lineitem_bkt",
+        "o_orderkey", "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -3426,6 +3482,72 @@ object SparkEntry {
         | UNION ALL SELECT 'sample', rid, 'c_nationkey', CAST(c_nationkey AS DOUBLE), NULL FROM i
         | UNION ALL SELECT 'sample', rid, 'c_acctbal', CAST(c_acctbal AS DOUBLE), NULL FROM i
         | UNION ALL SELECT 'sample', rid, 'c_mktsegment', NULL, c_mktsegment FROM i
-        |) ORDER BY kind, row_idx, column_name""".stripMargin
+        |) ORDER BY kind, row_idx, column_name""".stripMargin,
+
+    // Efraimidis–Spirakis weighted draw: u from the same md5 52-bit
+    // prefix fold the simhash oracle uses (13 hex chars, digit fold),
+    // key = round(ln(u)/w, 6), top-200 by (key desc, id). 2^52 =
+    // 4503599627370496; +0.5 keeps u strictly inside (0,1).
+    "q_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  round(ln((list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(string_split(substring(md5('graftw:' || CAST(doc_id AS VARCHAR)), 1, 13), ''),
+        |        c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+        |      (a, v) -> a * 16 + v) + 0.5) / 4503599627370496.0)
+        |    / CAST(n_chars AS DOUBLE), 6) AS sample_key
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0.0),
+        |t AS (SELECT * FROM s ORDER BY sample_key DESC, doc_id LIMIT 200)
+        |SELECT doc_id, lang, n_chars, sample_key FROM t ORDER BY doc_id""".stripMargin,
+
+    // PMI over adjacent-word bigrams: exact integer counts, the two
+    // corpus totals exact-integer-valued doubles, one ln rounded to 6 dp
+    // with (w1, w2) tie-break — operand order mirrors the Spark column
+    // expression term by term.
+    "q_collocations" ->
+      """WITH d AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS cu FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+        |nu AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+        |nb AS (SELECT CAST(sum(CASE WHEN len(ws) >= 1 THEN len(ws) - 1 ELSE 0 END) AS DOUBLE) AS n FROM d),
+        |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i FROM d)),
+        |bc AS (SELECT w1, w2, count(*) AS np FROM bi GROUP BY w1, w2 HAVING count(*) >= 2),
+        |s AS (SELECT bc.w1, bc.w2, bc.np,
+        |  round(ln(CAST(bc.np AS DOUBLE) * nu.n * nu.n
+        |    / (nb.n * CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE))), 6) AS pmi
+        |  FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w
+        |  CROSS JOIN nu CROSS JOIN nb)
+        |SELECT w1, w2, CAST(np AS BIGINT) AS n_pair, pmi FROM s
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // inverted index: within-doc-distinct (doc, phrase) pairs, df
+    // window as the IDENTICAL double products (0.01·N / 0.05·N) the
+    // Spark side computes, ascending posting join — numeric list_sort
+    // matches Spark's array_sort on BIGINT ids.
+    "q_inverted_index" ->
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |p AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS term
+        |   FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) - 1 AS BIGINT))) AS i FROM d))),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+        |w AS (SELECT f.term, f.df FROM f CROSS JOIN n
+        |      WHERE CAST(f.df AS DOUBLE) >= 0.01 * n.n
+        |        AND CAST(f.df AS DOUBLE) <= 0.05 * n.n)
+        |SELECT w.term, w.df,
+        |  array_to_string(list_sort(list(p.doc_id)), ',') AS postings
+        |FROM w JOIN p USING (term)
+        |GROUP BY w.term, w.df ORDER BY term""".stripMargin,
+
+    // the bucketed layout must not change a single value: plain join
+    // ground truth, same revenue rounding as q_join_agg
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -296,4 +296,46 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k).drop("__rn")
   }
+
+  /** Weighted sampling WITHOUT replacement: `k` rows drawn with
+    * probability proportional to `weightCol` — the data-mixing draw the
+    * rate-based samplers above cannot express ("200 documents, long
+    * ones proportionally more likely, no duplicates"). Uses the
+    * exponential-race form of the Efraimidis–Spirakis A-ES reservoir
+    * key (Inf. Proc. Letters 97(5), 2006 — public algorithm): each row
+    * gets key = ln(u)/w for a uniform u; the k LARGEST keys are the
+    * sample, which is distributionally identical to sequential
+    * proportional draws without replacement.
+    *
+    * Where a reservoir algorithm streams rows through one sequential
+    * reservoir, the SAME key ranks distributively: u derives from the
+    * repo-standard salted-md5 hash of the id (13 hex chars → a 52-bit
+    * integer, exact in a double; +0.5 keeps u in (0,1)), so the key is
+    * a pure per-row projection — deterministic under any partitioning,
+    * reproducible by any engine with md5, monotone-composable like the
+    * other samplers (same salt ⇒ same u per id). `orderBy(key).limit(k)`
+    * plans as TakeOrdered: per-partition k-heaps, only k rows per
+    * partition ever move — no corpus shuffle, no global sort. Keys are
+    * pre-rounded to 6 dp with id tie-break, the repo-wide convention
+    * that makes the kept set ulp-proof across engines (`ln` is the one
+    * non-exact step; count/hash arithmetic is exact).
+    *
+    * Rows with null or non-positive weight are excluded (they have no
+    * well-defined draw probability). Appends `sample_key`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "graftw"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 2^52 as an exact double; conv() parses the 13-hex-char prefix as
+    // one base-16 integer (the same fold the simhash oracle replays
+    // digit-by-digit in SQL)
+    val u = (conv(substring(md5(concat_ws(":", lit(salt),
+        col(idCol).cast(StringType))), 1, 13), 16, 10)
+      .cast(LongType).cast(DoubleType) + 0.5) / 4503599627370496.0
+    df.where(col(weightCol).isNotNull &&
+        col(weightCol).cast(DoubleType) > 0.0)
+      .withColumn("sample_key",
+        round(log(u) / col(weightCol).cast(DoubleType), 6))
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Bucketed
+
+/** The bucketed layout's one promise is plan-shaped: a join of two
+  * co-bucketed tables on their bucket keys moves ZERO rows — no
+  * Exchange on either side — and produces exactly the rows a plain
+  * join would. Both halves pinned here (broadcast disabled so the
+  * no-Exchange claim is about bucketing, not about one side being
+  * small enough to broadcast). */
+class BucketedSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val scratch =
+    s"/tmp/graft_bucketed_spec_${ProcessHandle.current().pid()}"
+
+  private def withNoBroadcast[T](body: => T): T = {
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    try { spark.conf.set(k, "-1"); body }
+    finally spark.conf.set(k, prev)
+  }
+
+  private def writeBoth(): Unit = {
+    Bucketed.writeTable(
+      Tables.load(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+      "graft_spec_orders_bkt", s"${scratch}_orders", 4, "o_orderkey")
+    Bucketed.writeTable(
+      Tables.load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice"),
+      "graft_spec_lineitem_bkt", s"${scratch}_lineitem", 4, "l_orderkey")
+  }
+
+  private def joined(): DataFrame = Bucketed.colocatedJoin(spark,
+    "graft_spec_orders_bkt", "graft_spec_lineitem_bkt",
+    "o_orderkey", "l_orderkey")
+
+  test("co-bucketed join plans with zero Exchange and matches a plain join") {
+    writeBoth()
+    try withNoBroadcast {
+      val p = joined().queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("SelectedBucketsCount"),
+        s"scan must be bucket-aware:\n$p")
+      // value parity: the layout must not change a single result row
+      val viaBuckets = joined()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 4).as("s"))
+        .orderBy("o_orderpriority").collect().toSeq
+      val plain = Tables.load(spark, sf, "orders")
+        .join(Tables.load(spark, sf, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 4).as("s"))
+        .orderBy("o_orderpriority").collect().toSeq
+      assert(viaBuckets == plain)
+    } finally cleanup()
+  }
+
+  test("writeTable emits exactly `buckets` data files per table") {
+    writeBoth()
+    try {
+      val files = new java.io.File(s"${scratch}_orders").listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(files.length == 4,
+        s"expected 4 bucket files, got ${files.map(_.getName).toSeq}")
+    } finally cleanup()
+  }
+
+  private def cleanup(): Unit = {
+    Seq("graft_spec_orders_bkt", "graft_spec_lineitem_bkt")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(s"${scratch}_orders", s"${scratch}_lineitem").foreach { d =>
+      def rec(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rec)); f.delete()
+      }
+      rec(new java.io.File(d))
+    }
+  }
+}
