@@ -85,7 +85,8 @@ object Bench {
     // r17 batch, same rule
     "jpeg" -> "j2", "png" -> "p3", "gif" -> "g3",
     "weighted" -> "w2", "collocations" -> "c4", "inverted" -> "i2",
-    "index" -> "x2", "bucketed" -> "b3")
+    "index" -> "x2", "bucketed" -> "b3",
+    "heavy" -> "h2", "hitters" -> "t3")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,

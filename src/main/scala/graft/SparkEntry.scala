@@ -1557,6 +1557,17 @@ object SparkEntry {
         minDfFrac = 0.01, maxDfFrac = 0.05)
         .orderBy("term")),
 
+    // exact heavy hitters via Misra–Gries sketch → exact recount
+    // (r17): candidates from ONE bounded-memory custom aggregate (the
+    // vocabulary never shuffles — O(partitions·k) summary bytes move),
+    // then a broadcast semi-join recount makes the output exact and
+    // partitioning-independent, which is why a plain exact-count SQL
+    // oracle can replay it.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.text.HeavyHitterTerms.frequentTerms(
+        tbl(s, dir, "documents"), "text", minFrac = 0.033)
+        .orderBy("term")),
+
     // bucketed-table layout + co-located join (r17): both fact tables
     // written bucketed on the join key (8 buckets, in-bucket sorted),
     // then joined with ZERO Exchange — the ingest-once/join-free-forever
@@ -3540,6 +3551,18 @@ object SparkEntry {
         |  array_to_string(list_sort(list(p.doc_id)), ',') AS postings
         |FROM w JOIN p USING (term)
         |GROUP BY w.term, w.df ORDER BY term""".stripMargin,
+
+    // heavy hitters: the sketch is recall-guaranteed and the recount
+    // exact, so the ground truth is the plain exact count with the
+    // IDENTICAL 0.033·N double threshold
+    "q_heavy_hitters" ->
+      """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |t AS (SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences FROM w GROUP BY term),
+        |n AS (SELECT CAST(sum(n_occurrences) AS DOUBLE) AS n FROM t)
+        |SELECT term, n_occurrences FROM t CROSS JOIN n
+        |WHERE CAST(n_occurrences AS DOUBLE) >= 0.033 * n.n
+        |ORDER BY term""".stripMargin,
 
     // the bucketed layout must not change a single value: plain join
     // ground truth, same revenue rounding as q_join_agg
