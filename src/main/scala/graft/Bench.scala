@@ -270,6 +270,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dead-process sink scratch from prior invocations goes now, before
+    // any timed region (and before the quiet gate — the delete's I/O
+    // must not read as load)
+    SparkEntry.sweepDeadScratch(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -33,10 +33,38 @@ object SparkEntry {
     * `/tmp/graft_<fmt>_roundtrip_<sf>` collides when two Verify/Bench
     * invocations run the same sf concurrently — one overwrites the files
     * the other is mid-read on. The PID suffix keeps reruns within one JVM
-    * idempotent (overwrite mode) while isolating concurrent processes. */
+    * idempotent (overwrite mode) while isolating concurrent processes;
+    * [[sweepDeadScratch]] (called by Bench/Verify at startup, OUTSIDE
+    * any timed region) bounds the cross-invocation accumulation. */
   private def roundtripPath(fmt: String, dir: String): String =
     s"/tmp/graft_${fmt}_roundtrip_${new java.io.File(dir).getName}" +
       s"_${ProcessHandle.current().pid()}"
+
+  /** Delete `/tmp/graft_*_roundtrip_<sf>_<pid>` scratch whose owning
+    * process is DEAD. Pid-suffixed sink scratch otherwise accumulates
+    * one copy per invocation (~1 GB each for the bucketed lineitem at
+    * sf10 — r17 measured /tmp filling from exactly this); a dead owner
+    * can no longer be mid-read, so the delete is safe, and live pids
+    * (a concurrent run) are left alone. Bench and Verify call this once
+    * at startup, never inside a timed row. */
+  private[graft] def sweepDeadScratch(dir: String): Unit = {
+    val sf = new java.io.File(dir).getName
+    val pat = ("^graft_[a-z0-9]+_roundtrip_" +
+      java.util.regex.Pattern.quote(sf) + "_([0-9]+)$").r
+    Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
+      f.getName match {
+        case pat(pid) =>
+          val h = ProcessHandle.of(pid.toLong)
+          if (!(h.isPresent && h.get().isAlive)) {
+            def rec(g: java.io.File): Unit = {
+              Option(g.listFiles()).foreach(_.foreach(rec)); g.delete(); ()
+            }
+            rec(f)
+          }
+        case _ => ()
+      }
+    })
+  }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a
     * representative cleaning pipeline over lineitem (SURVEY.md §7.3). */
@@ -1574,6 +1602,10 @@ object SparkEntry {
     // layout lever. BucketedSpec pins the no-Exchange plan; here the
     // result must also be VALUE-correct against a plain join oracle.
     "q_bucketed_join" -> ((s, dir) => {
+      // largest scratch any query writes (~1 GB bucketed lineitem at
+      // sf10) — the startup sweepDeadScratch is what keeps repeated
+      // bench/verify invocations from accumulating copies until /tmp
+      // fills (the r17 disk-full lesson)
       val base = roundtripPath("bucketed", dir)
       graft.sources.Bucketed.writeTable(
         tbl(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
