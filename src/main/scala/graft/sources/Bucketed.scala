@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions.col
   * records the bucket spec in the catalog; a scan of the table reports
   * `HashPartitioning(key, n)` as its output partitioning, so
   * `EnsureRequirements` inserts NO Exchange when two scans with the
-  * same spec join on the key (and the in-bucket sort order lets the
-  * sort-merge join skip its Sort too). BucketedSpec pins exactly that:
-  * a broadcast-disabled join of two co-bucketed tables whose physical
+  * same spec join on the key. The in-bucket sort order is recorded for
+  * file-level mergeability, but Spark 3+ deliberately does not trust
+  * it at scan time (`spark.sql.legacy.bucketedTableScan.outputOrdering`
+  * defaults false — multi-file buckets would break it), so the
+  * sort-merge join re-sorts WITHIN partitions: an in-memory per-bucket
+  * sort, no shuffle — the Exchange elimination is the lever that
+  * matters at scale. BucketedSpec pins exactly that: a
+  * broadcast-disabled join of two co-bucketed tables whose physical
   * plan contains zero Exchange nodes.
   *
   * Scale notes:

@@ -46,6 +46,12 @@ class BucketedSpec extends SparkSpec {
       assert(p.contains("SortMergeJoin"), p)
       assert(p.contains("SelectedBucketsCount"),
         s"scan must be bucket-aware:\n$p")
+      // NOTE deliberately NOT asserted: Sort elimination from the
+      // in-bucket sortBy. Spark 3+ ignores bucket sort order at scan
+      // (spark.sql.legacy.bucketedTableScan.outputOrdering defaults
+      // false — multi-file buckets break it), so the SMJ re-sorts
+      // WITHIN partitions: no shuffle, in-memory per-bucket sort. The
+      // zero-Exchange property above is the one that matters at scale.
       // value parity: the layout must not change a single result row
       val viaBuckets = joined()
         .groupBy("o_orderpriority")
