@@ -590,8 +590,12 @@ object Bench {
         .mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       // SPARK_GRAFT_SKIP attribution: a consumer diffing this file
-      // against a full run must see which rows were intentionally absent
-      val sk = sys.env.get("SPARK_GRAFT_SKIP").toSeq
+      // against a full run must see which rows were intentionally absent.
+      // Mirrors selectedQueries' precedence (r17 ADVICE): when ONLY is
+      // set SKIP is ignored there, so recording it here would label rows
+      // as skipped that were actually excluded by ONLY.
+      val sk = (if (sys.env.contains("SPARK_GRAFT_ONLY")) Seq.empty
+        else sys.env.get("SPARK_GRAFT_SKIP").toSeq)
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

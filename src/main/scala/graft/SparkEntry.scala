@@ -49,17 +49,26 @@ object SparkEntry {
     * at startup, never inside a timed row. */
   private[graft] def sweepDeadScratch(dir: String): Unit = {
     val sf = new java.io.File(dir).getName
+    // optional `_suffix` after the pid: q_bucketed_join appends
+    // `_orders`/`_lineitem` to its base path (r17 ADVICE — the
+    // un-suffixed pattern silently skipped the ~1 GB bucketed scratch,
+    // the very dirs the sweep exists for)
     val pat = ("^graft_[a-z0-9]+_roundtrip_" +
-      java.util.regex.Pattern.quote(sf) + "_([0-9]+)$").r
+      java.util.regex.Pattern.quote(sf) + "_([0-9]+)(?:_[a-z]+)?$").r
     Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
       f.getName match {
         case pat(pid) =>
-          val h = ProcessHandle.of(pid.toLong)
-          if (!(h.isPresent && h.get().isAlive)) {
-            def rec(g: java.io.File): Unit = {
-              Option(g.listFiles()).foreach(_.foreach(rec)); g.delete(); ()
+          // Try guards a stray /tmp name whose digits overflow Long
+          // (NumberFormatException) or fall outside the OS pid range
+          // (ProcessHandle.of throws) — such a name is not ours to
+          // judge, so SKIP it rather than crash startup or delete it
+          scala.util.Try(ProcessHandle.of(pid.toLong)).foreach { h =>
+            if (!(h.isPresent && h.get().isAlive)) {
+              def rec(g: java.io.File): Unit = {
+                Option(g.listFiles()).foreach(_.foreach(rec)); g.delete(); ()
+              }
+              rec(f)
             }
-            rec(f)
           }
         case _ => ()
       }
@@ -100,11 +109,30 @@ object SparkEntry {
         col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
         col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
-          .as("revenue"),
+      .agg(sum(moneyRevenue).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("n_name")
   }
+
+  /** Decimal-exact revenue term `l_extendedprice * (1 - l_discount)`.
+    *
+    * Money aggregates are decimal-exact BY POLICY (r17 verdict): the
+    * inputs are exact 2-dp values stored as double, so casting each to
+    * its decimal domain FIRST (price DECIMAL(12,2), discount
+    * DECIMAL(3,2)) makes the per-row product an exact DECIMAL(17,4) and
+    * the sum order-independent — a double sum over ~1e5 addends at
+    * ~6e9 magnitude drifts 1e-4 with partial-agg schedule, so a
+    * round(...,6) oracle hash cannot be stable. The twin SQL applies
+    * the identical casts. */
+  private def moneyRevenue: Column =
+    col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1).cast(DecimalType(3, 2)) -
+        col("l_discount").cast(DecimalType(3, 2)))
+
+  /** DuckDB twin of [[moneyRevenue]]. */
+  private val moneyRevenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+      "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
   // ---- shared injections (Spark side; SQL twins below) -------------------
 
@@ -1618,8 +1646,7 @@ object SparkEntry {
         "graft_orders_bkt", "graft_lineitem_bkt",
         "o_orderkey", "l_orderkey")
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
-            .as("revenue"),
+        .agg(sum(moneyRevenue).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
     })
@@ -2975,8 +3002,8 @@ object SparkEntry {
         |ORDER BY l.doc_id""".stripMargin,
 
     "q_join_agg" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+      s"""SELECT n_name,
+        |  sum($moneyRevenueSql) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
@@ -3597,10 +3624,11 @@ object SparkEntry {
         |ORDER BY term""".stripMargin,
 
     // the bucketed layout must not change a single value: plain join
-    // ground truth, same revenue rounding as q_join_agg
+    // ground truth, same decimal-exact revenue as q_join_agg (money
+    // aggregates are decimal-exact by policy — see moneyRevenue)
     "q_bucketed_join" ->
-      """SELECT o_orderpriority,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 6) AS revenue,
+      s"""SELECT o_orderpriority,
+        |  sum($moneyRevenueSql) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin

@@ -27,14 +27,25 @@ class ScratchSweepSpec extends SparkSpec {
     val live = mkScratch(s"graft_csv_roundtrip_sweepspec_$livePid")
     val otherSf = mkScratch(s"graft_csv_roundtrip_othersweep_$deadPid")
     val noPid = mkScratch("graft_csv_roundtrip_sweepspec_notapid")
+    // q_bucketed_join appends `_orders`/`_lineitem` AFTER the pid —
+    // the r17 ADVICE gap: these are the ~1 GB dirs the sweep is FOR
+    val deadSfx = mkScratch(s"graft_bucketed_roundtrip_sweepspec_${deadPid}_orders")
+    val liveSfx = mkScratch(s"graft_bucketed_roundtrip_sweepspec_${livePid}_lineitem")
+    // digits that overflow Long: unparseable → skipped, never a crash
+    val hugePid = mkScratch("graft_csv_roundtrip_sweepspec_99999999999999999999")
     try {
       SparkEntry.sweepDeadScratch("/data/sweepspec")
       assert(!dead.exists(), "dead-pid scratch must be deleted")
       assert(live.exists(), "live-pid scratch must be kept (may be mid-read)")
       assert(otherSf.exists(), "other-sf scratch is out of scope")
       assert(noPid.exists(), "non-pid suffixes are not ours to delete")
-    } finally Seq(dead, live, otherSf, noPid).foreach { d =>
-      Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
-    }
+      assert(!deadSfx.exists(), "dead-pid bucketed scratch (pid + table " +
+        "suffix) must be deleted — it is the largest scratch any query writes")
+      assert(liveSfx.exists(), "live-pid bucketed scratch must be kept")
+      assert(hugePid.exists(), "unparseable pid digits are skipped, not swept")
+    } finally Seq(dead, live, otherSf, noPid, deadSfx, liveSfx, hugePid)
+      .foreach { d =>
+        Option(d.listFiles()).foreach(_.foreach(_.delete())); d.delete()
+      }
   }
 }

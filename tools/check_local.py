@@ -92,6 +92,28 @@ def main():
                   f"duck={sorted(du_cols)}")
             fails += 1
             continue
+        # r17 ADVICE: Decimal renders at .12g, float at .6g — a column
+        # that is DECIMAL on one side and DOUBLE on the other hashes
+        # identical values differently. The rendering must stay faithful
+        # to the driver's (changing it here would make local green lie),
+        # so instead surface the hazard loudly: any query whose twin
+        # sides disagree on Decimal-vs-float for a column is a query
+        # contract bug to fix at the source (align the types).
+        def numkind(rows, cols):
+            kinds = {}
+            for r in rows:
+                for c, v in zip(cols, r):
+                    if isinstance(v, decimal.Decimal):
+                        kinds[c] = "decimal"
+                    elif isinstance(v, float):
+                        kinds.setdefault(c, "float")
+            return kinds
+        k1, k2 = numkind(sp_rows, sp_cols), numkind(du_rows, du_cols)
+        for c in sorted(set(k1) & set(k2)):
+            if k1[c] != k2[c]:
+                print(f"{name}: WARN column {c} is {k1[c]} on spark side "
+                      f"but {k2[c]} on oracle side — renders at different "
+                      f"precision; align the twin types")
         h1, n1 = canon(sp_rows, sp_cols)
         h2, n2 = canon(du_rows, du_cols)
         if n1 != n2:
