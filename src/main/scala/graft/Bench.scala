@@ -86,7 +86,9 @@ object Bench {
     "jpeg" -> "j2", "png" -> "p3", "gif" -> "g3",
     "weighted" -> "w2", "collocations" -> "c4", "inverted" -> "i2",
     "index" -> "x2", "bucketed" -> "b3",
-    "heavy" -> "h2", "hitters" -> "t3")
+    "heavy" -> "h2", "hitters" -> "t3",
+    // r18 batch, same rule
+    "bpe" -> "b4", "tokens" -> "t4")
   require(abbrevSeq.map(_._1).distinct.size == abbrevSeq.size,
     "abbrev maps a token twice — delete the superseded entry")
   require(abbrevSeq.map(_._2).distinct.size == abbrevSeq.size,
@@ -99,7 +101,15 @@ object Bench {
       // requiring a hand abbrev entry per token (the whole-key
       // uniqueness check below still guards collisions)
       .map(t => abbrev.getOrElse(t, if (t.length > 4) t.take(3) else t))
-      .mkString("_")
+      // r18 key-table overhaul (the move BenchLineSpec's r17 comment
+      // pre-announced): tokens concatenate with NO separator — at 136
+      // queries the "_" joiners alone cost ~160 chars of the 2000-char
+      // driver window. Whole-key uniqueness over the real query set is
+      // still asserted (BenchLineSpec) and shortKeys still falls back
+      // to full stripped names on any collision. Results-file and
+      // history keys are FULL names — only stdout reads differently
+      // from r17 (BASELINE.md notes the mapping change).
+      .mkString("")
 
   /** Abbreviated stdout keys for `names`. Two future queries must never
     * abbreviate onto the same key — on collision fall back to the

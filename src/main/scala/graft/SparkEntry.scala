@@ -927,6 +927,73 @@ object SparkEntry {
         .orderBy("seq_id")
     }),
 
+    // BPE TOKEN ACCOUNTING (r18): tokenizer-aware twins of the token-
+    // budget family. Bpe.DemoMerges is a frozen 48-merge vocabulary
+    // learned once from the sf0.001 corpus (BpeSpec pins provenance);
+    // the oracle replays the IDENTICAL merge list as a recursive CTE
+    // over DISTINCT words — one bracketed-unit string replace per rank
+    // equals one greedy left-to-right pass per rank (BpeKernels
+    // Scaladoc has the argument). Spark side never shuffles: counts and
+    // token arrays are per-row codegen expressions.
+
+    // per-doc whitespace vs BPE token counts — the budget-accounting
+    // primitive (whitespace undercounts subword tokens by the exact
+    // factor a trainer's budget would be off by)
+    "q_bpe_tokens" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.text.Bpe.withKernels(s, graft.text.Bpe.DemoMerges) { (_, cnt) =>
+        d.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          cnt(col("text")).as("n_bpe")).orderBy("doc_id")
+      }
+    }),
+
+    // the token arrays themselves on a doc sample — pins the actual
+    // tokenization (subword boundaries), not just counts
+    "q_bpe_encode" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.text.Bpe.withKernels(s, graft.text.Bpe.DemoMerges) { (enc, _) =>
+        d.where(col("doc_id") % 50 === 0)
+          .select(col("doc_id"), enc(col("text")).as("toks"))
+          .orderBy("doc_id")
+      }
+    }),
+
+    // BPE-token chunk windows (8 tokens, overlap 2): boundaries fall
+    // INSIDE words — the context-length split a trainer actually makes,
+    // which the whitespace chunker cannot express
+    "q_chunk_bpe" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val toks = graft.text.Bpe.withTokens(
+        d.where(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        "text", "toks", graft.text.Bpe.DemoMerges)
+      graft.text.Chunker.chunkTokenArray(toks, "doc_id", "toks",
+        chunkTokens = 8, overlapTokens = 2)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // sequence-packing placement under BPE counts (256-token windows) —
+    // q_seq_pack's twin with the tokenizer a trainer budgets in
+    "q_seq_pack_bpe" -> ((s, dir) => {
+      val counted = graft.text.Bpe.withTokenCount(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", "n_bpe", graft.text.Bpe.DemoMerges)
+      graft.plans.SequencePacking.plan(counted, "doc_id", "n_bpe",
+        window = 256).orderBy("doc_id")
+    }),
+
+    // mixture sampling by BPE-token budget — q_sample_budget's twin
+    // (en capped at 20k BPE tokens, de at 6k, rest 10%)
+    "q_sample_budget_bpe" -> ((s, dir) => {
+      val counted = graft.text.Bpe.withTokenCount(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", "n_bpe", graft.text.Bpe.DemoMerges)
+      graft.ops.Sampling.tokenBudgetSample(counted, "lang", "doc_id",
+        "n_bpe", budgets = Map("en" -> 20000L, "de" -> 6000L),
+        defaultRate = 0.1)
+        ._1.select("doc_id", "lang").orderBy("doc_id")
+    }),
+
     // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
     // real pre-training pipeline runs, composed from the r14/r15 pieces —
     // Gopher repetition filter → Bloom-prefiltered decontamination
@@ -1811,6 +1878,43 @@ object SparkEntry {
       s"($p, $ws::DOUBLE[])"
     }.mkString(", ")
 
+  /** The shared BPE-oracle CTE block (q_bpe_* family). Replays
+    * [[graft.text.Bpe.DemoMerges]] rank by rank over DISTINCT words:
+    * each word is encoded as bracketed units `\x01tok\x02` so ONE
+    * left-to-right non-overlapping `replace` per rank is exactly the
+    * greedy merge pass [[graft.functions.BpeKernels.mergePass]] runs —
+    * units are self-delimited, so a replacement never consumes the
+    * boundary of the next candidate pair (a bare space delimiter
+    * would, and consecutive runs like `aaaa` would merge differently).
+    * Must be opened with WITH RECURSIVE. Ends at `dcnt` (doc_id,
+    * n_bpe); `wpos`/`wtok` are available for token-array consumers. */
+  private lazy val bpeWordCtes: String = {
+    val mergeValues = graft.text.Bpe.DemoMerges.map { m =>
+      s"(${m.rank + 1}, chr(1)||'${m.left}'||chr(2)||chr(1)||'${m.right}'||chr(2)," +
+        s" chr(1)||'${m.left}${m.right}'||chr(2))"
+    }.mkString(", ")
+    val nRanks = graft.text.Bpe.DemoMerges.size
+    s"""bm(rk, pat, rep) AS (VALUES $mergeValues),
+       |docw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
+       |wpos AS (SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS w
+       |         FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS i FROM docw)),
+       |dw AS (SELECT DISTINCT w FROM wpos),
+       |enc0 AS (SELECT w, array_to_string(list_transform(range(1, length(w) + 1), j -> chr(1)||w[j]||chr(2)), '') AS s FROM dw),
+       |bpeit AS (
+       |  SELECT w, s, 0 AS rk FROM enc0
+       |  UNION ALL
+       |  SELECT b.w, replace(b.s, m.pat, m.rep), b.rk + 1
+       |  FROM bpeit b JOIN bm m ON m.rk = b.rk + 1),
+       |wtok AS (SELECT w, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS toks
+       |         FROM bpeit WHERE rk = $nRanks),
+       |wcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM wtok),
+       |dcnt AS (SELECT dd.doc_id, COALESCE(a.n_bpe, 0) AS n_bpe
+       |         FROM docw dd LEFT JOIN (
+       |           SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_bpe
+       |           FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id) a
+       |         ON dd.doc_id = a.doc_id)""".stripMargin
+  }
+
   /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var
     * (shared by Bench and Verify). Names are trimmed, and unknown names
     * warn loudly — a typo must not silently select nothing. */
@@ -2358,6 +2462,71 @@ object SparkEntry {
         |  CAST(LEAST(6, len(ws) - start) AS BIGINT) AS n_chunk_tokens,
         |  array_to_string(ws[start + 1 : start + 6], ' ') AS chunk_text
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // ---- BPE family: every oracle opens WITH RECURSIVE over the shared
+    // bpeWordCtes block, which replays Bpe.DemoMerges rank by rank over
+    // distinct words (see the helper's Scaladoc for why one replace per
+    // rank is exactly one greedy merge pass).
+
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeWordCtes
+         |SELECT dd.doc_id, CAST(len(dd.ws) AS BIGINT) AS n_ws, c.n_bpe
+         |FROM docw dd JOIN dcnt c ON dd.doc_id = c.doc_id
+         |ORDER BY dd.doc_id""".stripMargin,
+
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE $bpeWordCtes
+         |SELECT dd.doc_id, COALESCE(f.toks, CAST([] AS VARCHAR[])) AS toks
+         |FROM docw dd LEFT JOIN (
+         |  SELECT p.doc_id, flatten(list(t.toks ORDER BY p.wi)) AS toks
+         |  FROM wpos p JOIN wtok t ON p.w = t.w GROUP BY p.doc_id) f
+         |ON dd.doc_id = f.doc_id
+         |WHERE dd.doc_id % 50 = 0 ORDER BY dd.doc_id""".stripMargin,
+
+    // window 8 / stride 6 over the flat per-doc token stream; list
+    // slicing is 1-based inclusive (the q_chunk_docs convention)
+    "q_chunk_bpe" ->
+      s"""WITH RECURSIVE $bpeWordCtes,
+         |ftok AS (SELECT p.doc_id, flatten(list(t.toks ORDER BY p.wi)) AS toks
+         |         FROM wpos p JOIN wtok t ON p.w = t.w
+         |         WHERE p.doc_id % 10 = 0 GROUP BY p.doc_id),
+         |c AS (SELECT doc_id, toks, UNNEST(range(0, len(toks), 6)) AS start
+         |      FROM ftok)
+         |SELECT doc_id, CAST(start // 6 AS BIGINT) AS chunk_id,
+         |  CAST(LEAST(8, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
+         |  toks[start + 1 : start + 8] AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // the q_seq_pack prefix sum, fed by BPE counts instead of n_chars
+    "q_seq_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeWordCtes,
+         |p AS (SELECT doc_id, n_bpe AS n_tokens,
+         |  CAST(COALESCE(sum(n_bpe) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_token
+         |  FROM dcnt)
+         |SELECT doc_id, n_tokens, start_token,
+         |  CAST(start_token // 256 AS BIGINT) AS seq_first,
+         |  CAST((start_token + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS seq_last
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // the q_sample_budget threshold machinery with per-lang BPE totals
+    "q_sample_budget_bpe" ->
+      s"""WITH RECURSIVE $bpeWordCtes,
+         |s AS (SELECT d.lang, CAST(sum(c.n_bpe) AS DOUBLE) AS toks
+         |      FROM documents d JOIN dcnt c ON d.doc_id = c.doc_id
+         |      GROUP BY d.lang),
+         |r AS (SELECT lang,
+         |  CASE WHEN lang = 'en' THEN 20000.0 / toks
+         |       WHEN lang = 'de' THEN 6000.0 / toks
+         |       ELSE 0.1 END AS rate FROM s),
+         |t AS (SELECT lang,
+         |  CASE WHEN rate >= 1.0 THEN 'g'
+         |       WHEN rate <= 0.0 THEN '0'
+         |       ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296.0) AS BIGINT))), 8, '0')
+         |  END AS thr FROM r)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
+         |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the same salted-md5 permutation, as a plain window at oracle scale
     "q_corpus_shuffle" ->

@@ -52,4 +52,35 @@ object Chunker {
           slice(col("__ws"), col("__start") + 1, lit(chunkTokens)))
           .as("chunk_text"))
   }
+
+  /** [[chunk]] over a PRE-TOKENIZED array column — the tokenizer-
+    * agnostic form (r18): the caller picks the tokenization
+    * ([[TextAnalysis.tokens]] whitespace words, [[Bpe.encode]] subword
+    * tokens, …) and the window arithmetic is identical. Chunk windows
+    * may split inside a word when the tokens are subwords — exactly
+    * what a context-length-bounded trainer does — so the output carries
+    * the token ARRAY, not reassembled text. Empty/null token arrays
+    * emit no chunks, matching [[chunk]]'s blank-document contract.
+    *
+    * Same scale shape as [[chunk]]: one `sequence` + one explode, no
+    * UDF, no shuffle, no action. */
+  def chunkTokenArray(df: DataFrame, idCol: String, tokensCol: String,
+      chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    df.withColumn("__tk",
+        coalesce(col(tokensCol), array().cast(ArrayType(StringType))))
+      .withColumn("__start", explode(
+        when(size(col("__tk")) > 0,
+          sequence(lit(0), size(col("__tk")) - 1, lit(stride)))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .select(col(idCol),
+        (col("__start") / stride).cast(LongType).as("chunk_id"),
+        least(lit(chunkTokens), size(col("__tk")) - col("__start"))
+          .cast(LongType).as("n_chunk_tokens"),
+        slice(col("__tk"), col("__start") + 1, lit(chunkTokens))
+          .as("chunk_tokens"))
+  }
 }

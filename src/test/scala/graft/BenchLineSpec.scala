@@ -128,15 +128,21 @@ class BenchLineSpec extends AnyFunSuite {
     // class-load, so a re-introduced duplicate aborts every suite; these
     // pins additionally freeze the LIVE mappings so an intentional
     // re-key must touch this spec in the same commit.
-    assert(Bench.shortKey("q_quality_filter") == "q_t")
-    assert(Bench.shortKey("q_pipeline_e2e") == "pp_e2e")
-    assert(Bench.shortKey("q_winnow_pairs") == "w_pa")
+    // r18: tokens concatenate with NO separator (the key-table overhaul
+    // the r17 comment above the 1920 bound pre-announced) — same token
+    // codes, joiner dropped
+    assert(Bench.shortKey("q_quality_filter") == "qt")
+    assert(Bench.shortKey("q_pipeline_e2e") == "ppe2e")
+    assert(Bench.shortKey("q_winnow_pairs") == "wpa")
     // r12b/r12d single-char re-keys: high-frequency tokens ride one char
-    assert(Bench.shortKey("q_missing_fill_mode") == "m_f_mo")
-    assert(Bench.shortKey("q_missing_fill_median") == "m_f_md")
-    assert(Bench.shortKey("q_asof_join") == "af_j")
-    assert(Bench.shortKey("q_interval_join") == "il_j")
-    assert(Bench.shortKey("q_sample_cap_group") == "a_cp_gp")
+    assert(Bench.shortKey("q_missing_fill_mode") == "mfmo")
+    assert(Bench.shortKey("q_missing_fill_median") == "mfmd")
+    assert(Bench.shortKey("q_asof_join") == "afj")
+    assert(Bench.shortKey("q_interval_join") == "ilj")
+    assert(Bench.shortKey("q_sample_cap_group") == "acpgp")
+    // r18 batch
+    assert(Bench.shortKey("q_bpe_tokens") == "b4t4")
+    assert(Bench.shortKey("q_seq_pack_bpe") == "sqpkb4")
     // structural guard: the requires in Bench already abort on duplicate
     // tokens/codes; verify here that the SOURCE literal and the runtime
     // Seq agree (a second table or a stray re-key outside abbrevSeq
