@@ -3762,8 +3762,8 @@ object SparkEntry {
 
     // inverted index: within-doc-distinct (doc, phrase) pairs, df
     // window as the IDENTICAL double products (0.01·N / 0.05·N) the
-    // Spark side computes, ascending posting join — numeric list_sort
-    // matches Spark's array_sort on BIGINT ids.
+    // Spark side computes, postings as a sorted BIGINT list (r18 —
+    // numeric end to end; list_sort matches Spark's array_sort).
     "q_inverted_index" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
         |  FROM documents),
@@ -3776,7 +3776,7 @@ object SparkEntry {
         |      WHERE CAST(f.df AS DOUBLE) >= 0.01 * n.n
         |        AND CAST(f.df AS DOUBLE) <= 0.05 * n.n)
         |SELECT w.term, w.df,
-        |  array_to_string(list_sort(list(p.doc_id)), ',') AS postings
+        |  list_sort(list(p.doc_id)) AS postings
         |FROM w JOIN p USING (term)
         |GROUP BY w.term, w.df ORDER BY term""".stripMargin,
 

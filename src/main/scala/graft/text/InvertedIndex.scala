@@ -30,10 +30,15 @@ import org.apache.spark.sql.types.DoubleType
   *  - The (doc, term) pair stream dedups within-document FIRST
   *    (array_distinct before the explode — no shuffle), so both passes
   *    key on the within-doc-distinct pair set, not the token stream.
-  *  - Postings ship as a comma-joined STRING of ascending ids: one
-  *    dense value per term, sorted for mergeability (two index shards
-  *    union by term + merge-sort postings), directly comparable across
-  *    engines.
+  *  - Postings ship as an ascending array<bigint>: sorted for
+  *    mergeability (two index shards union by term + merge-sort
+  *    postings) and kept NUMERIC end to end — r17 shipped them as a
+  *    comma-joined string, which paid for the id bytes twice (decimal
+  *    rendering during assembly, then the widened string through the
+  *    shuffle and the sink) and was the posting-payload term behind
+  *    the super-linear sf10 step (3.6× at ×3.33 data). The array form
+  *    shuffles 8-byte longs and lets a columnar sink delta-encode the
+  *    sorted run.
   *  - N rides as a scalar subquery (no driver count action, the
   *    [[Keywords.tfidfTopK]] pattern); the window bounds are the
   *    IDENTICAL double products on both engines, so an exactly-on-
@@ -81,8 +86,7 @@ object InvertedIndex {
         col("df").cast(DoubleType) <= lit(maxDfFrac) * nDocs)
     pairs.join(dfreq, "term")
       .groupBy("term", "df")
-      .agg(array_join(array_sort(collect_list(col("__id"))), ",")
-        .as("postings"))
+      .agg(array_sort(collect_list(col("__id"))).as("postings"))
       .select(col("term"), col("df"), col("postings"))
   }
 }

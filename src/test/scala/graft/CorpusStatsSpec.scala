@@ -121,9 +121,9 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSeq == Seq("apple", "banana", "cherry"))
     val apple = out(0)
     assert(apple.getLong(1) == 2L)
-    assert(apple.getString(2) == "2,30",
+    assert(apple.getSeq[Long](2) == Seq(2L, 30L),
       "postings must be ascending NUMERIC ids (not lexicographic)")
-    assert(out(1).getString(2) == "1,30")
+    assert(out(1).getSeq[Long](2) == Seq(1L, 30L))
   }
 
   test("phrasePostings: adjacent-word phrase terms with the same " +
@@ -136,8 +136,8 @@ class CorpusStatsSpec extends SparkSpec {
         minDfFrac = 0.5, maxDfFrac = 1.0)
       .collect()
     // phrase df: "big data" 2, others 1 — only "big data" in [1.5, 3]
-    assert(out.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-      .toSeq == Seq(("big data", 2L, "1,2")))
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .toSeq == Seq(("big data", 2L, Seq(1L, 2L))))
   }
 
   test("postings: the df filter lands before list assembly " +
