@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native codegen'd vector kernels for the embedding operators.
@@ -435,6 +437,20 @@ case class IvfCellAssign(child: Expression,
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_ivf_assign"
 
+  // NULL-TOTAL ON PURPOSE (r18): null vector → cell −1, and nullable is
+  // false. A nullable assign column used as an equi-join key lets
+  // InferFiltersFromConstraints derive `isnotnull(__cell)` and push it
+  // into the corpus scan, where CollapseProject has by then inlined the
+  // whole quantize→dequantize tree into the argument — the filter
+  // re-evaluated an O(dim²) expression per row and cost
+  // q_ann_ivf_quantized ~3.5 s per execution at sf0.1 (~3× the whole
+  // query; measured r18, the regression the r17 kernel swap introduced
+  // vs the UDF, which never fed constraint inference). −1 matches no
+  // probed cell, so null vectors drop from the join exactly as a null
+  // key always did; callers additionally pre-filter via `withVec` +
+  // graft_vec_ok.
+  override def nullable: Boolean = false
+
   private lazy val dim: Int = centers.map(_.length).max
   // flat [c * dim + j]; ragged centers (never produced by kmeansFit)
   // zero-pad, and the per-row loop bounds at the true per-center length
@@ -450,16 +466,23 @@ case class IvfCellAssign(child: Expression,
   }
   private lazy val lens: Array[Int] = centers.map(_.length)
 
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.ivfAssign(v.asInstanceOf[ArrayData], flat, lens, dim)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else VectorKernels.ivfAssign(v.asInstanceOf[ArrayData], flat, lens, dim)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val fRef = ctx.addReferenceObj("graftIvfCenters", flat, "double[]")
     val lRef = ctx.addReferenceObj("graftIvfLens", lens, "int[]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VectorKernels.ivfAssign(" +
-        s"$a, $fRef, $lRef, $dim);")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = ${c.isNull} ? -1 :
+        graft.functions.VectorKernels.ivfAssign(
+          ${c.value}, $fRef, $lRef, $dim);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(
@@ -486,6 +509,11 @@ case class IvfCellProbe(child: Expression,
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_ivf_probe"
 
+  // Null-total like [[IvfCellAssign]] (same constraint-inference
+  // pushdown hazard): null vector → EMPTY cell array, which explodes
+  // to zero rows — a null query never probed anything anyway.
+  override def nullable: Boolean = false
+
   private lazy val dim: Int = centers.map(_.length).max
   private lazy val flat: Array[Double] = {
     val w = new Array[Double](centers.length * dim)
@@ -498,16 +526,25 @@ case class IvfCellProbe(child: Expression,
   }
   private lazy val lens: Array[Int] = centers.map(_.length)
 
-  override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.ivfProbe(v.asInstanceOf[ArrayData], flat, lens, dim, nprobe)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) VectorKernels.emptyIntArray
+    else VectorKernels.ivfProbe(v.asInstanceOf[ArrayData], flat, lens, dim,
+      nprobe)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val fRef = ctx.addReferenceObj("graftIvfCenters", flat, "double[]")
     val lRef = ctx.addReferenceObj("graftIvfLens", lens, "int[]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = graft.functions.VectorKernels.ivfProbe(" +
-        s"$a, $fRef, $lRef, $dim, $nprobe);")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      ArrayData ${ev.value} = ${c.isNull}
+        ? graft.functions.VectorKernels.emptyIntArray()
+        : graft.functions.VectorKernels.ivfProbe(
+            ${c.value}, $fRef, $lRef, $dim, $nprobe);
+      """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(
@@ -515,6 +552,12 @@ case class IvfCellProbe(child: Expression,
 }
 
 object VectorKernels {
+
+  private val emptyInts: ArrayData = new GenericArrayData(Array.empty[Any])
+
+  /** The null-query probe result ([[IvfCellProbe]]): no cells. A
+    * method (not the val) so generated Java can call it. */
+  def emptyIntArray(): ArrayData = emptyInts
 
   /** Squared-L2 scan shared by [[IvfCellAssign]]'s eval and codegen
     * paths (the generated code calls this static forwarder — the

@@ -134,4 +134,32 @@ class IvfKernelsSpec extends SparkSpec {
     }
     assert(got == Seq(2, 0, 1))
   }
+
+  test("null-total kernels: null vector → cell −1 / empty probe, and " +
+      "no inferred isnotnull(assign) lands in the corpus scan filter") {
+    // r18: as NULLABLE expressions the kernels fed
+    // InferFiltersFromConstraints — the join on __cell derived
+    // isnotnull(graft_ivf_assign(...)) and pushed it into the corpus
+    // scan with the quantize→dequantize tree COLLAPSED into the
+    // argument, re-evaluating an O(dim²) expression per row (~3.5 s of
+    // q_ann_ivf_quantized's ~4.5 s at sf0.1 — 3× the whole query).
+    // Null-total + nullable=false folds the inferred filter to true.
+    val centers = Array(Array(0.0), Array(10.0))
+    val df = Seq(Tuple1(Option(Seq(1.0))), Tuple1(None)).toDF("v")
+    val rows = registered("t_nt_assign", as => IvfCellAssign(as(0), centers)) {
+      registered("t_nt_probe", as => IvfCellProbe(as(0), centers, 2)) {
+        df.select(call_function("t_nt_assign", col("v")),
+          call_function("t_nt_probe", col("v"))).collect()
+      }
+    }
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, -1))
+    assert(rows(1).getSeq[Int](1).isEmpty)
+    // plan pin: the executed quantized-refine plan never re-evaluates
+    // assign inside a scan Filter node
+    val pq = Similarity.ivfTopKQuantizedRefine(emb,
+        emb.where(col("vec_id") < 3), 5, nlist = 4, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("isnotnull(graft_ivf_assign"),
+      s"inferred isnotnull(assign) pushed into a scan again:\n$pq")
+  }
 }
