@@ -935,40 +935,61 @@ object SparkEntry {
     // equals one greedy left-to-right pass per rank (BpeKernels
     // Scaladoc has the argument). Spark side never shuffles: counts and
     // token arrays are per-row codegen expressions.
+    //
+    // The whole family pre-filters null/blank documents on BOTH sides
+    // (r18 ADVICE): the kernels are null-intolerant by contract (null
+    // in → null out) while the oracle's recursive replay has no natural
+    // null story, and rather than COALESCE the two into agreement the
+    // degenerate rows are excluded up front — the filter is the same
+    // predicate on both engines, so a future generator change cannot
+    // silently flip a hash.
 
     // per-doc whitespace vs BPE token counts — the budget-accounting
     // primitive (whitespace undercounts subword tokens by the exact
-    // factor a trainer's budget would be off by)
+    // factor a trainer's budget would be off by). n_ws uses the
+    // EMPTY-FILTERED count so tab/newline-led text cannot drift from
+    // the oracle's list_filter(x <> '') (r18 ADVICE).
     "q_bpe_tokens" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      val d = tbl(s, dir, "documents").where(bpeDocFilter)
       graft.text.Bpe.withKernels(s, graft.text.Bpe.DemoMerges) { (_, cnt) =>
         d.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_ws"),
+          TextAnalysis.nonEmptyTokenCount(col("text")).as("n_ws"),
           cnt(col("text")).as("n_bpe")).orderBy("doc_id")
       }
     }),
 
     // the token arrays themselves on a doc sample — pins the actual
-    // tokenization (subword boundaries), not just counts
+    // tokenization (subword boundaries), not just counts. The engine
+    // API stays array<string> (Bpe.withTokens); the REGISTERED query
+    // projects the space-joined string because the driver's comparator
+    // pandas-sorts raw columns and cannot hash array cells (r18's three
+    // ERR rows). BPE tokens are substrings of whitespace words, so the
+    // space join is injective on the token sequence.
     "q_bpe_encode" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       graft.text.Bpe.withKernels(s, graft.text.Bpe.DemoMerges) { (enc, _) =>
-        d.where(col("doc_id") % 50 === 0)
-          .select(col("doc_id"), enc(col("text")).as("toks"))
+        d.where(col("doc_id") % 50 === 0 && bpeDocFilter)
+          .select(col("doc_id"),
+            array_join(enc(col("text")), " ").as("toks"))
           .orderBy("doc_id")
       }
     }),
 
     // BPE-token chunk windows (8 tokens, overlap 2): boundaries fall
     // INSIDE words — the context-length split a trainer actually makes,
-    // which the whitespace chunker cannot express
+    // which the whitespace chunker cannot express. Same scalar
+    // projection at the query boundary as q_bpe_encode: chunk_tokens
+    // ships space-joined (the engine call still yields the array).
     "q_chunk_bpe" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
       val toks = graft.text.Bpe.withTokens(
-        d.where(col("doc_id") % 10 === 0).select("doc_id", "text"),
+        d.where(col("doc_id") % 10 === 0 && bpeDocFilter)
+          .select("doc_id", "text"),
         "text", "toks", graft.text.Bpe.DemoMerges)
       graft.text.Chunker.chunkTokenArray(toks, "doc_id", "toks",
         chunkTokens = 8, overlapTokens = 2)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          array_join(col("chunk_tokens"), " ").as("chunk_tokens"))
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -976,7 +997,8 @@ object SparkEntry {
     // q_seq_pack's twin with the tokenizer a trainer budgets in
     "q_seq_pack_bpe" -> ((s, dir) => {
       val counted = graft.text.Bpe.withTokenCount(
-        tbl(s, dir, "documents").select("doc_id", "text"),
+        tbl(s, dir, "documents").where(bpeDocFilter)
+          .select("doc_id", "text"),
         "text", "n_bpe", graft.text.Bpe.DemoMerges)
       graft.plans.SequencePacking.plan(counted, "doc_id", "n_bpe",
         window = 256).orderBy("doc_id")
@@ -986,12 +1008,34 @@ object SparkEntry {
     // (en capped at 20k BPE tokens, de at 6k, rest 10%)
     "q_sample_budget_bpe" -> ((s, dir) => {
       val counted = graft.text.Bpe.withTokenCount(
-        tbl(s, dir, "documents").select("doc_id", "lang", "text"),
+        tbl(s, dir, "documents").where(bpeDocFilter)
+          .select("doc_id", "lang", "text"),
         "text", "n_bpe", graft.text.Bpe.DemoMerges)
       graft.ops.Sampling.tokenBudgetSample(counted, "lang", "doc_id",
         "n_bpe", budgets = Map("en" -> 20000L, "de" -> 6000L),
         defaultRate = 0.1)
         ._1.select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // BPE AT A REALISTIC VOCABULARY (r19): Bpe.learn END-TO-END at
+    // 1024 merges — the regime where the apply kernels' interesting
+    // costs live (memo churn over ~916 distinct pre-tokens, the
+    // `contains` precheck, the O(merges·|word|) loop), which the
+    // 48-merge DemoMerges toy never touches. Pre-tokens are
+    // adjacent-word bigrams (withBigramPreTokens — the 31-word
+    // synthetic vocabulary saturates real training in ~48 merges; the
+    // bigram derivation is replayed identically by the oracle, never
+    // invented rows). The query LEARNS LIVE (one word-frequency
+    // shuffle + bounded deterministic driver loop) and at sf0.01
+    // reproduces the frozen BpeLearn1k.Merges the oracle replays —
+    // training determinism IS the thing this row verifies.
+    "q_bpe_learn1k" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", "bg_text")
+      val merges = graft.text.Bpe.learn(bg, "bg_text", 1024)
+      graft.text.Bpe.withTokenCount(bg, "bg_text", "n_bpe1k", merges)
+        .select(col("doc_id"), col("n_bpe1k")).orderBy("doc_id")
     }),
 
     // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
@@ -1674,10 +1718,18 @@ object SparkEntry {
     // the scale guard (a stopword phrase's postings are the corpus; it
     // is dropped at the COUNT stage, before any list is assembled, and
     // the fraction keeps the same call meaningful at every sf).
+    // The engine API keeps postings as array<bigint>
+    // (InvertedIndex.phrasePostings); the REGISTERED query projects
+    // to_json(postings) because the driver's comparator pandas-sorts
+    // raw columns and cannot hash array cells — this was r18's
+    // green→err regression. to_json of a sorted bigint array renders
+    // byte-identically on Spark and DuckDB ("[1,2,3]", no spaces).
     "q_inverted_index" -> ((s, dir) =>
       graft.text.InvertedIndex.phrasePostings(
         tbl(s, dir, "documents"), "doc_id", "text",
         minDfFrac = 0.01, maxDfFrac = 0.05)
+        .select(col("term"), col("df"),
+          to_json(col("postings")).as("postings"))
         .orderBy("term")),
 
     // exact heavy hitters via Misra–Gries sketch → exact recount
@@ -1888,14 +1940,42 @@ object SparkEntry {
     * would, and consecutive runs like `aaaa` would merge differently).
     * Must be opened with WITH RECURSIVE. Ends at `dcnt` (doc_id,
     * n_bpe); `wpos`/`wtok` are available for token-array consumers. */
-  private lazy val bpeWordCtes: String = {
-    val mergeValues = graft.text.Bpe.DemoMerges.map { m =>
-      s"(${m.rank + 1}, chr(1)||'${m.left}'||chr(2)||chr(1)||'${m.right}'||chr(2)," +
-        s" chr(1)||'${m.left}${m.right}'||chr(2))"
+  private lazy val bpeWordCtes: String =
+    bpeCtes(graft.text.Bpe.DemoMerges,
+      "SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text))," +
+        " '\\s+'), x -> x <> '') AS ws FROM documents" + bpeDocFilterSql)
+
+  /** The Spark-side twin of `bpeDocFilterSql`: the BPE family excludes
+    * null/blank documents on both engines (r18 ADVICE — the kernels
+    * are null-intolerant, the oracle replay has no null story, and an
+    * explicit shared predicate beats COALESCE-ing the two into
+    * accidental agreement). */
+  private def bpeDocFilter: Column =
+    col("text").isNotNull && col("text").rlike("\\S")
+
+  // \S (not SQL trim, which strips only spaces): "has at least one
+  // token" must mean the same thing for a tab-only document on both
+  // engines.
+  private val bpeDocFilterSql: String =
+    """ WHERE text IS NOT NULL AND regexp_matches(text, '\S')"""
+
+  /** The BPE-oracle CTE block parameterized by merge list and the
+    * `docw` (doc_id, ws) pre-token derivation — shared by the
+    * DemoMerges family and the 1k-merge `q_bpe_learn1k` row. Merge
+    * strings render as SQL literals with single quotes doubled (r18
+    * ADVICE: a learned merge containing an apostrophe must not emit
+    * broken SQL — DemoMerges happens to be ASCII-safe, a re-learned
+    * vocabulary need not be). */
+  private def bpeCtes(merges: Seq[graft.text.Bpe.Merge],
+      docwSql: String): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val mergeValues = merges.map { m =>
+      s"(${m.rank + 1}, chr(1)||'${esc(m.left)}'||chr(2)||chr(1)||'${esc(m.right)}'||chr(2)," +
+        s" chr(1)||'${esc(m.left + m.right)}'||chr(2))"
     }.mkString(", ")
-    val nRanks = graft.text.Bpe.DemoMerges.size
+    val nRanks = merges.size
     s"""bm(rk, pat, rep) AS (VALUES $mergeValues),
-       |docw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws FROM documents),
+       |docw AS ($docwSql),
        |wpos AS (SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS w
        |         FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS i FROM docw)),
        |dw AS (SELECT DISTINCT w FROM wpos),
@@ -1908,11 +1988,8 @@ object SparkEntry {
        |wtok AS (SELECT w, string_split(trim(s, chr(1)||chr(2)), chr(2)||chr(1)) AS toks
        |         FROM bpeit WHERE rk = $nRanks),
        |wcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM wtok),
-       |dcnt AS (SELECT dd.doc_id, COALESCE(a.n_bpe, 0) AS n_bpe
-       |         FROM docw dd LEFT JOIN (
-       |           SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_bpe
-       |           FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id) a
-       |         ON dd.doc_id = a.doc_id)""".stripMargin
+       |dcnt AS (SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_bpe
+       |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
   }
 
   /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var
@@ -2474,17 +2551,20 @@ object SparkEntry {
          |FROM docw dd JOIN dcnt c ON dd.doc_id = c.doc_id
          |ORDER BY dd.doc_id""".stripMargin,
 
+    // tokens ship space-joined (scalar at the query boundary — the
+    // driver's comparator cannot hash array cells); the prefiltered
+    // docw makes every doc's token list non-empty, so the join is
+    // inner and array_to_string never sees NULL-vs-[] ambiguity
     "q_bpe_encode" ->
       s"""WITH RECURSIVE $bpeWordCtes
-         |SELECT dd.doc_id, COALESCE(f.toks, CAST([] AS VARCHAR[])) AS toks
-         |FROM docw dd LEFT JOIN (
-         |  SELECT p.doc_id, flatten(list(t.toks ORDER BY p.wi)) AS toks
-         |  FROM wpos p JOIN wtok t ON p.w = t.w GROUP BY p.doc_id) f
-         |ON dd.doc_id = f.doc_id
-         |WHERE dd.doc_id % 50 = 0 ORDER BY dd.doc_id""".stripMargin,
+         |SELECT p.doc_id,
+         |  array_to_string(flatten(list(t.toks ORDER BY p.wi)), ' ') AS toks
+         |FROM wpos p JOIN wtok t ON p.w = t.w
+         |WHERE p.doc_id % 50 = 0 GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     // window 8 / stride 6 over the flat per-doc token stream; list
-    // slicing is 1-based inclusive (the q_chunk_docs convention)
+    // slicing is 1-based inclusive (the q_chunk_docs convention);
+    // chunk_tokens space-joined at the boundary like q_bpe_encode
     "q_chunk_bpe" ->
       s"""WITH RECURSIVE $bpeWordCtes,
          |ftok AS (SELECT p.doc_id, flatten(list(t.toks ORDER BY p.wi)) AS toks
@@ -2494,7 +2574,7 @@ object SparkEntry {
          |      FROM ftok)
          |SELECT doc_id, CAST(start // 6 AS BIGINT) AS chunk_id,
          |  CAST(LEAST(8, len(toks) - start) AS BIGINT) AS n_chunk_tokens,
-         |  toks[start + 1 : start + 8] AS chunk_tokens
+         |  array_to_string(toks[start + 1 : start + 8], ' ') AS chunk_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // the q_seq_pack prefix sum, fed by BPE counts instead of n_chars
@@ -2508,6 +2588,16 @@ object SparkEntry {
          |  CAST(start_token // 256 AS BIGINT) AS seq_first,
          |  CAST((start_token + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS seq_last
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    // 1024 frozen merges (BpeLearn1k — what live training reproduces
+    // at sf0.01) replayed over bigram pre-tokens; the recursive CTE
+    // runs 1024 replace ranks over ~916 distinct pre-token strings
+    "q_bpe_learn1k" ->
+      s"""WITH RECURSIVE ${bpeCtes(graft.text.BpeLearn1k.Merges,
+             "SELECT doc_id, list_transform(range(1, len(ws0)), i -> ws0[i] || '_' || ws0[i+1]) AS ws" +
+             " FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws0" +
+             " FROM documents WHERE text IS NOT NULL) WHERE len(ws0) >= 2")}
+         |SELECT doc_id, n_bpe AS n_bpe1k FROM dcnt ORDER BY doc_id""".stripMargin,
 
     // the q_sample_budget threshold machinery with per-lang BPE totals
     "q_sample_budget_bpe" ->
@@ -2526,6 +2616,7 @@ object SparkEntry {
          |  END AS thr FROM r)
          |SELECT d.doc_id, d.lang FROM documents d JOIN t ON d.lang = t.lang
          |WHERE substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < t.thr
+         |  AND d.text IS NOT NULL AND regexp_matches(d.text, '\\S')
          |ORDER BY d.doc_id""".stripMargin,
 
     // the same salted-md5 permutation, as a plain window at oracle scale
@@ -3762,8 +3853,10 @@ object SparkEntry {
 
     // inverted index: within-doc-distinct (doc, phrase) pairs, df
     // window as the IDENTICAL double products (0.01·N / 0.05·N) the
-    // Spark side computes, postings as a sorted BIGINT list (r18 —
-    // numeric end to end; list_sort matches Spark's array_sort).
+    // Spark side computes; postings stay a sorted BIGINT list in the
+    // engine and ship as to_json at the query boundary (r18's
+    // green→err regression: the driver's comparator cannot hash array
+    // cells; "[1,2,3]" renders byte-identically on both engines).
     "q_inverted_index" ->
       """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ws
         |  FROM documents),
@@ -3776,7 +3869,7 @@ object SparkEntry {
         |      WHERE CAST(f.df AS DOUBLE) >= 0.01 * n.n
         |        AND CAST(f.df AS DOUBLE) <= 0.05 * n.n)
         |SELECT w.term, w.df,
-        |  list_sort(list(p.doc_id)) AS postings
+        |  CAST(to_json(list_sort(list(p.doc_id))) AS VARCHAR) AS postings
         |FROM w JOIN p USING (term)
         |GROUP BY w.term, w.df ORDER BY term""".stripMargin,
 

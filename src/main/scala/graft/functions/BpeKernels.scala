@@ -12,8 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Byte-pair-encoding apply kernels — the token accounting behind the
   * BPE twins of chunking / sequence packing / budget sampling
   * ([[graft.text.Bpe]]). Whitespace pre-tokenization (the
-  * [[graft.text.TextAnalysis.tokens]] convention: lower, trim, split on
-  * `\s+`), then per word the merge list is applied IN RANK ORDER, each
+  * [[graft.text.TextAnalysis.nonEmptyTokens]] convention: lower, split
+  * on `\s+`, drop empties), then per word the merge list is applied IN
+  * RANK ORDER, each
   * merge as ONE left-to-right greedy pass over the word's token
   * sequence.
   *
@@ -114,9 +115,14 @@ object BpeKernels {
   }
 
   /** Whitespace pre-tokens of `text` — MUST match
-    * `split(trim(lower(c)), "\\s+")` (TextAnalysis.tokens) and the
-    * oracle's `regexp_split_to_array(lower(trim(text)), '\s+')`.
-    * Locale.ROOT: Spark's `lower` is locale-independent. */
+    * [[graft.text.TextAnalysis.nonEmptyTokens]] (lower, split on
+    * `\s+`, DROP empty tokens) and the oracle's
+    * `list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+    * x -> x <> '')`. Java `trim` strips all chars ≤ U+0020, so a
+    * tab/newline-led word never yields a leading empty token here —
+    * the same result the empty-filter gives the other two twins
+    * (BpeSpec pins the edge case). Locale.ROOT: Spark's `lower` is
+    * locale-independent. */
   private def preTokens(text: UTF8String): Array[String] = {
     val t = text.toString.toLowerCase(java.util.Locale.ROOT).trim
     if (t.isEmpty) Array.empty[String] else t.split("\\s+")

@@ -445,10 +445,11 @@ case class IvfCellAssign(child: Expression,
   // re-evaluated an O(dim²) expression per row and cost
   // q_ann_ivf_quantized ~3.5 s per execution at sf0.1 (~3× the whole
   // query; measured r18, the regression the r17 kernel swap introduced
-  // vs the UDF, which never fed constraint inference). −1 matches no
-  // probed cell, so null vectors drop from the join exactly as a null
-  // key always did; callers additionally pre-filter via `withVec` +
-  // graft_vec_ok.
+  // vs the UDF, which never fed constraint inference).
+  // [[VectorKernels.NullCell]] matches no probed cell (IvfCellProbe
+  // only emits indices >= 0, IvfKernelsSpec pins it), so null vectors
+  // drop from the join exactly as a null key always did; callers
+  // additionally pre-filter via `withVec` + graft_vec_ok.
   override def nullable: Boolean = false
 
   private lazy val dim: Int = centers.map(_.length).max
@@ -468,7 +469,7 @@ case class IvfCellAssign(child: Expression,
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) -1
+    if (v == null) VectorKernels.NullCell
     else VectorKernels.ivfAssign(v.asInstanceOf[ArrayData], flat, lens, dim)
   }
 
@@ -479,7 +480,8 @@ case class IvfCellAssign(child: Expression,
     val c = child.genCode(ctx)
     ev.copy(code = code"""
       ${c.code}
-      int ${ev.value} = ${c.isNull} ? -1 :
+      int ${ev.value} = ${c.isNull}
+        ? graft.functions.VectorKernels.NullCell() :
         graft.functions.VectorKernels.ivfAssign(
           ${c.value}, $fRef, $lRef, $dim);
       """, isNull = FalseLiteral)
@@ -558,6 +560,16 @@ object VectorKernels {
   /** The null-query probe result ([[IvfCellProbe]]): no cells. A
     * method (not the val) so generated Java can call it. */
   def emptyIntArray(): ArrayData = emptyInts
+
+  /** [[IvfCellAssign]]'s null-vector sentinel, NAMED (r18 ADVICE): the
+    * kernel is null-total (`nullable = false` keeps
+    * InferFiltersFromConstraints off the corpus scan) and this is the
+    * cell id a null vector maps to. It is NOT a valid cell — kmeans
+    * cells are indices >= 0 and [[IvfCellProbe]] never emits it
+    * (IvfKernelsSpec pins both) — so it drops from every cell
+    * equi-join. Any future consumer that AGGREGATES cell ids must
+    * exclude it explicitly. A method so generated Java can call it. */
+  def NullCell(): Int = -1
 
   /** Squared-L2 scan shared by [[IvfCellAssign]]'s eval and codegen
     * paths (the generated code calls this static forwarder — the

@@ -111,6 +111,39 @@ object Bpe {
     out.result()
   }
 
+  /** `df` plus a derived text column whose "words" are the adjacent
+    * WORD BIGRAMS of `textCol` joined by `_` — the pre-token
+    * enrichment behind `q_bpe_learn1k`. The synthetic corpus has a
+    * ~31-word vocabulary, far too small to exercise BPE training or
+    * the apply kernels at a realistic merge count (48 merges saturate
+    * it); bigram pre-tokens lift the distinct-pre-token space to
+    * vocab² (~961 here) with 8–14-char units, enough merge capacity
+    * for a 1k-merge vocabulary while deriving strictly from the real
+    * corpus — the same derivation both engines replay, never invented
+    * rows. Rows with fewer than two words are dropped (a bigram needs
+    * two; also keeps Spark's `sequence(1, size-1)` ascending). */
+  def withBigramPreTokens(df: DataFrame, textCol: String,
+      outCol: String): DataFrame = {
+    val ws = TextAnalysis.nonEmptyTokens(col(textCol))
+    df.where(size(ws) >= 2)
+      .withColumn(outCol,
+        array_join(
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1))),
+          " "))
+  }
+
+  /** Parse a frozen merge list rendered one `left right` pair per
+    * line (merge constituents never contain whitespace — they are
+    * substrings of whitespace pre-tokens). Ranks are line order. */
+  def parseMergeLines(s: String): Seq[Merge] =
+    s.linesIterator.map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+      case (ln, i) =>
+        val sp = ln.indexOf(' ')
+        require(sp > 0 && sp < ln.length - 1, s"bad merge line: '$ln'")
+        Merge(i, ln.substring(0, sp), ln.substring(sp + 1))
+    }.toSeq
+
   /** `df` plus a flat array<string> BPE token column (word order
     * preserved; blank → empty, null → null). DataFrame-in/DataFrame-out
     * on purpose: the kernel registration lives only inside

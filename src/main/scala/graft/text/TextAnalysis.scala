@@ -38,6 +38,18 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L)).otherwise(size(tokens(c)).cast(LongType))
 
+  /** [[tokens]] with empty strings dropped — the exact Spark twin of
+    * the oracles' `list_filter(regexp_split_to_array(...), x -> x <> '')`.
+    * Differs from [[tokenCount]] only on text led/trailed by non-space
+    * whitespace (SQL `trim` strips spaces ONLY, so `"\tfoo"` splits to
+    * a leading empty token that tokenCount counts and this drops);
+    * the BPE family uses this so a generator edge case cannot drift
+    * the n_ws column from its oracle (r18 ADVICE). */
+  def nonEmptyTokens(c: Column): Column = array_remove(tokens(c), "")
+
+  def nonEmptyTokenCount(c: Column): Column =
+    size(nonEmptyTokens(c)).cast(LongType)
+
   /** Regex-token count (word runs + symbols) — the BPE-ish proxy. */
   def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenRegex)).cast(LongType)
 

@@ -75,16 +75,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(got("q_c") == 4.0) // first still best; crash ignored
   }
 
-  test("whole-run re-pass triggers on >3 re-times or a >1.15x history " +
-      "ratio, and self-labels when skipped (r16)") {
+  test("whole-run re-pass triggers on >3 re-times or a >1.05x history " +
+      "ratio, and self-labels when skipped (r16; threshold 1.15→1.05 " +
+      "per the r18 verdict's ≤1.05 archive bar)") {
     assert(Bench.repassReason(disabled = true, 9, 9.9, hasHistory = true)
       == "disabled")
-    assert(Bench.repassReason(disabled = false, 3, 1.10, hasHistory = true)
+    assert(Bench.repassReason(disabled = false, 3, 1.04, hasHistory = true)
       == "not_needed")
     assert(Bench.repassReason(disabled = false, 4, 1.0, hasHistory = true)
       == "retimed_n=4")
-    assert(Bench.repassReason(disabled = false, 0, 1.16, hasHistory = true)
-      == "hist_ratio=1.16")
+    assert(Bench.repassReason(disabled = false, 0, 1.10, hasHistory = true)
+      == "hist_ratio=1.10")
     // no history → no ratio evidence; the retimed count can still fire
     assert(Bench.repassReason(disabled = false, 0, 99.0, hasHistory = false)
       == "not_needed")

@@ -96,6 +96,52 @@ class BpeSpec extends SparkSpec {
       Bpe.DemoMerges.map(m => (m.left, m.right)))
   }
 
+  test("BpeLearn1k provenance: learn(sf0.01 bigram pre-tokens, 1024) " +
+      "reproduces the frozen list (q_bpe_learn1k's oracle contract)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val bg = Bpe.withBigramPreTokens(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "bg_text")
+    val learned = Bpe.learn(bg, "bg_text", 1024)
+    assert(learned.size === 1024)
+    assert(learned.map(m => (m.left, m.right)) ===
+      graft.text.BpeLearn1k.Merges.map(m => (m.left, m.right)))
+  }
+
+  test("generator edge cases: the three pre-tokenizations agree after " +
+      "empty-filtering (r18 ADVICE)") {
+    // Three twins must agree on tab/newline-led and multi-space text:
+    // (1) the kernel's Java-trim preTokens, (2) TextAnalysis
+    // .nonEmptyTokens (SQL split + drop empties — what q_bpe_tokens'
+    // n_ws uses), (3) the oracle's list_filter(regexp_split(...)).
+    // Plain tokenCount counts the leading empty split token on
+    // "\tfoo" — that drift is exactly why the BPE family moved off it.
+    val df = Seq(
+      (0L, "\tfoo  bar\n"),   // non-space whitespace at both edges
+      (1L, " spaced  out "),  // SQL trim handles this one already
+      (2L, "don't\tstop") // apostrophe + tab separator
+    ).toDF("id", "text")
+    val rows = Bpe.withKernels(spark, Seq.empty) { (enc, cnt) =>
+      df.select($"id", enc($"text").as("t"), cnt($"text").as("n"),
+        graft.text.TextAnalysis.nonEmptyTokenCount($"text").as("n_ws"),
+        graft.text.TextAnalysis.tokenCount($"text").as("n_raw"))
+        .orderBy("id").collect()
+    }
+    // per-char tokens under zero merges → count == total non-ws chars,
+    // and the WORD segmentation (what matters) comes from preTokens
+    assert(rows(0).getLong(3) === 2L) // nonEmptyTokenCount: foo, bar
+    // tokenCount counts the "" lead AND the "" tail (Spark split uses
+    // limit=-1, keeping trailing empties Java's String.split drops)
+    assert(rows(0).getLong(4) === 4L)
+    assert(rows(1).getLong(3) === 2L)
+    assert(rows(2).getLong(3) === 2L) // don't / stop
+    // kernel word segmentation matches nonEmptyTokens: zero-merge token
+    // count = sum of word code-point lengths, never counting a phantom
+    // empty word
+    assert(rows(0).getLong(2) === 6L)  // foo(3) + bar(3)
+    assert(rows(2).getLong(2) === 9L)  // don't(5) + stop(4)
+  }
+
   test("chunkTokenArray windows subword tokens with overlap") {
     val df = Seq((0L, Seq("a", "b", "c", "d", "e", "f", "g")),
       (1L, Seq.empty[String]), (2L, null.asInstanceOf[Seq[String]]))

@@ -152,8 +152,15 @@ class IvfKernelsSpec extends SparkSpec {
           call_function("t_nt_probe", col("v"))).collect()
       }
     }
-    assert(rows.map(_.getInt(0)).toSeq == Seq(0, -1))
+    assert(rows.map(_.getInt(0)).toSeq ==
+      Seq(0, graft.functions.VectorKernels.NullCell()))
     assert(rows(1).getSeq[Int](1).isEmpty)
+    // the sentinel contract (r18 ADVICE): NullCell is NOT a valid cell
+    // — probe output only ever contains indices >= 0, so a join on
+    // cell id can never match a null vector's assignment
+    assert(graft.functions.VectorKernels.NullCell() < 0)
+    rows.foreach(r => assert(r.getSeq[Int](1).forall(_ >= 0),
+      "probe emitted a negative cell id"))
     // plan pin: the executed quantized-refine plan never re-evaluates
     // assign inside a scan Filter node
     val pq = Similarity.ivfTopKQuantizedRefine(emb,

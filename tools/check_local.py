@@ -8,12 +8,55 @@ SPARK_GRAFT_ONLY=<names>) to have populated <outDir>/<name>/ parquet and
 <outDir>/oracle_sql.json. Re-runs each oracle SQL in DuckDB over the same
 sf tables and compares rows/schema/values the way the driver does: columns
 sorted by name, values stringified with float rounding, then hashed.
+
+IMPORTANT (r18 post-mortem): the driver sorts the RAW columns with
+pandas (`DataFrame.sort_values` over all columns) BEFORE any
+stringification. Array-typed cells make that sort raise
+"unhashable type" — the driver records the query as ERR, not green.
+r18 shipped three ERR rows because this script used to stringify first
+(arrays survived) and diverged from the driver exactly there. The
+`driver_sort_probe` below replicates the driver's raw-column sort so an
+array-typed output column fails HERE, before it can ship. Registered
+query outputs must be scalar-typed — project arrays through
+to_json/array_join at the query boundary.
 """
 import decimal, json, os, sys, hashlib
 
 import duckdb
+import pandas as pd
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def driver_sort_probe(rows, cols, side):
+    """Replicate the driver comparator's raw-column pandas sort.
+
+    Returns None if the sort succeeds, else the error string the driver
+    would die with. The driver reads Spark parquet via pyarrow→pandas
+    (array cells become numpy.ndarray) and DuckDB results via fetchdf
+    (array cells become lists); both are unhashable, so both crash its
+    `sort_values` → Categorical → factorize path the same way.
+    """
+    try:
+        df = pd.DataFrame(rows, columns=cols)
+        df.sort_values(by=sorted(cols), inplace=True, kind="mergesort")
+        return None
+    except Exception as e:  # noqa: BLE001 — report whatever pandas raises
+        return f"{side} side: {type(e).__name__}: {e}"
+
+
+def numkind_from_types(cols, typenames):
+    """Column → 'decimal'/'float' from DECLARED DuckDB type names, so
+    all-NULL columns still participate in the precision-mismatch warning
+    (r18 ADVICE — value sampling skipped them)."""
+    kinds = {}
+    for c, t in zip(cols, typenames):
+        t = str(t).upper()
+        if t.startswith("DECIMAL") or t.startswith("NUMERIC"):
+            kinds[c] = "decimal"
+        elif t in ("DOUBLE", "FLOAT", "REAL"):
+            kinds[c] = "float"
+    return kinds
 
 
 def canon(rows, cols):
@@ -74,18 +117,19 @@ def main():
         if name not in oracles:
             print(f"{name}: NO_ORACLE (rows-only check)")
             continue
-        sp = con.execute(
-            "SELECT * FROM read_parquet(?)",
-            [os.path.join(out_dir, name, "*.parquet")])
-        sp_cols = [d[0] for d in sp.description]
+        pq = os.path.join(out_dir, name, "*.parquet").replace("'", "''")
+        sp = con.sql(f"SELECT * FROM read_parquet('{pq}')")
+        sp_cols = list(sp.columns)
+        sp_types = [str(t) for t in sp.types]
         sp_rows = sp.fetchall()
         try:
-            du = con.execute(oracles[name])
+            du = con.sql(oracles[name])
         except Exception as e:
             print(f"{name}: ORACLE_SQL_ERROR {e}")
             fails += 1
             continue
-        du_cols = [d[0] for d in du.description]
+        du_cols = list(du.columns)
+        du_types = [str(t) for t in du.types]
         du_rows = du.fetchall()
         if sorted(sp_cols) != sorted(du_cols):
             print(f"{name}: SCHEMA_MISMATCH spark={sorted(sp_cols)} "
@@ -98,22 +142,27 @@ def main():
         # to the driver's (changing it here would make local green lie),
         # so instead surface the hazard loudly: any query whose twin
         # sides disagree on Decimal-vs-float for a column is a query
-        # contract bug to fix at the source (align the types).
-        def numkind(rows, cols):
-            kinds = {}
-            for r in rows:
-                for c, v in zip(cols, r):
-                    if isinstance(v, decimal.Decimal):
-                        kinds[c] = "decimal"
-                    elif isinstance(v, float):
-                        kinds.setdefault(c, "float")
-            return kinds
-        k1, k2 = numkind(sp_rows, sp_cols), numkind(du_rows, du_cols)
+        # contract bug to fix at the source (align the types). Kinds
+        # come from the DECLARED column types (r18 ADVICE: an all-NULL
+        # column never registered a kind when sampled from row values).
+        k1 = numkind_from_types(sp_cols, sp_types)
+        k2 = numkind_from_types(du_cols, du_types)
         for c in sorted(set(k1) & set(k2)):
             if k1[c] != k2[c]:
                 print(f"{name}: WARN column {c} is {k1[c]} on spark side "
                       f"but {k2[c]} on oracle side — renders at different "
                       f"precision; align the twin types")
+        # The driver's raw-column sort runs BEFORE stringification — an
+        # array-typed column must fail here the way it fails there.
+        crash = (driver_sort_probe(sp_rows, sp_cols, "spark")
+                 or driver_sort_probe(du_rows, du_cols, "oracle"))
+        if crash:
+            print(f"{name}: DRIVER_CRASH the driver comparator would "
+                  f"ERR on this output ({crash}) — registered query "
+                  f"outputs must be scalar-typed; project arrays via "
+                  f"to_json/array_join at the query boundary")
+            fails += 1
+            continue
         h1, n1 = canon(sp_rows, sp_cols)
         h2, n2 = canon(du_rows, du_cols)
         if n1 != n2:
