@@ -304,6 +304,15 @@ object Bench {
       // right — this is a local-bench-scale setting, not a library one.
       .config("spark.sql.files.maxPartitionBytes", (2L << 20).toString)
       .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      // Shuffle/spill codec override (r19): the sf10 pair monsters
+      // spill 69+ GB of lz4 shuffle at 32 cores — more than this
+      // host's free disk. zstd compresses the highly-redundant pair
+      // payloads ~2× tighter for a few % CPU; at real scale this is
+      // exactly the per-job knob a shuffle-heavy stage sets
+      // (spark.io.compression.codec). Opt-in so default-run numbers
+      // stay comparable with prior rounds' lz4 history.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

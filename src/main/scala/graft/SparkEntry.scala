@@ -1038,6 +1038,40 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bpe1k")).orderBy("doc_id")
     }),
 
+    // TOKENIZER DIVERSITY (r19): greedy longest-match (WordPiece
+    // inference) as a SECOND tokenizer family over the SAME frozen
+    // vocabulary (BpeLearn1k's pieces) — the two inference rules
+    // genuinely segment differently (WordPieceSpec pins a diverging
+    // case), so a trainer can cross-check its budget under both.
+    // Apply-only (the piece inventory derives from the already-learned
+    // merges, no data pass); pure per-row codegen, corpus never
+    // shuffles. The oracle replays greedy-longest exactly: a
+    // longest-prefix argmax per (word, pos) + a recursive pointer walk.
+    "q_wordpiece_tokens" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", "bg_text")
+      graft.text.WordPiece.withPieceCount(bg, "bg_text", "n_wp",
+        graft.text.WordPiece.vocabFromMerges(graft.text.BpeLearn1k.Merges))
+        .select(col("doc_id"), col("n_wp")).orderBy("doc_id")
+    }),
+
+    // the pieces themselves on a doc sample (space-joined scalar at
+    // the query boundary, the q_bpe_encode convention)
+    "q_wordpiece_encode" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").where(col("doc_id") % 50 === 0)
+          .select("doc_id", "text"),
+        "text", "bg_text")
+      graft.text.WordPiece.withKernels(s,
+        graft.text.WordPiece.vocabFromMerges(graft.text.BpeLearn1k.Merges)) {
+        (enc, _) =>
+          bg.select(col("doc_id"),
+            array_join(enc(col("bg_text")), " ").as("pieces"))
+            .orderBy("doc_id")
+      }
+    }),
+
     // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
     // real pre-training pipeline runs, composed from the r14/r15 pieces —
     // Gopher repetition filter → Bloom-prefiltered decontamination
@@ -1959,6 +1993,50 @@ object SparkEntry {
   private val bpeDocFilterSql: String =
     """ WHERE text IS NOT NULL AND regexp_matches(text, '\S')"""
 
+  /** The bigram pre-token `docw` derivation shared by the 1k-merge
+    * tokenizer oracles (q_bpe_learn1k / q_wordpiece_*) — the SQL twin
+    * of [[graft.text.Bpe.withBigramPreTokens]]. */
+  private val bigramDocwSql: String =
+    "SELECT doc_id, list_transform(range(1, len(ws0)), i -> ws0[i] || '_' || ws0[i+1]) AS ws" +
+      " FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws0" +
+      " FROM documents WHERE text IS NOT NULL) WHERE len(ws0) >= 2"
+
+  /** Greedy longest-match oracle CTE block
+    * ([[graft.text.WordPiece]]): per distinct word, a longest-prefix
+    * argmax at every character position (plain join + max_by — ties
+    * impossible: equal-length pieces matching the same substring ARE
+    * the same piece), then a recursive pointer walk that appends the
+    * winning piece and advances by its length — exactly the kernel's
+    * greedy rule. The walk always terminates on corpus words because
+    * [[graft.text.WordPiece.vocabFromMerges]] includes every
+    * constituent character; the `[UNK]` rule is kernel-spec-pinned
+    * (WordPieceSpec), not oracle-replayed. Ends at `dcnt`
+    * (doc_id, n_wp); `wtok`/`wpos` available for token consumers.
+    * Must be opened with WITH RECURSIVE. */
+  private def wordpieceCtes(pieces: Seq[String], docwSql: String): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val pieceValues = pieces.map(p =>
+      s"('${esc(p)}', ${p.length})").mkString(", ")
+    s"""pc(p, lp) AS (VALUES $pieceValues),
+       |docw AS ($docwSql),
+       |wpos AS (SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS w
+       |         FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS i FROM docw)),
+       |dw AS (SELECT DISTINCT w FROM wpos),
+       |wchar AS (SELECT w, CAST(unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS BIGINT) AS pos FROM dw),
+       |best AS (SELECT o.w, o.pos, max_by(c.p, c.lp) AS p, CAST(max(c.lp) AS BIGINT) AS adv
+       |         FROM wchar o JOIN pc c ON substr(o.w, CAST(o.pos AS INTEGER), c.lp) = c.p
+       |         GROUP BY o.w, o.pos),
+       |walk AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks FROM dw
+       |  UNION ALL
+       |  SELECT b.w, b.pos + s.adv, list_append(b.toks, s.p)
+       |  FROM walk b JOIN best s ON s.w = b.w AND s.pos = b.pos),
+       |wtok AS (SELECT w, toks FROM walk WHERE pos = CAST(length(w) AS BIGINT) + 1),
+       |wcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM wtok),
+       |dcnt AS (SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_wp
+       |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
+  }
+
   /** The BPE-oracle CTE block parameterized by merge list and the
     * `docw` (doc_id, ws) pre-token derivation — shared by the
     * DemoMerges family and the 1k-merge `q_bpe_learn1k` row. Merge
@@ -2593,11 +2671,26 @@ object SparkEntry {
     // at sf0.01) replayed over bigram pre-tokens; the recursive CTE
     // runs 1024 replace ranks over ~916 distinct pre-token strings
     "q_bpe_learn1k" ->
-      s"""WITH RECURSIVE ${bpeCtes(graft.text.BpeLearn1k.Merges,
-             "SELECT doc_id, list_transform(range(1, len(ws0)), i -> ws0[i] || '_' || ws0[i+1]) AS ws" +
-             " FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws0" +
-             " FROM documents WHERE text IS NOT NULL) WHERE len(ws0) >= 2")}
+      s"""WITH RECURSIVE ${bpeCtes(graft.text.BpeLearn1k.Merges, bigramDocwSql)}
          |SELECT doc_id, n_bpe AS n_bpe1k FROM dcnt ORDER BY doc_id""".stripMargin,
+
+    // greedy longest-match over the same frozen vocabulary — the
+    // wordpieceCtes walk replays the kernel's inference rule exactly
+    "q_wordpiece_tokens" ->
+      s"""WITH RECURSIVE ${wordpieceCtes(
+             graft.text.WordPiece.vocabFromMerges(
+               graft.text.BpeLearn1k.Merges), bigramDocwSql)}
+         |SELECT doc_id, n_wp FROM dcnt ORDER BY doc_id""".stripMargin,
+
+    "q_wordpiece_encode" ->
+      s"""WITH RECURSIVE ${wordpieceCtes(
+             graft.text.WordPiece.vocabFromMerges(
+               graft.text.BpeLearn1k.Merges),
+             bigramDocwSql + " AND doc_id % 50 = 0")}
+         |SELECT p.doc_id,
+         |  array_to_string(flatten(list(t.toks ORDER BY p.wi)), ' ') AS pieces
+         |FROM wpos p JOIN wtok t ON p.w = t.w
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
 
     // the q_sample_budget threshold machinery with per-lang BPE totals
     "q_sample_budget_bpe" ->
