@@ -318,6 +318,30 @@ class PlanQualitySpec extends SparkSpec {
       s"split assignment is a pure projection:\n$splitPlan")
   }
 
+  test("tokenizer apply passes are shuffle-free codegen projections " +
+      "with the derivation evaluated once per row (r19)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bg = graft.text.Bpe.withBigramPreTokens(
+      docs.select("doc_id", "text"), "text", "bg_text")
+    val bpePlan = plan(graft.text.Bpe.withTokenCount(
+      bg, "bg_text", "n", graft.text.BpeLearn1k.Merges.take(64)))
+    assert(!bpePlan.contains("Exchange"),
+      s"BPE apply must not shuffle the corpus:\n$bpePlan")
+    assert(!bpePlan.contains("ScalaUDF"), bpePlan)
+    // the zip_with form, not transform(sequence, i -> element_at(ws, i)):
+    // a HOF lambda re-evaluates free-variable subtrees PER ELEMENT, so
+    // the element_at formulation re-split the whole document once per
+    // word — O(words²·chars)/doc, measured 10× at sf0.1 (BASELINE r19)
+    assert(bpePlan.contains("zip_with") && !bpePlan.contains("transform("),
+      s"bigram derivation must stay the once-per-row zip_with form:\n" +
+        bpePlan)
+    val wpPlan = plan(graft.text.WordPiece.withPieceCount(
+      bg, "bg_text", "n_wp",
+      graft.text.WordPiece.vocabFromMerges(graft.text.BpeLearn1k.Merges)))
+    assert(!wpPlan.contains("Exchange") && !wpPlan.contains("ScalaUDF"),
+      s"wordpiece apply is a pure projection:\n$wpPlan")
+  }
+
   test("over-gate label encoding takes the partition-offset path: no " +
       "global window, no dictionary broadcast (r15)") {
     val customer = Tables.load(spark, sf, "customer")
