@@ -47,6 +47,18 @@ object BpeThroughputProbe {
         f"${total / dt / 1e6}%.2f M tokens/s out, " +
         f"${preToks / dt / 1e6}%.2f M words/s in")
     }
+    // the greedy-longest twin over the same pre-tokens and vocabulary
+    val vocab = graft.text.WordPiece.vocabFromMerges(merges)
+    for (round <- 1 to 3) {
+      val (total, dt) = time(s"wordpiece round $round") {
+        val t0 = System.nanoTime()
+        val s = graft.text.WordPiece.withPieceCount(bg, "bg_text", "n", vocab)
+          .agg(sum(col("n"))).head().getLong(0)
+        (s, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[bpe-probe] wp round $round: $total%d pieces -> " +
+        f"${preToks / dt / 1e6}%.2f M words/s in")
+    }
     spark.stop()
   }
 }
