@@ -165,7 +165,16 @@ object Bench {
       requireSf: Option[String]): Map[String, Double] = {
     val sfOk = requireSf.forall(sf =>
       "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).exists(_.group(1) == sf))
-    if (!sfOk) Map.empty
+    // Codec guard (r19 ADVICE): a file that self-declares a non-default
+    // shuffle codec (SPARK_GRAFT_CODEC=zstd runs) must never seed an lz4
+    // baseline — zstd's tighter spill compression makes the pair monsters
+    // faster in a way no lz4 run can reproduce, so min-merging it would
+    // permanently skew every later comparison. Files with no codec field
+    // (all pre-r20 artifacts, and every history file — histories are only
+    // written by lz4 runs, see main()) pass.
+    val codecOk = "\"codec\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+      .forall(_.group(1) == "lz4")
+    if (!sfOk || !codecOk) Map.empty
     else {
       val crashed: Set[String] =
         "\"failed\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
@@ -288,6 +297,7 @@ object Bench {
     // must not read as load)
     SparkEntry.sweepDeadScratch(sfDir)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val codec = sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -311,8 +321,7 @@ object Bench {
       // exactly the per-job knob a shuffle-heavy stage sets
       // (spark.io.compression.codec). Opt-in so default-run numbers
       // stay comparable with prior rounds' lz4 history.
-      .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+      .config("spark.io.compression.codec", codec)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -633,6 +642,10 @@ object Bench {
         s""""psi_cpu_some":[${jsNum(psiBefore, 2)},${jsNum(psiCpuSome(), 2)}],""" +
         s""""gate":[${jsNum(idleWaitS, 2)},${jsNum(gateStealRate, 2)}],""" +
         s""""contended":$contended,""" +
+        // self-declared codec (r19 ADVICE): parseQueryTimes rejects
+        // non-lz4 files as baselines, so a zstd run's faster spill times
+        // can never min-merge into the lz4 cold history
+        s""""codec":"$codec",""" +
         s""""persistent_rdds_end":$rddsLeft,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
@@ -654,8 +667,11 @@ object Bench {
     // re-time pair still lands in the results file for contention
     // attribution. A genuinely regressed query keeps its old best and
     // the [slow, slow] pair makes the regression visible. Skipped for
-    // partial (SPARK_GRAFT_ONLY) runs, whose times carry warmup skew.
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+    // partial (SPARK_GRAFT_ONLY) runs, whose times carry warmup skew —
+    // and for non-lz4 codec runs (r19 ADVICE: the zstd convention is now
+    // enforced, not just documented — a zstd run's tighter-spill times
+    // must never min-merge into the lz4 cold history).
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && codec == "lz4") {
       // prev entries survive for queries that failed this run (their
       // crash time is not a measurement); successful ones re-minimize
       val best = prev ++ timed.collect { case (k, (v, true)) =>

@@ -2007,12 +2007,17 @@ object SparkEntry {
     * impossible: equal-length pieces matching the same substring ARE
     * the same piece), then a recursive pointer walk that appends the
     * winning piece and advances by its length — exactly the kernel's
-    * greedy rule. The walk always terminates on corpus words because
-    * [[graft.text.WordPiece.vocabFromMerges]] includes every
-    * constituent character; the `[UNK]` rule is kernel-spec-pinned
-    * (WordPieceSpec), not oracle-replayed. Ends at `dcnt`
-    * (doc_id, n_wp); `wtok`/`wpos` available for token consumers.
-    * Must be opened with WITH RECURSIVE. */
+    * greedy rule. The `[UNK]` rule IS oracle-replayed (r19 ADVICE): a
+    * word containing a character outside the vocabulary gets stuck
+    * mid-walk (no piece matches at that position — with every covered
+    * character a single-char piece always matches, so stuck ⇔
+    * uncovered character ⇔ kernel UNK), never reaches `pos =
+    * length+1`, and the LEFT JOIN below coalesces it to the whole-word
+    * `[UNK]` token exactly as [[graft.functions.WordPieceKernels]]
+    * does. [[graft.text.WordPiece.vocabFromMerges]] happens to cover
+    * the synthetic corpus alphabet, but nothing DEPENDS on that any
+    * more. Ends at `dcnt` (doc_id, n_wp); `wtok`/`wpos` available for
+    * token consumers. Must be opened with WITH RECURSIVE. */
   private def wordpieceCtes(pieces: Seq[String], docwSql: String): String = {
     def esc(s: String): String = s.replace("'", "''")
     val pieceValues = pieces.map(p =>
@@ -2031,7 +2036,9 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT b.w, b.pos + s.adv, list_append(b.toks, s.p)
        |  FROM walk b JOIN best s ON s.w = b.w AND s.pos = b.pos),
-       |wtok AS (SELECT w, toks FROM walk WHERE pos = CAST(length(w) AS BIGINT) + 1),
+       |wdone AS (SELECT w, toks FROM walk WHERE pos = CAST(length(w) AS BIGINT) + 1),
+       |wtok AS (SELECT d.w, coalesce(c.toks, ['[UNK]']) AS toks
+       |         FROM dw d LEFT JOIN wdone c ON d.w = c.w),
        |wcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM wtok),
        |dcnt AS (SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_wp
        |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin

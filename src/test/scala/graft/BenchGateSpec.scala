@@ -117,4 +117,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(m == Map("q_a" -> 5.0, "q_b" -> 1.0),
       s"retimed[0] is the cold baseline, the warm min is not: $m")
   }
+
+  test("a results file self-declaring a non-lz4 codec never seeds a " +
+      "baseline; codec-less and lz4 files still do (r19 ADVICE)") {
+    def file(codecField: String) =
+      """{"metric":"total","value":9,"unit":"sec",""" +
+        """"queries":{"q_a":2.0},"failed":[],""" + codecField +
+        """"sf":"/root/testdata/sf0.1"}"""
+    val sf = Some("/root/testdata/sf0.1")
+    assert(Bench.parseQueryTimes(file("\"codec\":\"zstd\","), sf).isEmpty,
+      "zstd spill times must not min-merge into the lz4 history")
+    assert(Bench.parseQueryTimes(file("\"codec\":\"lz4\","), sf)
+      == Map("q_a" -> 2.0))
+    // pre-r20 artifacts and history files carry no codec field = lz4
+    assert(Bench.parseQueryTimes(file(""), sf) == Map("q_a" -> 2.0))
+  }
 }

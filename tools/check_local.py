@@ -36,7 +36,23 @@ def driver_sort_probe(rows, cols, side):
     (array cells become numpy.ndarray) and DuckDB results via fetchdf
     (array cells become lists); both are unhashable, so both crash its
     `sort_values` → Categorical → factorize path the same way.
+
+    r19 ADVICE: a SINGLE-column frame can dodge the sort probe — pandas
+    sorts one object column by comparing cells directly (Python lists
+    are orderable), never entering the factorize/hash path that raises
+    for multi-column sorts, while the driver's pyarrow ndarray cells
+    would still ERR. So every cell is ALSO probed for hashability
+    directly: any list/ndarray/dict cell fails here regardless of the
+    column count or which container type this script's fetch produced.
     """
+    for r in rows:
+        for i, v in enumerate(r):
+            try:
+                hash(v)
+            except TypeError:
+                return (f"{side} side: column {cols[i]} has an unhashable "
+                        f"{type(v).__name__} cell — the driver comparator "
+                        f"cannot sort/factorize it")
     try:
         df = pd.DataFrame(rows, columns=cols)
         df.sort_values(by=sorted(cols), inplace=True, kind="mergesort")

@@ -51,6 +51,23 @@ def main():
                   f"({r.stdout.strip().splitlines()[0][:100]}...)")
 
     with tempfile.TemporaryDirectory() as tmp:
+        # Case 1b (r19 ADVICE): a SINGLE array column — pandas sorts one
+        # object column by direct cell comparison (lists are orderable),
+        # so the sort probe alone would pass while the real driver's
+        # ndarray cells still ERR. The per-cell hashability probe must
+        # catch it.
+        r = run_case(tmp, "q_array1col",
+                     "SELECT [3,1,2]::BIGINT[] AS postings",
+                     "SELECT [3,1,2]::BIGINT[] AS postings")
+        if r.returncode == 0 or "DRIVER_CRASH" not in r.stdout:
+            print("FAIL: single-column array output did not trip "
+                  "DRIVER_CRASH (sort-probe blind spot)")
+            print(r.stdout, r.stderr)
+            ok = False
+        else:
+            print("ok: single-column array output trips DRIVER_CRASH")
+
+    with tempfile.TemporaryDirectory() as tmp:
         # Case 2: same data through to_json → scalar, must pass.
         r = run_case(tmp, "q_scalar",
                      "SELECT 1::BIGINT AS id,"
