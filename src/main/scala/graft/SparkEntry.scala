@@ -1072,6 +1072,43 @@ object SparkEntry {
       }
     }),
 
+    // TOKENIZER FAMILY #3 (r20): unigram-LM (SentencePiece) inference —
+    // Viterbi min-cost segmentation over integer piece costs derived
+    // from the SAME learned merge list (Unigram.pieceCosts: fixed-point
+    // Zipf log-probs by merge rank), completing the budget cross-check
+    // triangle next to BPE rank-replay and greedy longest-match. The
+    // likelihood optimum genuinely differs from both (UnigramSpec pins
+    // diverging words: greedy commits to a long RARE piece where the
+    // model prefers two short common ones). Apply-only per-row codegen,
+    // corpus never shuffles; the oracle replays the identical DP as a
+    // recursive CTE carrying the per-word Viterbi table as a list of
+    // (cost, toks) structs — integer costs make the cross-engine
+    // arithmetic exact, so tie-breaks cannot drift.
+    "q_unigram_tokens" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", "bg_text")
+      graft.text.Unigram.withPieceCount(bg, "bg_text", "n_ug",
+        graft.text.Unigram.pieceCosts(graft.text.BpeLearn1k.Merges))
+        .select(col("doc_id"), col("n_ug")).orderBy("doc_id")
+    }),
+
+    // the pieces themselves on a doc sample (space-joined scalar at
+    // the query boundary, the q_wordpiece_encode convention)
+    "q_unigram_encode" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").where(col("doc_id") % 50 === 0)
+          .select("doc_id", "text"),
+        "text", "bg_text")
+      graft.text.Unigram.withKernels(s,
+        graft.text.Unigram.pieceCosts(graft.text.BpeLearn1k.Merges)) {
+        (enc, _) =>
+          bg.select(col("doc_id"),
+            array_join(enc(col("bg_text")), " ").as("pieces"))
+            .orderBy("doc_id")
+      }
+    }),
+
     // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
     // real pre-training pipeline runs, composed from the r14/r15 pieces —
     // Gopher repetition filter → Bloom-prefiltered decontamination
@@ -2044,6 +2081,60 @@ object SparkEntry {
        |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
   }
 
+  /** Unigram-LM Viterbi oracle CTE block ([[graft.text.Unigram]]): per
+    * distinct word, the IDENTICAL min-cost DP the kernel runs, carried
+    * through the recursion as a list of (cost, toks) structs — entry
+    * k is the best segmentation of the length-(k−1) prefix; each step
+    * appends position i+1's winner, chosen by `list_sort(...)[1]` over
+    * (total asc, −length asc) exactly matching the kernel's tie-break
+    * (equal total → longest last piece; equal total AND length is the
+    * same piece, so the order is total). Integer costs make the sums
+    * exact on both engines. An unreachable final position (a character
+    * no piece covers) leaves the entry NULL and the coalesce below
+    * replays the whole-word `[UNK]` rule. Ends at `dcnt`
+    * (doc_id, n_ug); `wtok`/`wpos` available for token consumers.
+    * Must be opened with WITH RECURSIVE. */
+  private def unigramCtes(costed: Seq[(String, Long)],
+      docwSql: String): String = {
+    def esc(s: String): String = s.replace("'", "''")
+    val pieceValues = costed.map { case (p, c) =>
+      s"('${esc(p)}', ${p.length}, $c)" }.mkString(", ")
+    s"""pc(p, lp, cost) AS (VALUES $pieceValues),
+       |docw AS ($docwSql),
+       |wpos AS (SELECT doc_id, CAST(i AS BIGINT) AS wi, ws[i] AS w
+       |         FROM (SELECT doc_id, ws, unnest(generate_series(1, CAST(len(ws) AS BIGINT))) AS i FROM docw)),
+       |dw AS (SELECT DISTINCT w FROM wpos),
+       |wchar AS (SELECT w, CAST(unnest(generate_series(1, CAST(length(w) AS BIGINT))) AS BIGINT) AS i FROM dw),
+       |mm AS (SELECT o.w, o.i, c.p, CAST(c.lp AS BIGINT) AS lp, CAST(c.cost AS BIGINT) AS cost
+       |       FROM wchar o JOIN pc c ON c.lp <= o.i AND substr(o.w, CAST(o.i - c.lp + 1 AS INTEGER), c.lp) = c.p),
+       |ends AS (SELECT w, i, list(struct_pack(lp := lp, cost := cost, p := p)) AS cands FROM mm GROUP BY w, i),
+       |dp AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS i,
+       |         [struct_pack(c := CAST(0 AS BIGINT), toks := CAST([] AS VARCHAR[]))] AS best
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT d.w, d.i + 1,
+       |    list_append(d.best,
+       |      CASE WHEN win.s IS NULL THEN NULL
+       |           ELSE struct_pack(
+       |             c := win.s.tot,
+       |             toks := list_append(d.best[CAST(d.i + 2 - win.s.lp AS INTEGER)].toks, win.s.p))
+       |      END)
+       |  FROM dp d
+       |  LEFT JOIN ends e ON e.w = d.w AND e.i = d.i + 1,
+       |  LATERAL (SELECT list_sort(list_filter(
+       |             list_transform(e.cands, c -> struct_pack(
+       |               tot := d.best[CAST(d.i + 2 - c.lp AS INTEGER)].c + c.cost,
+       |               nlp := -c.lp, p := c.p, lp := c.lp)),
+       |             x -> x.tot IS NOT NULL))[1] AS s) win
+       |  WHERE d.i < length(d.w)),
+       |wvit AS (SELECT w, best[CAST(length(w) + 1 AS INTEGER)] AS e FROM dp WHERE i = length(w)),
+       |wtok AS (SELECT w, coalesce(e.toks, ['[UNK]']) AS toks FROM wvit),
+       |wcnt AS (SELECT w, CAST(len(toks) AS BIGINT) AS ntok FROM wtok),
+       |dcnt AS (SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_ug
+       |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
+  }
+
   /** The BPE-oracle CTE block parameterized by merge list and the
     * `docw` (doc_id, ws) pre-token derivation — shared by the
     * DemoMerges family and the 1k-merge `q_bpe_learn1k` row. Merge
@@ -2692,6 +2783,24 @@ object SparkEntry {
     "q_wordpiece_encode" ->
       s"""WITH RECURSIVE ${wordpieceCtes(
              graft.text.WordPiece.vocabFromMerges(
+               graft.text.BpeLearn1k.Merges),
+             bigramDocwSql + " AND doc_id % 50 = 0")}
+         |SELECT p.doc_id,
+         |  array_to_string(flatten(list(t.toks ORDER BY p.wi)), ' ') AS pieces
+         |FROM wpos p JOIN wtok t ON p.w = t.w
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // unigram-LM Viterbi over the same frozen vocabulary at
+    // rank-derived integer costs — unigramCtes replays the kernel's DP
+    "q_unigram_tokens" ->
+      s"""WITH RECURSIVE ${unigramCtes(
+             graft.text.Unigram.pieceCosts(
+               graft.text.BpeLearn1k.Merges), bigramDocwSql)}
+         |SELECT doc_id, n_ug FROM dcnt ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramCtes(
+             graft.text.Unigram.pieceCosts(
                graft.text.BpeLearn1k.Merges),
              bigramDocwSql + " AND doc_id % 50 = 0")}
          |SELECT p.doc_id,
