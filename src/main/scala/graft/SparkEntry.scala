@@ -832,7 +832,7 @@ object SparkEntry {
         regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
           .as("text"))
       NearDup.minhashPairs(d.unionAll(mutated), "text", "doc_id",
-        threshold = 0.5)
+        threshold = 0.5, bandBatches = bandBatchesEnv)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -1153,7 +1153,8 @@ object SparkEntry {
         regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
           .as("text"))
       NearDup.clusters(NearDup.minhashPairs(d.unionAll(mutated), "text",
-        "doc_id", threshold = 0.5)).orderBy("id")
+        "doc_id", threshold = 0.5, bandBatches = bandBatchesEnv))
+        .orderBy("id")
     }),
 
     // §7.6 INCREMENTAL dedup (crawl-refresh): a "new batch" of planted
@@ -2167,6 +2168,17 @@ object SparkEntry {
        |dcnt AS (SELECT p.doc_id, CAST(sum(c.ntok) AS BIGINT) AS n_bpe
        |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
   }
+
+  /** Opt-in peak-scratch bound for the two minhash pair monsters
+    * (SPARK_GRAFT_BAND_BATCHES, r19 verdict #4): splits the LSH bands
+    * into N sequential groups inside [[NearDup.minhashPairs]], bounding
+    * peak candidate-shuffle scratch to ~1/N. Default 1 (the single-pass
+    * plan) so default-run numbers and correctness rows are untouched;
+    * result parity is spec-pinned (BandBatchSpec), so a batched bench
+    * row measures the same answer under a different scratch profile. */
+  private def bandBatchesEnv: Int =
+    sys.env.get("SPARK_GRAFT_BAND_BATCHES")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1)
 
   /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var
     * (shared by Bench and Verify). Names are trimmed, and unknown names

@@ -234,13 +234,33 @@ object NearDup {
     *   id_a, id_b) BEFORE the signature prefilter and exact verify —
     *   the hook [[dedupAgainst]] uses to discard same-corpus candidates
     *   so only cross-corpus pairs pay verification cost. Must be a pure
-    *   row filter (no joins back into the corpus). */
+    *   row filter (no joins back into the corpus).
+    * @param bandBatches peak-scratch bound (r19 verdict #4): >1 splits
+    *   the LSH bands into that many groups and runs candidate-join →
+    *   prefilter → verify per group, locally checkpointing each group's
+    *   verified pairs to DISK before the next group's shuffles start —
+    *   the checkpoint TRUNCATES the group's lineage, so its candidate/
+    *   prefilter shuffle files become unreachable and the context
+    *   cleaner deletes them (a GC nudge between groups makes that
+    *   prompt), bounding peak shuffle scratch to ~1/batches of the
+    *   single-pass plan at the cost of `batches` corpus-signature scans
+    *   (the signatures are the memory-cached `sigDf` — cheap) and
+    *   re-verifying pairs that collide in bands of different groups
+    *   (final distinct collapses them; jaccard is a deterministic
+    *   function of the gram sets, so duplicates are bit-identical).
+    *   Result parity with the single-pass plan is spec-pinned
+    *   (BandBatchSpec). The knob a 100 TB deployment turns when
+    *   duplicate density spikes past provisioned scratch — measured at
+    *   sf10 in BASELINE.md. Default 1 = the single-pass plan. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 0,
-      pairFilter: DataFrame => DataFrame = identity): DataFrame = {
+      pairFilter: DataFrame => DataFrame = identity,
+      bandBatches: Int = 1): DataFrame = {
     graft.functions.VectorKernels.register(df.sparkSession)
     require(numHashes % bands == 0)
+    require(bandBatches >= 1 && bandBatches <= bands,
+      s"bandBatches must be in [1, $bands], got $bandBatches")
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
     // DISK, so every downstream branch (banding, prefilter, survivor
@@ -265,51 +285,94 @@ object NearDup {
     val mb = if (maxBucket > 0) maxBucket
              else autoResolvedBucket(sigAll.count())
     val sigDf = sigAll.select("__id", "__sig").cache()
-    val buckets = sigDf.select(col("__id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
-        .as("__bucket"))
-    // a pair can collide in many bands — dedup BEFORE any similarity work
-    val (pairsAll, staged) =
-      bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
-    val pairs = pairFilter(pairsAll)
-    // Signature-agreement prefilter (64 long compares, estimator std at 64
-    // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
-    // candidate mass using only the memory-cached signatures; only the
-    // survivors pay the disk read for their gram sets.
-    val survivors = pairs
-      .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
-      // graft_sig_agree (functions/SignatureAgreement, r14): codegen twin
-      // of prefilterUdf — no per-pair Seq boxing on the candidate mass
-      .where(call_function("graft_sig_agree", col("sig_a"), col("sig_b"),
-        lit(numHashes), lit(threshold - 0.15)))
-      .select("id_a", "id_b")
-    // Exact verification: a merge over the two SORTED gram-hash arrays
-    // (ophSignatures emits TreeSet order), O(|A|+|B|) with no allocation.
-    // A zip_with/aggregate formulation of the prefilter ran INTERPRETED
-    // (per-element InternalRow wrapping) and array_intersect/array_union
-    // materialize hash sets per pair — measured ~2× slower on the sf0.1
-    // candidate mass than these primitive-loop UDFs. The gram-set sides
-    // project straight off the persisted sigAll (disk read, survivors
-    // only after the join pruning).
-    val out = survivors
-      .join(sigAll.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(sigAll.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        // graft_sorted_jaccard (functions/SortedJaccard, r14): the same
-        // merge-intersection, reading the gram arrays in place
-        call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b"),
-          lit(threshold)).as("jaccard"))
-      .where(col("jaccard").isNotNull)
-    // Eager materialization + release: the pair list (tiny — candidates
-    // that survived LSH + verify) is computed NOW, then the O(corpus)
-    // signature/gram stores are dropped. Without this, every call pinned
-    // corpus-sized storage for the rest of the session (r8 VERDICT "cache
-    // hygiene"). The RETURNED frame stays cached — the caller unpersists
-    // it once consumed (Bench/Verify sweep new persists per query via
-    // [[graft.util.CacheHygiene]]).
-    materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
+    def bucketsFor(bandIdxs: Seq[Int]): DataFrame =
+      sigDf.select(col("__id"),
+        explode(array(bandIdxs.map(b =>
+          struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
+          .as("__bucket"))
+    // candidate-join → prefilter → exact verify over one band subset —
+    // the whole pipeline downstream of banding, shared verbatim by the
+    // single-pass and batched paths so their results cannot drift
+    def verifiedPairs(buckets: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      // a pair can collide in many bands — dedup BEFORE any similarity work
+      val (pairsAll, staged) =
+        bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
+      val pairs = pairFilter(pairsAll)
+      // Signature-agreement prefilter (64 long compares, estimator std at 64
+      // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
+      // candidate mass using only the memory-cached signatures; only the
+      // survivors pay the disk read for their gram sets.
+      val survivors = pairs
+        .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+        .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+        // graft_sig_agree (functions/SignatureAgreement, r14): codegen twin
+        // of prefilterUdf — no per-pair Seq boxing on the candidate mass
+        .where(call_function("graft_sig_agree", col("sig_a"), col("sig_b"),
+          lit(numHashes), lit(threshold - 0.15)))
+        .select("id_a", "id_b")
+      // Exact verification: a merge over the two SORTED gram-hash arrays
+      // (ophSignatures emits TreeSet order), O(|A|+|B|) with no allocation.
+      // A zip_with/aggregate formulation of the prefilter ran INTERPRETED
+      // (per-element InternalRow wrapping) and array_intersect/array_union
+      // materialize hash sets per pair — measured ~2× slower on the sf0.1
+      // candidate mass than these primitive-loop UDFs. The gram-set sides
+      // project straight off the persisted sigAll (disk read, survivors
+      // only after the join pruning).
+      val out = survivors
+        .join(sigAll.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+        .join(sigAll.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          // graft_sorted_jaccard (functions/SortedJaccard, r14): the same
+          // merge-intersection, reading the gram arrays in place
+          call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b"),
+            lit(threshold)).as("jaccard"))
+        .where(col("jaccard").isNotNull)
+      (out, staged)
+    }
+    if (bandBatches == 1) {
+      val (out, staged) = verifiedPairs(bucketsFor(0 until bands))
+      // Eager materialization + release: the pair list (tiny — candidates
+      // that survived LSH + verify) is computed NOW, then the O(corpus)
+      // signature/gram stores are dropped. Without this, every call pinned
+      // corpus-sized storage for the rest of the session (r8 VERDICT "cache
+      // hygiene"). The RETURNED frame stays cached — the caller unpersists
+      // it once consumed (Bench/Verify sweep new persists per query via
+      // [[graft.util.CacheHygiene]]).
+      materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
+    } else {
+      // Staged pair materialization (r19 verdict #4): run the band
+      // groups sequentially; each group's verified pairs localCheckpoint
+      // to DISK (truncating lineage so the group's candidate/prefilter
+      // shuffle files become collectable), then the next group starts.
+      // Peak shuffle scratch ≈ the largest single group's, not the sum.
+      val sc = df.sparkSession.sparkContext
+      val groupSize = (bands + bandBatches - 1) / bandBatches
+      val before = sc.getPersistentRDDs.keySet
+      val batchDfs = (0 until bands).grouped(groupSize).map { idxs =>
+        val (out, staged) = verifiedPairs(bucketsFor(idxs))
+        val ck = out.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        staged.foreach(_.unpersist(false))
+        // the context cleaner deletes a group's shuffle files only after
+        // its ShuffleDependency objects are GC'd — nudge now so the
+        // deletion overlaps the NEXT group's compute instead of piling
+        // every group's scratch to the end
+        System.gc()
+        ck
+      }.toSeq
+      val batchIds = sc.getPersistentRDDs.keySet -- before
+      // a pair colliding in bands of two groups verified twice — the
+      // rows are bit-identical (deterministic jaccard), distinct merges
+      val cached = batchDfs.reduce(_ unionAll _).distinct().cache()
+      try { cached.count(); cached }
+      catch { case e: Throwable => cached.unpersist(false); throw e }
+      finally {
+        sc.getPersistentRDDs
+          .filter { case (id, _) => batchIds(id) }
+          .values.foreach(_.unpersist(false))
+        Seq(sigDf, sigAll).foreach(_.unpersist(false))
+      }
+    }
   }
 
   /** Skew-guard default when the caller passes `maxBucket = 0`: buckets

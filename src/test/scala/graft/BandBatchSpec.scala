@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+
+/** Pins the `bandBatches` staged-pair contract (r19 verdict #4): the
+  * batched plan must return EXACTLY the single-pass plan's pair set —
+  * same pairs, same jaccard values — for every batch count, including
+  * the no-op 1, an uneven split, and the one-band-per-batch extreme.
+  * Also pins cache hygiene: the batched path's localCheckpoint RDDs
+  * must be released once the result materializes (only the returned
+  * result stays cached, per the pair-operator contract). */
+class BandBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic corpus with planted near-dup families: base docs plus a
+    * last-word-dropped mutation (the q_neardup_minhash construction)
+    * and a verbatim copy — rich enough that pairs collide in MANY
+    * bands, which is exactly what the cross-batch distinct must
+    * collapse. */
+  private lazy val corpus = {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val base = (0L until 60L).map { i =>
+      val body = (0 until 12).map(j =>
+        words(((i * 7 + j * 3) % words.size).toInt)).mkString(" ")
+      (i, body)
+    }
+    val mutated = base.map { case (i, t) =>
+      (i + 1000L, t.split(" ").dropRight(1).mkString(" ")) }
+    val copies = base.take(20).map { case (i, t) => (i + 2000L, t) }
+    (base ++ mutated ++ copies).toDF("doc_id", "text")
+  }
+
+  private def pairs(bandBatches: Int): Seq[(Long, Long, Double)] = {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val df = NearDup.minhashPairs(corpus, "text", "doc_id",
+      threshold = 0.5, bandBatches = bandBatches)
+    val got = df.select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    graft.util.CacheHygiene.releaseNew(spark, before)
+    got
+  }
+
+  test("bandBatches ∈ {2, 3 (uneven over 16 bands), 16} return the " +
+      "single-pass pair set exactly — values included") {
+    val single = pairs(1)
+    assert(single.nonEmpty, "the planted corpus must produce pairs")
+    // planted mutations and verbatim copies must be found at all
+    assert(single.exists { case (a, b, _) => b == a + 1000L },
+      "a last-word-dropped mutation should pair with its source")
+    assert(single.exists { case (a, b, j) => b == a + 2000L && j == 1.0 },
+      "a verbatim copy should pair at jaccard 1.0")
+    for (n <- Seq(2, 3, 16)) {
+      assert(pairs(n) === single, s"bandBatches=$n diverged from single-pass")
+    }
+  }
+
+  test("the batched path releases its checkpoint/staging storage — " +
+      "only the returned result stays cached") {
+    val before = graft.util.CacheHygiene.snapshot(spark)
+    val df = NearDup.minhashPairs(corpus, "text", "doc_id",
+      threshold = 0.5, bandBatches = 4)
+    df.count()
+    val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // exactly the result cache survives (one RDD)
+    assert(fresh.size == 1,
+      s"expected only the result cache to remain, found ${fresh.size} new " +
+        "persisted RDDs — a batch checkpoint or staging frame leaked")
+    graft.util.CacheHygiene.releaseNew(spark, before)
+  }
+
+  test("bandBatches outside [1, bands] fails loudly") {
+    intercept[IllegalArgumentException] {
+      NearDup.minhashPairs(corpus, "text", "doc_id", bandBatches = 0)
+    }
+    intercept[IllegalArgumentException] {
+      NearDup.minhashPairs(corpus, "text", "doc_id", bandBatches = 17)
+    }
+  }
+}
