@@ -1215,7 +1215,7 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.where(col("vec_id") < 20)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       // r = planes/bands = 8 signature bits per band: 256 buckets per
       // band keeps within-bucket candidate pairs sub-quadratic (r = 4's
       // 16 buckets put ~1/16 of the corpus in every bucket — measured
@@ -1233,7 +1233,7 @@ object SparkEntry {
     "q_embed_clusters" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.where(col("vec_id") < 20)
-        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       NearDup.clusters(
         NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
           dim = 64, threshold = 0.95, planes = 32, bands = 4))
@@ -3087,7 +3087,7 @@ object SparkEntry {
     "q_embed_clusters" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |u AS (SELECT * FROM e
-        |      UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20),
+        |      UNION ALL SELECT vec_id + 10000000, v FROM e WHERE vec_id < 20),
         |pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |       FROM u a JOIN u b ON a.vec_id < b.vec_id
         |       WHERE list_dot_product(a.v, b.v) /
@@ -3110,7 +3110,7 @@ object SparkEntry {
     "q_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |u AS (SELECT * FROM e
-         |      UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id < 20)
+         |      UNION ALL SELECT vec_id + 10000000, v FROM e WHERE vec_id < 20)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          | round(list_dot_product(a.v, b.v) /
          |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
