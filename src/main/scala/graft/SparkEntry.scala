@@ -832,7 +832,7 @@ object SparkEntry {
         regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
           .as("text"))
       NearDup.minhashPairs(d.unionAll(mutated), "text", "doc_id",
-        threshold = 0.5, bandBatches = bandBatchesEnv)
+        threshold = 0.5, bucketBatches = bucketBatchesEnv)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
@@ -1153,7 +1153,7 @@ object SparkEntry {
         regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", "")
           .as("text"))
       NearDup.clusters(NearDup.minhashPairs(d.unionAll(mutated), "text",
-        "doc_id", threshold = 0.5, bandBatches = bandBatchesEnv))
+        "doc_id", threshold = 0.5, bucketBatches = bucketBatchesEnv))
         .orderBy("id")
     }),
 
@@ -1216,13 +1216,16 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = e.where(col("vec_id") < 20)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
-      // r = planes/bands = 8 signature bits per band: 256 buckets per
-      // band keeps within-bucket candidate pairs sub-quadratic (r = 4's
-      // 16 buckets put ~1/16 of the corpus in every bucket — measured
-      // 24s at sf0.1 vs ~2s here). Identical vectors still share every
-      // band, so planted-duplicate recall stays exactly 1.
+      // planes AUTO (r20): bits-per-band scale with the corpus
+      // (NearDup.autoPlanes — 8 bits/256 buckets at driver scales,
+      // identical to the old fixed 32 planes; 12 bits at 200k rows).
+      // A fixed 8-bit band was measured quadratic on the ×100
+      // synthetic-embedding corpus: 200k random vectors in 256 buckets
+      // = ~n²/512 candidates per band, 75 GB of candidate shuffle.
+      // Identical vectors still share every band at ANY width, so
+      // planted-duplicate recall stays exactly 1.
       NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
-        dim = 64, threshold = 0.95, planes = 32, bands = 4)
+        dim = 64, threshold = 0.95, bands = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1236,7 +1239,7 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       NearDup.clusters(
         NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
-          dim = 64, threshold = 0.95, planes = 32, bands = 4))
+          dim = 64, threshold = 0.95, bands = 4))
         .orderBy("id")
     }),
 
@@ -2170,14 +2173,16 @@ object SparkEntry {
   }
 
   /** Opt-in peak-scratch bound for the two minhash pair monsters
-    * (SPARK_GRAFT_BAND_BATCHES, r19 verdict #4): splits the LSH bands
-    * into N sequential groups inside [[NearDup.minhashPairs]], bounding
-    * peak candidate-shuffle scratch to ~1/N. Default 1 (the single-pass
-    * plan) so default-run numbers and correctness rows are untouched;
-    * result parity is spec-pinned (BandBatchSpec), so a batched bench
-    * row measures the same answer under a different scratch profile. */
-  private def bandBatchesEnv: Int =
-    sys.env.get("SPARK_GRAFT_BAND_BATCHES")
+    * (SPARK_GRAFT_BUCKET_BATCHES, r19 verdict #4 in its r20
+    * bucket-hash-slice form): processes the LSH bucket keyspace in N
+    * sequential hash-slices inside [[NearDup.minhashPairs]], bounding
+    * peak candidate-shuffle scratch to ~1/N uniformly — including on
+    * duplicate-saturated corpora. Default 1 (the single-pass plan) so
+    * default-run numbers and correctness rows are untouched; result
+    * parity is spec-pinned (BandBatchSpec), so a batched bench row
+    * measures the same answer under a different scratch profile. */
+  private def bucketBatchesEnv: Int =
+    sys.env.get("SPARK_GRAFT_BUCKET_BATCHES")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1)
 
   /** [[queries]] filtered by the comma-separated SPARK_GRAFT_ONLY env var

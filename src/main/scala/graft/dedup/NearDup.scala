@@ -235,32 +235,38 @@ object NearDup {
     *   the hook [[dedupAgainst]] uses to discard same-corpus candidates
     *   so only cross-corpus pairs pay verification cost. Must be a pure
     *   row filter (no joins back into the corpus).
-    * @param bandBatches peak-scratch bound (r19 verdict #4): >1 splits
-    *   the LSH bands into that many groups and runs candidate-join →
-    *   prefilter → verify per group, locally checkpointing each group's
-    *   verified pairs to DISK before the next group's shuffles start —
-    *   the checkpoint TRUNCATES the group's lineage, so its candidate/
-    *   prefilter shuffle files become unreachable and the context
-    *   cleaner deletes them (a GC nudge between groups makes that
-    *   prompt), bounding peak shuffle scratch to ~1/batches of the
-    *   single-pass plan at the cost of `batches` corpus-signature scans
-    *   (the signatures are the memory-cached `sigDf` — cheap) and
-    *   re-verifying pairs that collide in bands of different groups
-    *   (final distinct collapses them; jaccard is a deterministic
-    *   function of the gram sets, so duplicates are bit-identical).
-    *   Result parity with the single-pass plan is spec-pinned
-    *   (BandBatchSpec). The knob a 100 TB deployment turns when
-    *   duplicate density spikes past provisioned scratch — measured at
-    *   sf10 in BASELINE.md. Default 1 = the single-pass plan. */
+    * @param bucketBatches peak-scratch bound (r19 verdict #4, design
+    *   revised in r20 after measurement): >1 splits the LSH BUCKET
+    *   KEYSPACE into that many hash-slices — every slice covers all
+    *   bands but only buckets with hash(bucket) ≡ i (mod batches) —
+    *   and runs candidate-join → prefilter → verify per slice, locally
+    *   checkpointing each slice's verified pairs to DISK before the
+    *   next slice's shuffles start (the checkpoint TRUNCATES lineage,
+    *   so the slice's shuffle files become unreachable and the context
+    *   cleaner deletes them; a GC nudge makes that prompt). Candidate
+    *   mass per slice is ~1/batches UNIFORMLY — including on
+    *   duplicate-saturated corpora, where a near-dup group's bands
+    *   land in `bands` DIFFERENT buckets that hash across slices. Each
+    *   slice anti-joins prior slices' outputs before verify, so every
+    *   pair is verified and stored exactly once and the slice outputs
+    *   union disjointly (no final distinct). The r19-asked BAND
+    *   batching was built and measured first: on the ×100
+    *   verbatim-replica corpus every near-dup pair collides in EVERY
+    *   band, so each band-group re-derived the full pair mass —
+    *   peak scratch went UP (30.7 → 44.7 GB) and wall-clock 441 →
+    *   600 s. Bucket-hash slicing is the form that actually bounds the
+    *   duplicate-density spike (measured in BASELINE.md). Result
+    *   parity with the single-pass plan is spec-pinned
+    *   (BandBatchSpec). Default 1 = the single-pass plan. */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16, k: Int = 3,
       threshold: Double = 0.7, maxBucket: Int = 0,
       pairFilter: DataFrame => DataFrame = identity,
-      bandBatches: Int = 1): DataFrame = {
+      bucketBatches: Int = 1): DataFrame = {
     graft.functions.VectorKernels.register(df.sparkSession)
     require(numHashes % bands == 0)
-    require(bandBatches >= 1 && bandBatches <= bands,
-      s"bandBatches must be in [1, $bands], got $bandBatches")
+    require(bucketBatches >= 1 && bucketBatches <= 4096,
+      s"bucketBatches must be in [1, 4096], got $bucketBatches")
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
     // DISK, so every downstream branch (banding, prefilter, survivor
@@ -290,14 +296,19 @@ object NearDup {
         explode(array(bandIdxs.map(b =>
           struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
           .as("__bucket"))
-    // candidate-join → prefilter → exact verify over one band subset —
+    // candidate-join → prefilter → exact verify over one bucket subset —
     // the whole pipeline downstream of banding, shared verbatim by the
-    // single-pass and batched paths so their results cannot drift
-    def verifiedPairs(buckets: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    // single-pass and batched paths so their results cannot drift.
+    // `minus` (batched path): already-verified pairs from prior slices,
+    // anti-joined out BEFORE the prefilter so a pair colliding in
+    // buckets of several slices pays verification exactly once.
+    def verifiedPairs(buckets: DataFrame,
+        minus: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
       // a pair can collide in many bands — dedup BEFORE any similarity work
       val (pairsAll, staged) =
         bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
-      val pairs = pairFilter(pairsAll)
+      val pairs = minus.foldLeft(pairFilter(pairsAll))((p, m) =>
+        p.join(m.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti"))
       // Signature-agreement prefilter (64 long compares, estimator std at 64
       // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
       // candidate mass using only the memory-cached signatures; only the
@@ -329,7 +340,7 @@ object NearDup {
         .where(col("jaccard").isNotNull)
       (out, staged)
     }
-    if (bandBatches == 1) {
+    if (bucketBatches == 1) {
       val (out, staged) = verifiedPairs(bucketsFor(0 until bands))
       // Eager materialization + release: the pair list (tiny — candidates
       // that survived LSH + verify) is computed NOW, then the O(corpus)
@@ -340,30 +351,37 @@ object NearDup {
       // [[graft.util.CacheHygiene]]).
       materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
     } else {
-      // Staged pair materialization (r19 verdict #4): run the band
-      // groups sequentially; each group's verified pairs localCheckpoint
-      // to DISK (truncating lineage so the group's candidate/prefilter
-      // shuffle files become collectable), then the next group starts.
-      // Peak shuffle scratch ≈ the largest single group's, not the sum.
+      // Staged pair materialization (r19 verdict #4, bucket-hash form —
+      // see the param doc for why band grouping was measured and
+      // rejected): process one bucket-keyspace slice at a time; each
+      // slice's verified pairs localCheckpoint to DISK (truncating
+      // lineage so the slice's candidate/prefilter shuffle files become
+      // collectable) before the next slice's shuffles start. Peak
+      // shuffle scratch ≈ one slice's (~1/batches of the single-pass
+      // candidate mass) + the accumulated (much narrower) pair store.
       val sc = df.sparkSession.sparkContext
-      val groupSize = (bands + bandBatches - 1) / bandBatches
+      val allBuckets = bucketsFor(0 until bands)
       val before = sc.getPersistentRDDs.keySet
-      val batchDfs = (0 until bands).grouped(groupSize).map { idxs =>
-        val (out, staged) = verifiedPairs(bucketsFor(idxs))
+      var acc: Option[DataFrame] = None
+      val batchDfs = (0 until bucketBatches).map { i =>
+        val slice = allBuckets.where(
+          pmod(xxhash64(col("__bucket")), lit(bucketBatches)) === i)
+        val (out, staged) = verifiedPairs(slice, minus = acc)
         val ck = out.localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
         staged.foreach(_.unpersist(false))
-        // the context cleaner deletes a group's shuffle files only after
+        // the context cleaner deletes a slice's shuffle files only after
         // its ShuffleDependency objects are GC'd — nudge now so the
-        // deletion overlaps the NEXT group's compute instead of piling
-        // every group's scratch to the end
+        // deletion overlaps the NEXT slice's compute instead of piling
+        // every slice's scratch to the end
         System.gc()
+        acc = Some(acc.map(_.unionAll(ck)).getOrElse(ck))
         ck
-      }.toSeq
+      }
       val batchIds = sc.getPersistentRDDs.keySet -- before
-      // a pair colliding in bands of two groups verified twice — the
-      // rows are bit-identical (deterministic jaccard), distinct merges
-      val cached = batchDfs.reduce(_ unionAll _).distinct().cache()
+      // slice outputs are DISJOINT by the anti-join — plain union, no
+      // cross-batch distinct shuffle needed (parity spec-pinned)
+      val cached = batchDfs.reduce(_ unionAll _).cache()
       try { cached.count(); cached }
       catch { case e: Throwable => cached.unpersist(false); throw e }
       finally {
@@ -373,6 +391,22 @@ object NearDup {
         Seq(sigDf, sigAll).foreach(_.unpersist(false))
       }
     }
+  }
+
+  /** Hyperplane-count default when [[embeddingPairs]] is called with
+    * `planes = 0`: bits-per-band sized so the expected bucket holds ~64
+    * vectors — bits = max(8, ceil(log2(n/64))), capped at 64/bands
+    * because the signature is ONE long. At the driver scales (≤ ~16k
+    * rows) this resolves to the historical 8 bits (32 planes at 4
+    * bands) — auto changes nothing there; at 200k rows it resolves to
+    * 12 bits (4096 buckets/band) and keeps within-bucket candidate
+    * mass ~n·32 per band instead of ~n²/512. Recall on true near-dup
+    * pairs falls gently with bits (cos 0.99 at 12-bit bands ≈ 0.96
+    * over 4 bands); exact duplicates always collide in every band. */
+  private[graft] def autoPlanes(n: Long, bands: Int): Int = {
+    val bits = math.max(8, math.ceil(
+      math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt)
+    bands * math.min(bits, 64 / bands)
   }
 
   /** Skew-guard default when the caller passes `maxBucket = 0`: buckets
@@ -916,17 +950,29 @@ object NearDup {
     *   linear) — see [[bucketCandidates]] for the exact recall
     *   trade-off. Default 0 = AUTO ([[autoMaxBucket]] from the corpus
     *   row count); Int.MaxValue disables (exact pair list, zero guard
-    *   cost). */
+    *   cost).
+    * @param planes 0 = AUTO (r20): bits-per-band scale with the corpus
+    *   so the bucket count tracks n — [[autoPlanes]]. A FIXED band
+    *   width is the one way this operator goes quadratic on realistic
+    *   (non-duplicate-saturated) corpora: 8-bit bands = 256 buckets per
+    *   band, and 200k random vectors in 256 buckets mean ~n²/512
+    *   within-bucket candidates PER BAND regardless of any skew guard —
+    *   measured at sf10 (×100 synthetic embeddings): the candidate
+    *   shuffle filled 75 GB of disk. Auto keeps expected bucket size
+    *   ~64 (12 bits at 200k rows), which also holds candidate mass
+    *   ~n·32 per band. Explicit values still honored for specs. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95,
-      planes: Int = 16, bands: Int = 4,
+      planes: Int = 0, bands: Int = 4,
       maxBucket: Int = 0): DataFrame = {
     import graft.sim.Similarity._
     graft.functions.VectorKernels.register(df.sparkSession)
-    require(planes % bands == 0)
-    val r = planes / bands
-    val hammingMax = math.min(planes - 1, math.ceil(
-      3.0 * planes * math.acos(math.max(-1.0, math.min(1.0, threshold)))
+    val resolvedPlanes =
+      if (planes > 0) planes else autoPlanes(df.count(), bands)
+    require(resolvedPlanes % bands == 0)
+    val r = resolvedPlanes / bands
+    val hammingMax = math.min(resolvedPlanes - 1, math.ceil(
+      3.0 * resolvedPlanes * math.acos(math.max(-1.0, math.min(1.0, threshold)))
         / math.Pi + 2).toInt)
     // Only (id, signature) is cached — 16 bytes a row; caching the
     // vectors too would pin a full copy of the embedding column in
@@ -937,7 +983,7 @@ object NearDup {
       .select(col(idCol).as("__id"), col("__v"))
     val sigDf = vecDf
       .withColumn("__sig",
-        call_function("graft_signature", col("__v"), lit(dim), lit(planes)))
+        call_function("graft_signature", col("__v"), lit(dim), lit(resolvedPlanes)))
       .select("__id", "__sig")
       .cache()
     // resolving the auto guard counts sigDf — which just materializes the

@@ -4,21 +4,24 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.NearDup
 
-/** Pins the `bandBatches` staged-pair contract (r19 verdict #4): the
-  * batched plan must return EXACTLY the single-pass plan's pair set —
-  * same pairs, same jaccard values — for every batch count, including
-  * the no-op 1, an uneven split, and the one-band-per-batch extreme.
-  * Also pins cache hygiene: the batched path's localCheckpoint RDDs
-  * must be released once the result materializes (only the returned
-  * result stays cached, per the pair-operator contract). */
+/** Pins the `bucketBatches` staged-pair contract (r19 verdict #4 in
+  * its r20 bucket-hash-slice form): the batched plan must return
+  * EXACTLY the single-pass plan's pair set — same pairs, same jaccard
+  * values — for every batch count, including slice counts that leave
+  * some slices nearly empty. Slice outputs must also be DISJOINT (the
+  * anti-join contract: the final union has no cross-batch distinct to
+  * hide a double-verified pair). Also pins cache hygiene: the batched
+  * path's localCheckpoint RDDs must be released once the result
+  * materializes (only the returned result stays cached, per the
+  * pair-operator contract). */
 class BandBatchSpec extends SparkSpec {
   import spark.implicits._
 
   /** Synthetic corpus with planted near-dup families: base docs plus a
     * last-word-dropped mutation (the q_neardup_minhash construction)
     * and a verbatim copy — rich enough that pairs collide in MANY
-    * bands, which is exactly what the cross-batch distinct must
-    * collapse. */
+    * bands (buckets hashing into several slices), which is exactly
+    * what the cross-slice anti-join must keep single. */
   private lazy val corpus = {
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu")
@@ -33,18 +36,18 @@ class BandBatchSpec extends SparkSpec {
     (base ++ mutated ++ copies).toDF("doc_id", "text")
   }
 
-  private def pairs(bandBatches: Int): Seq[(Long, Long, Double)] = {
+  private def pairs(bucketBatches: Int): Seq[(Long, Long, Double)] = {
     val before = graft.util.CacheHygiene.snapshot(spark)
     val df = NearDup.minhashPairs(corpus, "text", "doc_id",
-      threshold = 0.5, bandBatches = bandBatches)
+      threshold = 0.5, bucketBatches = bucketBatches)
     val got = df.select("id_a", "id_b", "jaccard")
       .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     graft.util.CacheHygiene.releaseNew(spark, before)
     got
   }
 
-  test("bandBatches ∈ {2, 3 (uneven over 16 bands), 16} return the " +
-      "single-pass pair set exactly — values included") {
+  test("bucketBatches ∈ {2, 3, 16, 64} return the single-pass pair " +
+      "set exactly — values included, duplicates impossible") {
     val single = pairs(1)
     assert(single.nonEmpty, "the planted corpus must produce pairs")
     // planted mutations and verbatim copies must be found at all
@@ -52,8 +55,13 @@ class BandBatchSpec extends SparkSpec {
       "a last-word-dropped mutation should pair with its source")
     assert(single.exists { case (a, b, j) => b == a + 2000L && j == 1.0 },
       "a verbatim copy should pair at jaccard 1.0")
-    for (n <- Seq(2, 3, 16)) {
-      assert(pairs(n) === single, s"bandBatches=$n diverged from single-pass")
+    for (n <- Seq(2, 3, 16, 64)) {
+      val got = pairs(n)
+      assert(got === single, s"bucketBatches=$n diverged from single-pass")
+      // disjointness: the union carries no distinct, so any pair
+      // verified in two slices would surface as a duplicate row here
+      assert(got.map(p => (p._1, p._2)).distinct.size === got.size,
+        s"bucketBatches=$n emitted a duplicate pair — slice anti-join broke")
     }
   }
 
@@ -61,7 +69,7 @@ class BandBatchSpec extends SparkSpec {
       "only the returned result stays cached") {
     val before = graft.util.CacheHygiene.snapshot(spark)
     val df = NearDup.minhashPairs(corpus, "text", "doc_id",
-      threshold = 0.5, bandBatches = 4)
+      threshold = 0.5, bucketBatches = 4)
     df.count()
     val fresh = spark.sparkContext.getPersistentRDDs.keySet -- before
     // exactly the result cache survives (one RDD)
@@ -71,12 +79,12 @@ class BandBatchSpec extends SparkSpec {
     graft.util.CacheHygiene.releaseNew(spark, before)
   }
 
-  test("bandBatches outside [1, bands] fails loudly") {
+  test("bucketBatches outside [1, 4096] fails loudly") {
     intercept[IllegalArgumentException] {
-      NearDup.minhashPairs(corpus, "text", "doc_id", bandBatches = 0)
+      NearDup.minhashPairs(corpus, "text", "doc_id", bucketBatches = 0)
     }
     intercept[IllegalArgumentException] {
-      NearDup.minhashPairs(corpus, "text", "doc_id", bandBatches = 17)
+      NearDup.minhashPairs(corpus, "text", "doc_id", bucketBatches = 4097)
     }
   }
 }

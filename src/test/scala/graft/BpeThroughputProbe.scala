@@ -59,6 +59,19 @@ object BpeThroughputProbe {
       println(f"[bpe-probe] wp round $round: $total%d pieces -> " +
         f"${preToks / dt / 1e6}%.2f M words/s in")
     }
+    // the unigram-LM Viterbi third family (r20), same pre-tokens, costs
+    // derived from the same learned merges
+    val costed = graft.text.Unigram.pieceCosts(merges)
+    for (round <- 1 to 3) {
+      val (total, dt) = time(s"unigram round $round") {
+        val t0 = System.nanoTime()
+        val s = graft.text.Unigram.withPieceCount(bg, "bg_text", "n", costed)
+          .agg(sum(col("n"))).head().getLong(0)
+        (s, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[bpe-probe] ug round $round: $total%d pieces -> " +
+        f"${preToks / dt / 1e6}%.2f M words/s in")
+    }
     spark.stop()
   }
 }
