@@ -1225,7 +1225,8 @@ object SparkEntry {
       // Identical vectors still share every band at ANY width, so
       // planted-duplicate recall stays exactly 1.
       NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
-        dim = 64, threshold = 0.95, bands = 4)
+        dim = 64, threshold = 0.95, bands = 4,
+        bucketBatches = bucketBatchesEnv)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1239,7 +1240,8 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
       NearDup.clusters(
         NearDup.embeddingPairs(e.unionAll(planted), "embedding", "vec_id",
-          dim = 64, threshold = 0.95, bands = 4))
+          dim = 64, threshold = 0.95, bands = 4,
+          bucketBatches = bucketBatchesEnv))
         .orderBy("id")
     }),
 
@@ -2172,7 +2174,7 @@ object SparkEntry {
        |         FROM wpos p JOIN wcnt c ON p.w = c.w GROUP BY p.doc_id)""".stripMargin
   }
 
-  /** Opt-in peak-scratch bound for the two minhash pair monsters
+  /** Opt-in peak-scratch bound for the minhash/embedding pair monsters
     * (SPARK_GRAFT_BUCKET_BATCHES, r19 verdict #4 in its r20
     * bucket-hash-slice form): processes the LSH bucket keyspace in N
     * sequential hash-slices inside [[NearDup.minhashPairs]], bounding

@@ -351,45 +351,55 @@ object NearDup {
       // [[graft.util.CacheHygiene]]).
       materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
     } else {
-      // Staged pair materialization (r19 verdict #4, bucket-hash form —
-      // see the param doc for why band grouping was measured and
-      // rejected): process one bucket-keyspace slice at a time; each
-      // slice's verified pairs localCheckpoint to DISK (truncating
-      // lineage so the slice's candidate/prefilter shuffle files become
-      // collectable) before the next slice's shuffles start. Peak
-      // shuffle scratch ≈ one slice's (~1/batches of the single-pass
-      // candidate mass) + the accumulated (much narrower) pair store.
-      val sc = df.sparkSession.sparkContext
-      val allBuckets = bucketsFor(0 until bands)
-      val before = sc.getPersistentRDDs.keySet
-      var acc: Option[DataFrame] = None
-      val batchDfs = (0 until bucketBatches).map { i =>
-        val slice = allBuckets.where(
-          pmod(xxhash64(col("__bucket")), lit(bucketBatches)) === i)
-        val (out, staged) = verifiedPairs(slice, minus = acc)
-        val ck = out.localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-        staged.foreach(_.unpersist(false))
-        // the context cleaner deletes a slice's shuffle files only after
-        // its ShuffleDependency objects are GC'd — nudge now so the
-        // deletion overlaps the NEXT slice's compute instead of piling
-        // every slice's scratch to the end
-        System.gc()
-        acc = Some(acc.map(_.unionAll(ck)).getOrElse(ck))
-        ck
-      }
-      val batchIds = sc.getPersistentRDDs.keySet -- before
-      // slice outputs are DISJOINT by the anti-join — plain union, no
-      // cross-batch distinct shuffle needed (parity spec-pinned)
-      val cached = batchDfs.reduce(_ unionAll _).cache()
-      try { cached.count(); cached }
-      catch { case e: Throwable => cached.unpersist(false); throw e }
-      finally {
-        sc.getPersistentRDDs
-          .filter { case (id, _) => batchIds(id) }
-          .values.foreach(_.unpersist(false))
-        Seq(sigDf, sigAll).foreach(_.unpersist(false))
-      }
+      runBatchedPairs(bucketsFor(0 until bands), xxhash64(col("__bucket")),
+        bucketBatches, verifiedPairs, Seq(sigDf, sigAll))
+    }
+  }
+
+  /** The staged-batch driver shared by [[minhashPairs]] and
+    * [[embeddingPairs]] (r19 verdict #4, bucket-hash form — see the
+    * `bucketBatches` param doc on minhashPairs for why band grouping
+    * was measured and rejected): process one bucket-keyspace
+    * hash-slice at a time; each slice's verified pairs localCheckpoint
+    * to DISK (truncating lineage so the slice's candidate/prefilter
+    * shuffle files become collectable) before the next slice's
+    * shuffles start. Peak shuffle scratch ≈ one slice's (~1/batches of
+    * the single-pass candidate mass) + the accumulated (much narrower)
+    * pair store. `verify(slice, minus)` is the operator's own
+    * candidate→verify pipeline; `minus` carries prior slices' outputs
+    * for the anti-join that makes slice outputs disjoint. */
+  private def runBatchedPairs(buckets: DataFrame, sliceHash: Column,
+      batches: Int,
+      verify: (DataFrame, Option[DataFrame]) => (DataFrame, Seq[DataFrame]),
+      alsoRelease: Seq[DataFrame]): DataFrame = {
+    val sc = buckets.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    var acc: Option[DataFrame] = None
+    val batchDfs = (0 until batches).map { i =>
+      val slice = buckets.where(pmod(sliceHash, lit(batches)) === i)
+      val (out, staged) = verify(slice, acc)
+      val ck = out.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      staged.foreach(_.unpersist(false))
+      // the context cleaner deletes a slice's shuffle files only after
+      // its ShuffleDependency objects are GC'd — nudge now so the
+      // deletion overlaps the NEXT slice's compute instead of piling
+      // every slice's scratch to the end
+      System.gc()
+      acc = Some(acc.map(_.unionAll(ck)).getOrElse(ck))
+      ck
+    }
+    val batchIds = sc.getPersistentRDDs.keySet -- before
+    // slice outputs are DISJOINT by the anti-join — plain union, no
+    // cross-batch distinct shuffle needed (parity spec-pinned)
+    val cached = batchDfs.reduce(_ unionAll _).cache()
+    try { cached.count(); cached }
+    catch { case e: Throwable => cached.unpersist(false); throw e }
+    finally {
+      sc.getPersistentRDDs
+        .filter { case (id, _) => batchIds(id) }
+        .values.foreach(_.unpersist(false))
+      alsoRelease.foreach(_.unpersist(false))
     }
   }
 
@@ -961,12 +971,19 @@ object NearDup {
     *   shuffle filled 75 GB of disk. Auto keeps expected bucket size
     *   ~64 (12 bits at 200k rows), which also holds candidate mass
     *   ~n·32 per band. Explicit values still honored for specs. */
+  /** @param bucketBatches same peak-scratch bound as
+    *   [[minhashPairs]]' knob ([[runBatchedPairs]]): >1 processes the
+    *   (band, bits) bucket keyspace in that many hash-slices with
+    *   cross-slice anti-join dedup. Parity spec-pinned
+    *   (BandBatchSpec). Default 1 = single-pass. */
   def embeddingPairs(df: DataFrame, vecCol: String, idCol: String,
       dim: Int, threshold: Double = 0.95,
       planes: Int = 0, bands: Int = 4,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0, bucketBatches: Int = 1): DataFrame = {
     import graft.sim.Similarity._
     graft.functions.VectorKernels.register(df.sparkSession)
+    require(bucketBatches >= 1 && bucketBatches <= 4096,
+      s"bucketBatches must be in [1, 4096], got $bucketBatches")
     val resolvedPlanes =
       if (planes > 0) planes else autoPlanes(df.count(), bands)
     require(resolvedPlanes % bands == 0)
@@ -995,21 +1012,36 @@ object NearDup {
       .withColumn("__bits",
         call_function("shiftright", col("__sig"), col("__band") * r)
           .bitwiseAND(lit((1L << r) - 1)))
-    val (pairs, staged) = bucketCandidates(buckets, Seq("__band", "__bits"),
-      Seq("__sig"), mb)(
-      _.where(bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))) <= hammingMax))
-    val out = pairs
-      .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
-      .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        // codegen cosine kernel (graft.functions.CosineSim): bit-identical
-        // to the cosineUdf fold, minus the per-row Seq boxing
-        round(call_function("graft_cosine", col("va"), col("vb")), 6)
-          .as("cosine"))
-      .where(col("cosine") >= threshold)
-    // Same contract as [[minhashPairs]]: compute the small pair list now,
-    // release the signature cache (even on failure), return the cached
-    // result (caller unpersists once consumed).
-    materializeAndRelease(out, Seq(sigDf) ++ staged)
+    // candidate-join → Hamming prefilter → exact cosine verify over one
+    // bucket subset — shared by the single-pass and batched paths
+    def verifiedPairs(bs: DataFrame,
+        minus: Option[DataFrame]): (DataFrame, Seq[DataFrame]) = {
+      val (pairs0, staged) = bucketCandidates(bs, Seq("__band", "__bits"),
+        Seq("__sig"), mb)(
+        _.where(bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))) <= hammingMax))
+      val pairs = minus.foldLeft(pairs0)((p, m) =>
+        p.join(m.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti"))
+      val out = pairs
+        .join(vecDf.select(col("__id").as("id_a"), col("__v").as("va")), "id_a")
+        .join(vecDf.select(col("__id").as("id_b"), col("__v").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          // codegen cosine kernel (graft.functions.CosineSim): bit-identical
+          // to the cosineUdf fold, minus the per-row Seq boxing
+          round(call_function("graft_cosine", col("va"), col("vb")), 6)
+            .as("cosine"))
+        .where(col("cosine") >= threshold)
+      (out, staged)
+    }
+    if (bucketBatches == 1) {
+      val (out, staged) = verifiedPairs(buckets, None)
+      // Same contract as [[minhashPairs]]: compute the small pair list now,
+      // release the signature cache (even on failure), return the cached
+      // result (caller unpersists once consumed).
+      materializeAndRelease(out, Seq(sigDf) ++ staged)
+    } else {
+      runBatchedPairs(buckets,
+        xxhash64(struct(col("__band"), col("__bits"))),
+        bucketBatches, verifiedPairs, Seq(sigDf))
+    }
   }
 }

@@ -87,4 +87,55 @@ class BandBatchSpec extends SparkSpec {
       NearDup.minhashPairs(corpus, "text", "doc_id", bucketBatches = 4097)
     }
   }
+
+  /** Synthetic vectors with planted near-dup structure: 40 base unit
+    * vectors, each with a close perturbation (cosine ≫ 0.95) and an
+    * exact copy — mirrors the perturbed-corpus embedding scheme. */
+  private lazy val vectors = {
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0L until 40L).map(i => (i, unit()))
+    val near = base.map { case (i, v) =>
+      (i + 1000L, v.zipWithIndex.map { case (x, j) =>
+        x + (if (j == 0) 0.02f else 0f) }) }
+    val copies = base.take(10).map { case (i, v) => (i + 2000L, v.clone()) }
+    (base ++ near ++ copies).toDF("vec_id", "embedding")
+  }
+
+  test("embeddingPairs bucketBatches parity: slices return the " +
+      "single-pass pair set exactly") {
+    def run(n: Int): Seq[(Long, Long, Double)] = {
+      val before = graft.util.CacheHygiene.snapshot(spark)
+      val got = NearDup.embeddingPairs(vectors, "embedding", "vec_id",
+        dim = 16, threshold = 0.95, planes = 32, bands = 4,
+        bucketBatches = n)
+        .select("id_a", "id_b", "cosine")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      graft.util.CacheHygiene.releaseNew(spark, before)
+      got
+    }
+    val single = run(1)
+    assert(single.exists { case (a, b, c) => b == a + 2000L && c == 1.0 },
+      "an exact copy should pair at cosine 1.0")
+    assert(single.exists { case (a, b, _) => b == a + 1000L },
+      "a close perturbation should pair above threshold")
+    for (n <- Seq(2, 5)) {
+      val got = run(n)
+      assert(got === single, s"embeddingPairs bucketBatches=$n diverged")
+      assert(got.map(p => (p._1, p._2)).distinct.size === got.size,
+        s"embeddingPairs bucketBatches=$n emitted a duplicate pair")
+    }
+  }
+
+  test("autoPlanes: historical 32 planes at driver scales, wider bands " +
+      "as the corpus grows, capped by the one-long signature") {
+    assert(NearDup.autoPlanes(2020L, 4) === 32)   // 8 bits — unchanged
+    assert(NearDup.autoPlanes(20000L, 4) === 36)  // 9 bits at 20k rows
+    assert(NearDup.autoPlanes(200000L, 4) === 48) // 12 bits at 200k rows
+    assert(NearDup.autoPlanes(1L << 40, 4) === 64) // capped at 16 bits
+  }
 }
