@@ -1109,6 +1109,25 @@ object SparkEntry {
       }
     }),
 
+    // LIKELIHOOD-TRAINED unigram vocabulary (r20): Viterbi-EM cost
+    // training END-TO-END — the query LEARNS the cost table LIVE (one
+    // word-frequency shuffle + a bounded deterministic driver EM loop,
+    // Unigram.learnCosts) and at sf0.01 must reproduce the frozen
+    // UnigramLearned.Costs the oracle replays through the same DP —
+    // training determinism IS the thing this row verifies, exactly the
+    // q_bpe_learn1k pattern (and like it, sf-dependent BY DESIGN: at
+    // other SFs the trainer correctly learns a different table from
+    // the different counts; documented sf0.1 exclusion in README).
+    "q_unigram_learn" -> ((s, dir) => {
+      val bg = graft.text.Bpe.withBigramPreTokens(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", "bg_text")
+      val costs = graft.text.Unigram.learnCosts(bg, "bg_text",
+        graft.text.BpeLearn1k.Merges, iters = 3)
+      graft.text.Unigram.withPieceCount(bg, "bg_text", "n_ug_em", costs)
+        .select(col("doc_id"), col("n_ug_em")).orderBy("doc_id")
+    }),
+
     // END-TO-END TRAINING LAYOUT (r16): the full curation→layout chain a
     // real pre-training pipeline runs, composed from the r14/r15 pieces —
     // Gopher repetition filter → Bloom-prefiltered decontamination
@@ -2826,6 +2845,14 @@ object SparkEntry {
          |  array_to_string(flatten(list(t.toks ORDER BY p.wi)), ' ') AS pieces
          |FROM wpos p JOIN wtok t ON p.w = t.w
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // the EM-trained twin: the oracle replays the FROZEN sf0.01 cost
+    // table (UnigramLearned, md5-pinned resource) through the same DP;
+    // the query trains live — green hash == training determinism
+    "q_unigram_learn" ->
+      s"""WITH RECURSIVE ${unigramCtes(
+             graft.text.UnigramLearned.Costs, bigramDocwSql)}
+         |SELECT doc_id, n_ug AS n_ug_em FROM dcnt ORDER BY doc_id""".stripMargin,
 
     // the q_sample_budget threshold machinery with per-lang BPE totals
     "q_sample_budget_bpe" ->

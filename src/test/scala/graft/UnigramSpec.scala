@@ -127,6 +127,36 @@ class UnigramSpec extends SparkSpec {
     assert(!segment(pt, "cabcab").contains(UnigramKernels.Unk))
   }
 
+  test("learnCostsFromCounts: deterministic, likelihood-shaped (a piece " +
+      "the corpus uses often gets CHEAPER than a rare one regardless of " +
+      "seed rank), and the inventory never shrinks") {
+    val seed = Unigram.pieceCosts(Seq(
+      Bpe.Merge(0, "zq", "x"), Bpe.Merge(1, "a", "b")))   // zqx seeds cheap
+    val counts = Seq(("ab", 90L), ("abab", 40L), ("zqx", 1L))
+    val once = Unigram.learnCostsFromCounts(counts, seed, 3)
+    assert(once === Unigram.learnCostsFromCounts(counts, seed, 3),
+      "EM must be bit-deterministic — the frozen-table contract")
+    val m = once.toMap
+    assert(m.keySet === seed.map(_._1).toSet, "inventory must stay fixed")
+    // the corpus uses "ab" ~170x and "zqx" once: likelihood inverts the
+    // seed's rank order
+    assert(m("ab") < m("zqx"),
+      s"frequent piece should be cheaper after EM: $once")
+    // zero iterations = the seed untouched
+    assert(Unigram.learnCostsFromCounts(counts, seed, 0) === seed)
+  }
+
+  test("UnigramLearned: the frozen resource loads under its md5 pin " +
+      "and is a valid cost table (the q_unigram_learn oracle input)") {
+    val costs = graft.text.UnigramLearned.Costs
+    assert(costs.size > 1000, s"expected ~1049 pieces, got ${costs.size}")
+    assert(costs.forall { case (p, c) => p.nonEmpty && c >= 0 })
+    // valid as a kernel table, and ordered the way the minting CLI
+    // prints (cost asc, piece asc) so diffs review cleanly
+    new UnigramKernels.PieceTable(costs)
+    assert(costs === costs.sortBy { case (p, c) => (c, p) })
+  }
+
   test("null/blank contract + count == size, via the registered kernels") {
     val df = Seq((0L, "the fast scan"), (1L, "   "), (2L, ""),
       (3L, null.asInstanceOf[String]), (4L, "Scan SCAN scan"))
