@@ -190,14 +190,20 @@ object Bench {
       // (r15 ADVICE: excluding the keys wholesale cost them their
       // re-time gate on the next history-less run). A history file has
       // neither field, so its entries are unaffected.
+      // `\s*` around the colon (r20): a history file round-tripped by an
+      // external tool with pretty separators (`"q_x": 1.2`) must still
+      // parse — the strict no-space form silently read three scale
+      // histories as EMPTY and the next runs overwrote ~130 rows each
+      // (recovered from git; the write guard in main() now also refuses
+      // to replace a non-empty file it cannot parse).
       val coldFirst: Map[String, Double] =
-        "\"(?:retimed|repass)\":\\{([^}]*)\\}".r.findAllMatchIn(txt)
+        "\"(?:retimed|repass)\"\\s*:\\s*\\{([^}]*)\\}".r.findAllMatchIn(txt)
           .map(_.group(1)).toSeq
-          .flatMap("\"(q_[A-Za-z0-9_]+)\":\\[([0-9]+\\.?[0-9]*)".r
+          .flatMap("\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*\\[([0-9]+\\.?[0-9]*)".r
             .findAllMatchIn(_)
             .map(m => m.group(1) -> m.group(2).toDouble))
           .toMap
-      ("\"(q_[A-Za-z0-9_]+)\":([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
+      ("\"(q_[A-Za-z0-9_]+)\"\\s*:\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap ++ coldFirst) --
         crashed
     }
@@ -671,7 +677,22 @@ object Bench {
     // and for non-lz4 codec runs (r19 ADVICE: the zstd convention is now
     // enforced, not just documented — a zstd run's tighter-spill times
     // must never min-merge into the lz4 cold history).
-    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && codec == "lz4") {
+    // Overwrite guard (r20): if a non-empty history file yielded ZERO
+    // parsed baselines, the file is unreadable to us, not absent —
+    // writing would destroy whatever it holds (this shipped once: a
+    // pretty-printed rewrite made three scale histories parse empty and
+    // the next runs replaced ~130 rows each). Keep the file, lose only
+    // this run's min-merge, and say so loudly.
+    val histUnreadable = prev.isEmpty && {
+      val f = new java.io.File(histFile)
+      f.exists() && f.length() > 2
+    }
+    if (histUnreadable) System.err.println(
+      s"[bench] $histFile is non-empty but parsed to zero baselines — " +
+        "REFUSING to overwrite it; fix the file format (compact " +
+        "\"q_x\":1.2 entries) and rerun")
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty && codec == "lz4" &&
+        !histUnreadable) {
       // prev entries survive for queries that failed this run (their
       // crash time is not a measurement); successful ones re-minimize
       val best = prev ++ timed.collect { case (k, (v, true)) =>

@@ -132,4 +132,19 @@ class BenchGateSpec extends AnyFunSuite {
     // pre-r20 artifacts and history files carry no codec field = lz4
     assert(Bench.parseQueryTimes(file(""), sf) == Map("q_a" -> 2.0))
   }
+
+  test("pretty-printed histories (space after colon) parse — the r20 " +
+      "incident: a json.dumps round-trip made three scale histories " +
+      "read empty and the next runs overwrote them") {
+    val pretty = """{"q_a": 2.5, "q_b": 0.75}"""
+    assert(Bench.parseQueryTimes(pretty, None)
+      == Map("q_a" -> 2.5, "q_b" -> 0.75))
+    val indented = "{\n  \"q_a\" : 2.5,\n  \"q_b\" :0.75\n}"
+    assert(Bench.parseQueryTimes(indented, None)
+      == Map("q_a" -> 2.5, "q_b" -> 0.75))
+    // retimed/repass attribution arrays tolerate the same spacing
+    val rt = """{"queries":{"q_a": 2.0},"retimed": {"q_a": [5.0, 2.5]},""" +
+      """"failed":[],"sf":"x"}"""
+    assert(Bench.parseQueryTimes(rt, None) == Map("q_a" -> 5.0))
+  }
 }
