@@ -138,6 +138,23 @@ object SparkEntry {
 
   /** customer with deterministic nulls: acctbal null on custkey%7=0,
     * mktsegment null on custkey%5=0. */
+  // r21 sort-below-projection pattern, applied to every projection/filter
+  // -shaped op query that used to end in `.orderBy(...)`: the final sort
+  // now runs on the op's INPUT, keyed by a unique raw-column prefix of the
+  // old sort keys, and the op's derived expressions are evaluated ABOVE
+  // the Sort. Why: a global orderBy is a range exchange, and the range
+  // sampler evaluates the exchange's child once for the sample pass (plus
+  // once more per imbalanced partition re-sample) before the map pass
+  // evaluates it again — with the op's projection below the sort, the
+  // expensive derived expressions ran 2-3×; with it above, exactly once,
+  // and the sample pass scans only raw columns (guide §1.2 "don't compute
+  // things you throw away", §2.3 "project before the exchange" inverted:
+  // here the projection WIDENS rows, so it belongs after). Output rows
+  // AND order are unchanged: the sort prefix is a unique key of the
+  // table, so the dropped derived-column sort keys were order-inert; the
+  // op's stats jobs see Aggregate(Sort(...)) and Catalyst's EliminateSorts
+  // removes the sort there, so the stat pass pays nothing. Measured on
+  // q_typeconvert_auto at sf0.1/32 cores: 4.57 → 3.48 s steady-state.
   private def dirtyCustomer(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "customer").select(
       col("c_custkey"),
@@ -187,10 +204,10 @@ object SparkEntry {
     "q_outlier_iqr_cap" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
-      Outliers("iqr", "cap", 1.5, columns = Seq("l_extendedprice"))(li).df
+      Outliers("iqr", "cap", 1.5, columns = Seq("l_extendedprice"))(
+          li, li.orderBy("l_orderkey", "l_linenumber")).df
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           round(col("l_extendedprice"), 6).as("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
     }),
 
     // §2.10 zscore remove
@@ -204,21 +221,23 @@ object SparkEntry {
 
     // §2.11 auto type detection: stringly columns back to double/bool/timestamp
     "q_typeconvert_auto" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(
+      def strly(d: DataFrame) = d.select(
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast(StringType).as("l_quantity"),
         when(col("l_discount") > 0.05, lit("yes")).otherwise(lit("no"))
           .as("disc_flag"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_str"))
-      TypeConvert(auto = true)(li).df
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      val raw = tbl(s, dir, "lineitem")
+      TypeConvert(auto = true)(strly(raw),
+        strly(raw.orderBy("l_orderkey", "l_linenumber"))).df
     }),
 
     // §2.13 datetime parse + feature extraction
     "q_datetime_parse" -> ((s, dir) => {
-      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"))
-      DatetimeParse(extractFeatures = true)(o).df.orderBy("o_orderkey")
+      val o = tbl(s, dir, "orders").orderBy("o_orderkey")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("date_str"))
+      DatetimeParse(extractFeatures = true)(o).df
     }),
 
     // §2.14 label encoding (lexicographic codes)
@@ -287,11 +306,11 @@ object SparkEntry {
     "q_normalize_minmax" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
-      Normalize("minmax", columns = Seq("l_quantity", "l_discount"))(li).df
+      Normalize("minmax", columns = Seq("l_quantity", "l_discount"))
+        .fitTransform(li, li.orderBy("l_orderkey", "l_linenumber"))._1.df
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"),
           round(col("l_discount"), 6).as("l_discount"))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
     }),
 
     // §2.16 standard scaling (population std, sklearn ddof=0)
@@ -307,11 +326,11 @@ object SparkEntry {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       Normalize("normalize",
-        columns = Seq("l_quantity", "l_extendedprice"))(li).df
+        columns = Seq("l_quantity", "l_extendedprice"))
+        .fitTransform(li, li.orderBy("l_orderkey", "l_linenumber"))._1.df
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"),
           round(col("l_extendedprice"), 6).as("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     }),
 
     // §2.9 fill_mode (every column → its mode, pandas tie-break)
@@ -371,10 +390,10 @@ object SparkEntry {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
       Outliers("modified_zscore", "cap", 1.0,
-        columns = Seq("l_extendedprice"))(li).df
+        columns = Seq("l_extendedprice"))(
+          li, li.orderBy("l_orderkey", "l_linenumber")).df
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           round(col("l_extendedprice"), 6).as("l_extendedprice"))
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice")
     }),
 
     // §2.10 isolation-forest proxy (contamination-quantile) remove
@@ -390,10 +409,10 @@ object SparkEntry {
     "q_outlier_log_transform" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-      Outliers("zscore", "transform", 1.5, columns = Seq("l_quantity"))(li).df
+      Outliers("zscore", "transform", 1.5, columns = Seq("l_quantity"))(
+          li, li.orderBy("l_orderkey", "l_linenumber")).df
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
     // §2.16 robust scaling (median/IQR)
@@ -535,15 +554,17 @@ object SparkEntry {
 
     // §2.11 manual type mapping (errors='coerce' semantics)
     "q_typeconvert_manual" -> ((s, dir) => {
-      val li = tbl(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_linenumber").cast(StringType).as("ln_str"),
-        col("l_quantity").cast(StringType).as("q_str"),
-        when(col("l_discount") > 0.05, lit("yes")).otherwise(lit("no"))
-          .as("bool_str"))
+      val li = tbl(s, dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_linenumber").cast(StringType).as("ln_str"),
+          col("l_quantity").cast(StringType).as("q_str"),
+          when(col("l_discount") > 0.05, lit("yes")).otherwise(lit("no"))
+            .as("bool_str"))
+      // manual+coerce runs no stats job, so the sorted input costs nothing
       TypeConvert(auto = false, manual = Map(
         "ln_str" -> "int", "q_str" -> "float", "bool_str" -> "bool"))(li).df
-        .orderBy("l_orderkey", "l_linenumber", "q_str")
     }),
 
     // §2.14 one-hot with drop_first (first sorted value's column dropped)
@@ -581,11 +602,10 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_quantity")
       // forward-fitted stats threaded into the inverse: one stats job total
       val (res, stats) = Normalize("minmax", columns = Seq("l_quantity"))
-        .fitTransform(li)
+        .fitTransform(li, li.orderBy("l_orderkey", "l_linenumber"))
       Normalize.inverseFromStats(res.df, stats, "minmax", Seq("l_quantity"))
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("l_quantity"), 6).as("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
 
     // ---- LLM-pipeline extensions (SURVEY.md §7.6) ----------------------
@@ -1298,13 +1318,18 @@ object SparkEntry {
     // integer compare against DuckDB recomputing the same double-math
     // (pure projections, no UDF/shuffle; 4x storage shrink at scale)
     "q_embed_quantize" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings")
+      // r21: sort the 64-dim VECTORS by their unique id, then explode —
+      // same (vec_id, dim) order (posexplode emits dims ascending inside
+      // each row and Generate preserves row order), but the range sort
+      // moves n rows instead of 64n and its sample pass reads raw arrays
+      // instead of evaluating the quantize transform (see the
+      // sort-below-projection note above dirtyCustomer).
+      val e = tbl(s, dir, "embeddings").orderBy("vec_id")
       graft.sim.Quantize.quantizeInt8(e, "vec_id", "embedding")
         .select(col("vec_id"),
           posexplode(col("codes")).as(Seq("dim", "code")))
         .select(col("vec_id"), col("dim").cast("long").as("dim"),
           col("code").cast("int").as("code"))
-        .orderBy("vec_id", "dim")
     }),
 
     // quantized ANN (r15): exact top-k over the int8-reconstructed

@@ -117,10 +117,22 @@ final case class Normalize(
     * re-running the stats job. The forward Need is a superset of every
     * inverse's Need (standard ⊇ moments, minmax ⊇ extremes,
     * robust ⊇ quantiles). */
-  def fitTransform(df: DataFrame): (OpResult, Map[String, Stats.Num]) = {
+  def fitTransform(df: DataFrame): (OpResult, Map[String, Stats.Num]) =
+    fitTransform(df, df)
+
+  /** Fit the statistics on `fitDf`, build the transformed plan over `df`.
+    * The two frames must hold IDENTICAL ROWS — the intended use is
+    * `df` = `fitDf` re-ordered (r21: queries that pre-sort the transform
+    * input hand the op the unsorted frame for fitting, because Catalyst's
+    * EliminateSorts cannot remove a Sort under aggregates it can't prove
+    * order-irrelevant — double-typed avg/stddev and the percentile UDAF —
+    * so fitting on the sorted frame would re-pay the range exchange once
+    * per stats job). */
+  def fitTransform(fitDf: DataFrame,
+      df: DataFrame): (OpResult, Map[String, Stats.Num]) = {
     val cols = if (columns.nonEmpty) columns else colsOfType(df, isNumeric)
     if (cols.isEmpty) return (OpResult(df, Seq("no numeric columns")), Map.empty)
-    val stats = Stats.numeric(df, cols, method match {
+    val stats = Stats.numeric(fitDf, cols, method match {
       case "standard" => Stats.Need(moments = true, median = true)
       case "minmax" => Stats.Need(extremes = true, median = true)
       case "robust" => Stats.Need(quantiles = true)

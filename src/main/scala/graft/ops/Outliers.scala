@@ -35,10 +35,18 @@ final case class Outliers(
 
   val name = s"outliers:$method:$action"
 
-  def apply(df: DataFrame): OpResult = {
+  def apply(df: DataFrame): OpResult = apply(df, df)
+
+  /** Compute detection bounds on `fitDf`, build the action plan over
+    * `df`. The frames must hold IDENTICAL ROWS — intended use is
+    * `df` = `fitDf` re-ordered (r21: pre-sorted transform inputs would
+    * otherwise pay the range exchange inside every stats job, because
+    * EliminateSorts can't remove a Sort under the percentile UDAF or
+    * double-typed moments). */
+  def apply(fitDf: DataFrame, df: DataFrame): OpResult = {
     val cols = if (columns.nonEmpty) columns else colsOfType(df, isNumeric)
     if (cols.isEmpty) return OpResult(df, Seq("no numeric columns"))
-    val bounds = computeBounds(df, cols)
+    val bounds = computeBounds(fitDf, cols)
     val out = action match {
       case "remove" =>
         if (bounds.isEmpty) df
@@ -63,7 +71,7 @@ final case class Outliers(
       case "transform" =>
         // log1p on positive values of columns that HAVE outliers
         // (outliers.py:148-153); non-positive values left unchanged.
-        val flagged = hasOutliers(df, bounds)
+        val flagged = hasOutliers(fitDf, bounds)
         val proj = df.columns.map { c =>
           if (flagged.contains(c))
             when(col(c) > 0, log1p(col(c).cast(DoubleType))).otherwise(col(c).cast(DoubleType)).as(c)
@@ -81,13 +89,13 @@ final case class Outliers(
       () => {
         val bc = bounds.keys.toSeq.sorted
         val (detected, nBefore) =
-          if (bc.isEmpty) (0L, df.count())
+          if (bc.isEmpty) (0L, fitDf.count())
           else {
             val aggs = bc.map { c =>
               val (lo, hi) = bounds(c)
               count(when(col(c) < lit(lo) || col(c) > lit(hi), 1)).as(c)
             } :+ count(lit(1)).as("__n")
-            val row = df.agg(aggs.head, aggs.tail: _*).head()
+            val row = fitDf.agg(aggs.head, aggs.tail: _*).head()
             (bc.map(c => row.getLong(row.fieldIndex(c))).sum,
               row.getLong(row.fieldIndex("__n")))
           }

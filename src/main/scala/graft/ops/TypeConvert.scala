@@ -40,7 +40,15 @@ final case class TypeConvert(
 
   val name = "data_type_conversion"
 
-  def apply(df: DataFrame): OpResult = {
+  def apply(df: DataFrame): OpResult = apply(df, df)
+
+  /** Run the detection/validation aggregations on `fitDf`, build the
+    * conversion plan over `df`. The frames must hold IDENTICAL ROWS —
+    * intended use is `df` = `fitDf` re-ordered (r21: EliminateSorts can't
+    * remove a Sort under the approx_count_distinct HLL aggregate, so
+    * fitting on a pre-sorted transform input would pay the range exchange
+    * inside the detection job). */
+  def apply(fitDf: DataFrame, df: DataFrame): OpResult = {
     val manualKept: Map[String, String] = manualErrors match {
       case "coerce" => manual
       case "raise" | "ignore" =>
@@ -50,7 +58,7 @@ final case class TypeConvert(
             count(when(col(c).isNotNull &&
               TypeConvert.manualCast(col(c), t, datetimeFormats).isNull, 1)).as(c)
           }
-          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val row = fitDf.agg(aggs.head, aggs.tail: _*).head()
           val failing = manual.keys.filter(c =>
             row.getLong(row.fieldIndex(c)) > 0).toSeq.sorted
           if (failing.isEmpty) manual
@@ -61,9 +69,12 @@ final case class TypeConvert(
       case other =>
         throw new IllegalArgumentException(s"unknown errors mode: $other")
     }
-    val manualDf = manualKept.foldLeft(df) { case (d, (c, t)) =>
-      d.withColumn(c, TypeConvert.manualCast(col(c), t, datetimeFormats))
-    }
+    def withManual(d0: DataFrame): DataFrame =
+      manualKept.foldLeft(d0) { case (d, (c, t)) =>
+        d.withColumn(c, TypeConvert.manualCast(col(c), t, datetimeFormats))
+      }
+    val manualDf = withManual(df)
+    lazy val fitManualDf = if (fitDf eq df) manualDf else withManual(fitDf)
     if (!auto) return OpResult(manualDf,
       manualKept.map { case (c, t) => s"$c -> $t" }.toSeq)
     val strCols = colsOfType(manualDf, isString).filterNot(manualKept.contains)
@@ -87,11 +98,24 @@ final case class TypeConvert(
     // ([[graft.functions.ProbeMask]] — ASCII cells scan UTF-8 bytes in
     // place), not the Scala UDF it started as; same bitmask bit for bit.
     graft.functions.TextKernels.register(df.sparkSession)
+    // r21: with the DEFAULT format chain, the true parse-ratio count runs
+    // INSIDE job 1, per-row-gated on the shape bit — bit 3 unset costs one
+    // bitmask test, bit 3 set runs the same regex-gated chain job 1b ran
+    // for every row of a candidate column. Equal counts by construction:
+    // every chain pattern's shape regex implies the bit-3 probe
+    // ([[DatetimeShapeRegex]] is a necessary condition for all six default
+    // formats), so gating on the bit drops only rows the chain nulls
+    // anyway. This removes job 1b — one whole scan+agg job — from every
+    // auto() call on default formats (guide §1.2: fewer passes first).
+    // Custom format chains keep the separate job-1b path below: no cheap
+    // per-row gate exists for them, and fusing would charge every
+    // non-datetime string cell the full multi-format regex chain.
+    val gated = datetimeFormats == TypeConvert.DefaultFormats
     val flagCols = strCols.flatMap { c =>
       Seq(call_function("graft_probe_mask", col(c)).as(s"${c}__m"),
         col(c).as(s"${c}__v"))
     }
-    val flags = manualDf.select(flagCols: _*)
+    val flags = fitManualDf.select(flagCols: _*)
     def bit(c: String, b: Int): Column =
       sum(shiftright(col(s"${c}__m"), b).bitwiseAND(lit(1L)))
     val aggs = strCols.flatMap { c => Seq(
@@ -100,7 +124,12 @@ final case class TypeConvert(
       bit(c, 2).as(s"${c}__int"),
       bit(c, 3).as(s"${c}__dtc"),
       bit(c, 4).as(s"${c}__bool"),
-      approx_count_distinct(col(s"${c}__v")).as(s"${c}__card"))
+      approx_count_distinct(col(s"${c}__v")).as(s"${c}__card")) ++
+      (if (gated) Seq(count(when(
+        shiftright(col(s"${c}__m"), 3).bitwiseAND(lit(1L)) === 1L &&
+          tryTimestampChain(trim(col(s"${c}__v")), datetimeFormats).isNotNull,
+        1)).as(s"${c}__dtp"))
+       else Nil)
     }
     val row = flags.agg(aggs.head, aggs.tail: _*).head()
     def l(n: String): Long = {
@@ -108,20 +137,20 @@ final case class TypeConvert(
       if (row.isNullAt(i)) 0L else row.getLong(i) // sum over 0 rows is null
     }
 
-    // job 1b (only when shape-plausible): true parse ratio via the chain
-    // the shape gate only applies to the default formats it was built for
-    val gated = datetimeFormats == TypeConvert.DefaultFormats
-    val dtCandidates = strCols.filter { c =>
-      val n = l(s"${c}__n")
-      n > 0 && l(s"${c}__num") <= 0.7 * n &&
-        (!gated || l(s"${c}__dtc") > 0.5 * n)
-    }
+    // job 1b (custom chains only — default chains fused the count above)
+    val dtCandidates =
+      if (gated) Nil
+      else strCols.filter { c =>
+        val n = l(s"${c}__n")
+        n > 0 && l(s"${c}__num") <= 0.7 * n
+      }
     val dtParsed: Map[String, Long] =
-      if (dtCandidates.isEmpty) Map.empty
+      if (gated) strCols.map(c => c -> l(s"${c}__dtp")).toMap
+      else if (dtCandidates.isEmpty) Map.empty
       else {
         val a = dtCandidates.map(c => count(when(tryTimestampChain(
           trim(col(c).cast(StringType)), datetimeFormats).isNotNull, 1)).as(c))
-        val r = manualDf.agg(a.head, a.tail: _*).head()
+        val r = fitManualDf.agg(a.head, a.tail: _*).head()
         dtCandidates.map(c => c -> r.getLong(r.fieldIndex(c))).toMap
       }
 
