@@ -251,10 +251,14 @@ object SparkEntry {
         .select("c_custkey", "c_mktsegment")).df.orderBy("c_custkey")),
 
     // §2.14 frequency ("target") encoding
+    // r21 pre-sorted input (see the note above dirtyCustomer): the count
+    // aggs are sort-eliminated, and the BROADCAST left join plus the
+    // ratio projection preserve the sorted stream order — evaluated above
+    // the range exchange instead of twice below it.
     "q_encode_freq" -> ((s, dir) =>
       Encode("target")(tbl(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")).df
-        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")),
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")).df),
 
     // §2.14 one-hot's >50-distinct SKIP path (r15): lang (5 values) is
     // encoded, text (~500 distinct, over the 2·50+16 HLL margin) is
@@ -275,31 +279,31 @@ object SparkEntry {
 
     // §2.12 text cleaning chain
     "q_textclean" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
+      val d = tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         when(col("doc_id") % 4 === 0,
           lit("  Hello, WORLD!!  <b>Tag</b> 123 ")).otherwise(col("text"))
           .as("text"))
       TextClean(Seq("lowercase", "remove_html", "remove_numbers",
-        "remove_punctuation", "remove_extra_spaces"))(d).df.orderBy("doc_id")
+        "remove_punctuation", "remove_extra_spaces"))(d).df
     }),
 
     // §2.12 remaining ops: uppercase, special-chars, whitespace, custom map
     "q_textclean_special" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
+      val d = tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         when(col("doc_id") % 5 === 1, lit(" mixed-CASE text & sym*bols  here "))
           .otherwise(col("text")).as("text"))
       TextClean(Seq("uppercase", "remove_special_chars", "remove_whitespace",
           "custom"),
-        customPatterns = Seq("HERE" -> "THERE"))(d).df.orderBy("doc_id")
+        customPatterns = Seq("HERE" -> "THERE"))(d).df
     }),
 
     // §2.15 common-typos dictionary replacement
     "q_typofix_common" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
+      val d = tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         when(col("doc_id") % 3 === 0, lit("Teh managment adn thier deparment"))
           .when(col("doc_id") % 3 === 1, lit("definately occured untill now"))
           .otherwise(col("text")).as("text"))
-      TypoFix("common_typos")(d).df.orderBy("doc_id")
+      TypoFix("common_typos")(d).df
     }),
 
     // §2.16 min-max scaling
@@ -544,12 +548,12 @@ object SparkEntry {
 
     // §2.12 URL/email scrubbing
     "q_textclean_urls" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
+      val d = tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         when(col("doc_id") % 6 === 0,
           lit("Visit https://example.com/x and mail bob@test.org now"))
           .otherwise(col("text")).as("text"))
       TextClean(Seq("remove_urls", "remove_emails", "remove_extra_spaces"))(d)
-        .df.orderBy("doc_id")
+        .df
     }),
 
     // §2.11 manual type mapping (errors='coerce' semantics)
@@ -611,31 +615,33 @@ object SparkEntry {
     // ---- LLM-pipeline extensions (SURVEY.md §7.6) ----------------------
 
     // text analysis: token/char counts + ratios
+    // r21: the doc-kernel projection queries below sort their UNIQUE raw
+    // key first and project the kernels above the Sort — same rows, same
+    // order, kernel evaluated once instead of 2-3× (see the note above
+    // dirtyCustomer).
     "q_text_stats" -> ((s, dir) => {
       val t = col("text")
-      tbl(s, dir, "documents").select(col("doc_id"),
+      tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         TextAnalysis.charCount(t).as("n_chars"),
         TextAnalysis.tokenCount(t).as("n_tokens"),
         TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
         round(TextAnalysis.avgTokenLen(t), 6).as("avg_token_len"),
         round(TextAnalysis.alphaRatio(t), 6).as("alpha_ratio"),
         round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"))
-        .orderBy("doc_id")
     }),
 
     // text quality scoring
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
-      tbl(s, dir, "documents").select(col("doc_id"),
+      tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
         round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
         round(TextAnalysis.qualityScore(t), 6).as("quality"))
-        .orderBy("doc_id")
     }),
 
     // Gopher-style repetition quality signals (word n-gram family)
     "q_quality_repetition" -> ((s, dir) =>
       graft.text.QualityFilters.repetitionSignals(
-        tbl(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+        tbl(s, dir, "documents").orderBy("doc_id"), "text", "doc_id")),
 
     // the FILTER form of the repetition signals — the thresholded
     // keep/drop an ingest pipeline actually runs (r10 verdict ask #3:
@@ -645,11 +651,13 @@ object SparkEntry {
     // sides are populated; the operator's defaults stay the Gopher
     // values.
     "q_quality_filter" -> ((s, dir) =>
+      // presorted input: the deterministic keep-filter pushes below the
+      // Sort (fewer rows sorted), the kernel is evaluated once at the scan
       graft.text.QualityFilters.gopherRepetitionFilter(
-          tbl(s, dir, "documents"), "text",
+          tbl(s, dir, "documents").orderBy("doc_id"), "text",
           maxDupWordFrac = 0.60, maxTopBigramCharFrac = 0.15,
           maxTopTrigramCharFrac = 0.15, maxDupFivegramCharFrac = 0.15)
-        .select("doc_id").orderBy("doc_id")),
+        .select("doc_id")),
 
     // sequence-packing placement: concat docs in id order, cut 1000-token
     // windows (n_chars standing in for the token count)
@@ -687,8 +695,8 @@ object SparkEntry {
         .when(col("doc_id") % 7 === 2,
           concat(col("text"), lit(" call +14155550173 today")))
         .otherwise(col("text"))
-      tbl(s, dir, "documents").select(col("doc_id"),
-        graft.text.Redact.redactPii(planted).as("text")).orderBy("doc_id")
+      tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
+        graft.text.Redact.redactPii(planted).as("text"))
     }),
 
     // test-set decontamination: every 20th doc is the "benchmark"; the
@@ -804,8 +812,9 @@ object SparkEntry {
 
     // language identification (function-word vote + CJK share)
     "q_lang_id" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
-        TextAnalysis.langId(col("text")).as("pred_lang")).orderBy("doc_id")),
+      tbl(s, dir, "documents").orderBy("doc_id")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))),
 
     // language distribution (group-by aggregation surface)
     "q_lang_dist" -> ((s, dir) =>
@@ -816,8 +825,8 @@ object SparkEntry {
 
     // content fingerprint (normalization-robust exact-dup key)
     "q_fingerprint" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")),
+      tbl(s, dir, "documents").orderBy("doc_id").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
 
     // deterministic exact dedup by fingerprint (keep smallest id)
     "q_dedup_fingerprint" -> ((s, dir) => {
@@ -828,7 +837,10 @@ object SparkEntry {
 
     // n-gram (5-shingle) Jaccard similarity of consecutive doc pairs
     "q_ngram_jaccard" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents")
+      // r21: size-gated repartition — the shingle kernel runs twice over
+      // the scan's few splits otherwise (see Parallelize)
+      val d = graft.util.Parallelize.bySize(
+        tbl(s, dir, "documents").select("doc_id", "text"), "doc_id")
       val a = d.select(col("doc_id").as("id_a"),
         NearDup.shingles(col("text")).as("sh_a"))
       val b = d.select(col("doc_id").as("id_b"),
@@ -1218,11 +1230,15 @@ object SparkEntry {
     // md5-token-hash variant so the signature itself is value-checkable by
     // an external SQL engine (the 64-bit xxhash64 default is not).
     "q_simhash" -> ((s, dir) => {
-      val d = tbl(s, dir, "documents").select(col("doc_id"),
+      // r21: both simhash kernel passes inherit the scan's split count —
+      // size-gated repartition keeps all cores busy (see Parallelize)
+      val d0 = graft.util.Parallelize.bySize(
+        tbl(s, dir, "documents").select("doc_id", "text"), "doc_id")
+      val d = d0.select(col("doc_id"),
         NearDup.simhash(col("text"), 56, NearDup.md5Hash56).as("sh"))
       // drop the last word of the NORMALIZED text — same reasoning as
       // q_neardup_minhash's mutation, and it matches the oracle's t2
-      val mutated = tbl(s, dir, "documents").select(col("doc_id"),
+      val mutated = d0.select(col("doc_id"),
         NearDup.simhash(
           regexp_replace(NearDup.normalize(col("text")), "\\s+\\S+$", ""),
           56, NearDup.md5Hash56).as("sh_mut"))
@@ -1509,22 +1525,27 @@ object SparkEntry {
     // discretization (pandas cut/qcut): learn edges in one agg, assign
     // bins in a pure codegen projection — edges ride as plan literals
     "q_discretize_width" -> ((s, dir) =>
-      graft.ops.Discretize.equalWidth(
-          tbl(s, dir, "lineitem")
-            .select("l_orderkey", "l_linenumber", "l_extendedprice",
-              "l_quantity"),
-          Seq("l_extendedprice", "l_quantity"), nBins = 8)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice_bin",
-          "l_quantity_bin")
-        .orderBy("l_orderkey", "l_linenumber")),
+      {
+        // r21 pre-sorted bin input + fit-on-unsorted (see dirtyCustomer note)
+        val li = tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice",
+            "l_quantity")
+        graft.ops.Discretize.equalWidth(li,
+            li.orderBy("l_orderkey", "l_linenumber"),
+            Seq("l_extendedprice", "l_quantity"), nBins = 8, suffix = "_bin")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice_bin",
+            "l_quantity_bin")
+      }),
 
     "q_discretize_quantile" -> ((s, dir) =>
-      graft.ops.Discretize.quantile(
-          tbl(s, dir, "lineitem")
-            .select("l_orderkey", "l_linenumber", "l_extendedprice"),
-          Seq("l_extendedprice"), nBins = 4)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice_bin")
-        .orderBy("l_orderkey", "l_linenumber")),
+      {
+        val li = tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        graft.ops.Discretize.quantile(li,
+            li.orderBy("l_orderkey", "l_linenumber"),
+            Seq("l_extendedprice"), nBins = 4, suffix = "_bin")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice_bin")
+      }),
 
     // TF-IDF keyword extraction: top-5 terms per document. Integer-only
     // inputs to the score (tf, df, N) keep the ranking bit-identical

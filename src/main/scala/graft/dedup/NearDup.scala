@@ -167,6 +167,11 @@ object NearDup {
     */
   def ophSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int, k: Int): DataFrame = {
+    // r21: the signature pass is the pipeline's CPU bound and inherits the
+    // scan's split count — on a small corpus that leaves most cores idle
+    // (measured: 6 tasks on 32 cores at sf0.1). Size-gated, so a corpus
+    // big enough to split per-core never pays the extra shuffle.
+    val input = graft.util.Parallelize.bySize(df, idCol)
     val n = k // word-gram width
     val sigUdf = udf { text: String =>
       if (text == null) None
@@ -213,8 +218,14 @@ object NearDup {
         }
       }
     }
-    df.select(col(idCol).as("__id"),
-        sigUdf(col(textCol)).as("__s"))
+    // asNondeterministic (r21, guide-§4.4 class of bug): the UDF is pure,
+    // but left deterministic the optimizer pushed the isNotNull filter
+    // below this projection as isnotnull(UDF(text)) — into the SCAN's
+    // data filters — so every doc paid the whole signature pass TWICE
+    // (and the pushed copy ran below the repartition, at scan width).
+    // The marker pins the filter above the projection: one eval per row.
+    input.select(col(idCol).as("__id"),
+        sigUdf.asNondeterministic()(col(textCol)).as("__s"))
       .where(col("__s").isNotNull)
       .select(col("__id"), col("__s._1").as("__sig"), col("__s._2").as("__sh"))
   }
@@ -606,7 +617,11 @@ object NearDup {
     // kernel output staged once; the df-filter window + (via `kept`) the
     // join sides and the count aggregate all read the store instead of
     // re-running the per-row winnowing kernel
-    val fps = df.select(col(idCol).cast(LongType).as("__id"),
+    // r21: the per-row winnowing kernel inherits the scan's split count —
+    // size-gated repartition keeps all cores busy on small corpora
+    // (no-op whenever the scan splits per-core; see Parallelize).
+    val fps = graft.util.Parallelize.bySize(df, idCol)
+      .select(col(idCol).cast(LongType).as("__id"),
         explode(graft.text.TextAnalysis
           .winnowingFingerprint(col(textCol), k, w)).as("__fp"))
       .persist()

@@ -31,14 +31,22 @@ object Discretize {
 
   /** Append `<col>_bin` (long, 0..nBins-1) per input column. */
   def equalWidth(df: DataFrame, cols: Seq[String], nBins: Int,
-      suffix: String = "_bin"): DataFrame = {
+      suffix: String = "_bin"): DataFrame =
+    equalWidth(df, df, cols, nBins, suffix)
+
+  /** Learn the edges on `fitDf`, bin `df` — the frames must hold
+    * identical rows (r21: pre-sorted bin inputs would otherwise pay the
+    * range exchange inside the edge job; EliminateSorts can't remove a
+    * Sort under double-typed min/max). */
+  def equalWidth(fitDf: DataFrame, df: DataFrame, cols: Seq[String],
+      nBins: Int, suffix: String): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(cols.nonEmpty, "no columns to discretize")
     val aggs = cols.flatMap { c =>
       val d = col(c).cast(DoubleType)
       Seq(min(d).as(s"${c}__mn"), max(d).as(s"${c}__mx"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = fitDf.agg(aggs.head, aggs.tail: _*).head()
     cols.foldLeft(df) { (acc, c) =>
       def opt(n: String): Option[Double] = {
         val i = row.fieldIndex(n)
@@ -66,7 +74,13 @@ object Discretize {
     * nBins−1 doubles per column on the driver — bounded by the caller's
     * nBins, not the data. */
   def quantile(df: DataFrame, cols: Seq[String], nBins: Int,
-      suffix: String = "_bin"): DataFrame = {
+      suffix: String = "_bin"): DataFrame =
+    quantile(df, df, cols, nBins, suffix)
+
+  /** Learn the edges on `fitDf`, bin `df` — identical-rows contract as
+    * [[equalWidth]] (the percentile UDAF pins any Sort below it). */
+  def quantile(fitDf: DataFrame, df: DataFrame, cols: Seq[String],
+      nBins: Int, suffix: String): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")
     require(cols.nonEmpty, "no columns to discretize")
     graft.functions.ExactPercentile.register(df.sparkSession)
@@ -75,7 +89,7 @@ object Discretize {
       call_function("graft_percentile", col(c).cast(DoubleType),
         array(probs.map(lit): _*)).as(s"${c}__q")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val row = fitDf.agg(aggs.head, aggs.tail: _*).head()
     cols.foldLeft(df) { (acc, c) =>
       val i = row.fieldIndex(s"${c}__q")
       val bin =

@@ -31,25 +31,15 @@ object Normalize {
                else graft.util.Exprs.colsOfType(df, graft.util.Exprs.isNumeric)
     val spark = df.sparkSession
     import spark.implicits._
+    // r21: skew/kurt ride the declarative stats job (Stats.Need.skewKurt)
+    // instead of a third full agg scan of their own
     val stats = Stats.numeric(df, cols,
-      Stats.Need(moments = true, extremes = true, quantiles = true))
-    val skews: Map[String, (Option[Double], Option[Double])] =
-      if (cols.isEmpty) Map.empty
-      else {
-        val aggs = cols.flatMap(c => Seq(
-          skewness(col(c).cast(DoubleType)).as(s"${c}__sk"),
-          kurtosis(col(c).cast(DoubleType)).as(s"${c}__ku")))
-        val row = df.agg(aggs.head, aggs.tail: _*).head()
-        def g(n: String) = {
-          val i = row.fieldIndex(n)
-          if (row.isNullAt(i)) None else Some(row.getDouble(i))
-        }
-        cols.map(c => c -> (g(s"${c}__sk"), g(s"${c}__ku"))).toMap
-      }
+      Stats.Need(moments = true, extremes = true, quantiles = true,
+        skewKurt = true))
     cols.map { c =>
       val s = stats(c)
       (c, s.n - s.nNull, s.mean, s.stdSamp, s.min, s.q1, s.median, s.q3,
-        s.max, skews(c)._1, skews(c)._2)
+        s.max, s.skew, s.kurt)
     }.toDF("column_name", "n", "mean", "std", "min", "q1", "median", "q3",
       "max", "skewness", "kurtosis")
   }

@@ -28,7 +28,8 @@ object Stats {
       moments: Boolean = false,   // mean, stddev_samp, stddev_pop
       extremes: Boolean = false,  // min, max
       quantiles: Boolean = false, // q1, median, q3 (one shared buffer)
-      median: Boolean = false)    // median only
+      median: Boolean = false,    // median only
+      skewKurt: Boolean = false)  // skewness, kurtosis (report-only stats)
 
   /** Per-column numeric summary. Population vs sample std both carried:
     * sklearn scalers use ddof=0, pandas zscore uses ddof=1 (SURVEY §2.4 A5). */
@@ -37,7 +38,8 @@ object Stats {
       q1: Option[Double], q3: Option[Double],
       stdSamp: Option[Double], stdPop: Option[Double],
       min: Option[Double], max: Option[Double],
-      nNull: Long, n: Long)
+      nNull: Long, n: Long,
+      skew: Option[Double] = None, kurt: Option[Double] = None)
 
   /** One aggregation SCAN PLAN over all `cols`, computing only what `need`
     * asks — with one structural exception: when percentiles are requested
@@ -62,6 +64,12 @@ object Stats {
           stddev_samp(d).as(s"${c}__ssd"), stddev_pop(d).as(s"${c}__psd"))
          else Nil) ++
         (if (need.extremes) Seq(min(d).as(s"${c}__min"), max(d).as(s"${c}__max"))
+         else Nil) ++
+        // r21: skew/kurt are CentralMomentAgg — declarative/codegen, so
+        // they ride the same scan as the other moments instead of the
+        // separate agg job scalingStats used to pay (3 jobs → 2)
+        (if (need.skewKurt) Seq(skewness(d).as(s"${c}__sk"),
+          kurtosis(d).as(s"${c}__ku"))
          else Nil)
     }
     val pctAggs =
@@ -123,7 +131,9 @@ object Stats {
         if (need.moments) get(s"${c}__psd") else None,
         if (need.extremes) get(s"${c}__min") else None,
         if (need.extremes) get(s"${c}__max") else None,
-        total - nonNull, total)
+        total - nonNull, total,
+        if (need.skewKurt) get(s"${c}__sk") else None,
+        if (need.skewKurt) get(s"${c}__ku") else None)
     }.toMap
   }
 

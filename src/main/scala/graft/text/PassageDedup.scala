@@ -75,8 +75,13 @@ object PassageDedup {
   def removeDuplicatePassages(df: DataFrame, textCol: String, idCol: String,
       l: Int = 50): DataFrame = {
     require(l >= 2, s"window length must be >= 2 tokens, got $l")
-    val toks = df.select(col(idCol),
-      split(NearDup.normalize(col(textCol)), " ").as("__toks"))
+    // r21: the gram-window derivation inherits the scan's split count —
+    // size-gated repartition keeps all cores busy on small corpora
+    // (measured 3 tasks on 32 cores at sf0.1; no-op at scan-splittable
+    // sizes, see Parallelize).
+    val toks = graft.util.Parallelize.bySize(df, idCol)
+      .select(col(idCol),
+        split(NearDup.normalize(col(textCol)), " ").as("__toks"))
     val wins = windows(toks, idCol, l)
     val dupH = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .where(col("__c") >= 2).select("__h")

@@ -1,0 +1,40 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.SQLConf
+
+/** Scale-adaptive parallelism for CPU-heavy per-row kernels (r21,
+  * guide §2: derive partitioning from input size, don't hard-code either
+  * the local or the cluster shape).
+  *
+  * A narrow plan inherits the scan's split count, and a split exists only
+  * per `spark.sql.files.maxPartitionBytes` of input — so a small table
+  * feeds an expensive per-row kernel (minhash/winnow signatures, k-gram
+  * explosion) with fewer tasks than the session has cores: measured at
+  * sf0.1/32 cores, the whole minhash signature pass ran as 6 tasks (26
+  * cores idle), the substring-dedup gram pipeline as 3.
+  *
+  * [[bySize]] hash-repartitions on the row id to the default parallelism
+  * ONLY when the optimizer's size estimate proves the scan cannot reach
+  * it (estimated bytes < cores × maxPartitionBytes). The condition makes
+  * the shuffle self-limiting: it can only fire when the whole input is
+  * smaller than one split per core — data a 100 TB run's scan splits
+  * thousands of ways never qualifies, so production plans are unchanged
+  * and no heavy payload gains a shuffle (§2.4). Hash-on-id is
+  * deterministic under retries (no round-robin, no rand — SPARK-38388).
+  */
+object Parallelize {
+
+  /** `df` repartitioned to the session default parallelism on `idCol`
+    * when the size estimate says the plan is under-parallel (see object
+    * doc); `df` unchanged otherwise. */
+  def bySize(df: DataFrame, idCol: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val splitBytes = SQLConf.get.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(target.toLong) * splitBytes)
+      df.repartition(target, col(idCol))
+    else df
+  }
+}

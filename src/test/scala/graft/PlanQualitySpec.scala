@@ -99,10 +99,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"text ops must not shuffle:\n$p")
   }
 
-  test("minhash signatures are a single exchange-free projection") {
+  test("minhash signatures: one UDF eval, only the size-gated repartition") {
     val df = Tables.load(spark, sf, "documents")
     val p = plan(NearDup.ophSignatures(df, "text", "doc_id", 64, 3))
-    assert(!p.contains("Exchange"), s"signature stage must not shuffle:\n$p")
+    // r21: a small corpus gains ONE explicit repartition below the
+    // signature UDF (Parallelize.bySize — the kernel must not inherit a
+    // handful of scan splits on a many-core host); nothing else may
+    // shuffle, and the repartition must sit UNDER the UDF projection so
+    // the expensive pass runs at full width.
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1 && (exchanges == 0 ||
+        p.contains("REPARTITION_BY_NUM")),
+      s"signature stage may shuffle only via the explicit repartition:\n$p")
+    // the sigUdf is nondeterministic-marked so the isnotnull filter can't
+    // be pushed below its projection and re-evaluate it per row (the
+    // pushed copy ALSO defeated the repartition: the duplicate eval ran
+    // at scan width)
+    assert("UDF".r.findAllIn(p).size == 1,
+      s"signature UDF must be evaluated exactly once per row:\n$p")
+  }
+
+  test("minhash signatures skip the repartition on a large-estimate input") {
+    // same kernel over an input whose size estimate exceeds
+    // cores × maxPartitionBytes — the gate must not fire (a 100 TB scan
+    // never pays the extra shuffle)
+    val df = Tables.load(spark, sf, "documents")
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      val p = plan(NearDup.ophSignatures(df, "text", "doc_id", 64, 3))
+      assert(!p.contains("Exchange"),
+        s"large-estimate signature stage must not shuffle:\n$p")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
   test("skew-guarded candidates broadcast the bucket flags, never cross-join") {
