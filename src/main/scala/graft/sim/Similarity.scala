@@ -114,8 +114,12 @@ object Similarity {
     // norms hoisted to per-ROW projections before the join — inlining
     // cosine() would recompute both norms once per PAIR. Same arithmetic
     // (dot/(|a|·|b|)), so results are bit-identical to the inline form.
-    val c = withVec(corpus, vecCol, "c_vec")
-      .select(col(idCol).as("c_id"), col("c_vec"))
+    // r21: the per-pair scoring scan inherits the corpus scan's split
+    // count (measured 4 tasks on 32 cores at sf0.1) — size-gated
+    // repartition, a no-op whenever the corpus splits per-core
+    val c = graft.util.Parallelize.bySize(
+        withVec(corpus, vecCol, "c_vec")
+          .select(col(idCol).as("c_id"), col("c_vec")), "c_id")
       .withColumn("c_norm", sqrt(dotK(col("c_vec"), col("c_vec"))))
     val q = withVec(queries, vecCol, "q_vec")
       .select(col(idCol).as("query_id"), col("q_vec"))

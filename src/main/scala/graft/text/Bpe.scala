@@ -48,7 +48,11 @@ object Bpe {
       maxWords: Int = 1 << 16): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
-    val counts = df
+    // r21: the tokenize + map-side partial count runs fused with the
+    // scan and inherits its split count — size-gated repartition (hash
+    // on the text, the only column) keeps the pass per-core on small
+    // corpora and is a no-op at scan-splittable sizes (Parallelize).
+    val counts = graft.util.Parallelize.bySize(df, col(textCol))
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1L)).as("n"))

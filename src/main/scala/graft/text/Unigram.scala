@@ -68,7 +68,9 @@ object Unigram {
     * notch above the rarest). */
   def learnCosts(df: DataFrame, textCol: String, merges: Seq[Bpe.Merge],
       iters: Int = 3, maxWords: Int = 1 << 16): Seq[(String, Long)] = {
-    val counts = df
+    // r21: size-gated repartition before the fused tokenize+count pass —
+    // same reasoning as Bpe.learn (no-op at scan-splittable sizes)
+    val counts = graft.util.Parallelize.bySize(df, col(textCol))
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1L)).as("n"))

@@ -29,12 +29,17 @@ object Parallelize {
   /** `df` repartitioned to the session default parallelism on `idCol`
     * when the size estimate says the plan is under-parallel (see object
     * doc); `df` unchanged otherwise. */
-  def bySize(df: DataFrame, idCol: String): DataFrame = {
+  def bySize(df: DataFrame, idCol: String): DataFrame =
+    bySize(df, col(idCol))
+
+  /** [[bySize]] keyed by an arbitrary deterministic column — for inputs
+    * with no id column (e.g. word-count passes hash on the text itself). */
+  def bySize(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     val splitBytes = SQLConf.get.filesMaxPartitionBytes
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes < BigInt(target.toLong) * splitBytes)
-      df.repartition(target, col(idCol))
+      df.repartition(target, key)
     else df
   }
 }
