@@ -255,10 +255,19 @@ object SparkEntry {
     // aggs are sort-eliminated, and the BROADCAST left join plus the
     // ratio projection preserve the sorted stream order — evaluated above
     // the range exchange instead of twice below it.
+    // r22: the sort moved back ABOVE the op. The r21 presort put it on
+    // the op's input, but frequency encoding joins the count table above
+    // it and Catalyst's EliminateSorts REMOVES a Sort under a Join
+    // (SPARK-29343: join output order is unspecified) — the declared
+    // order had silently been riding on parquet file order
+    // (PresortContractSpec caught it). The fit aggregation still sees the
+    // unsorted scan (the sort is above the whole op), and the derived
+    // column here is one divide, so the range sampler's re-evaluation is
+    // noise.
     "q_encode_freq" -> ((s, dir) =>
       Encode("target")(tbl(s, dir, "lineitem")
-        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")).df),
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"))
+        .df.orderBy("l_orderkey", "l_linenumber")),
 
     // §2.14 one-hot's >50-distinct SKIP path (r15): lang (5 values) is
     // encoded, text (~500 distinct, over the 2·50+16 HLL margin) is

@@ -280,30 +280,22 @@ object NearDup {
       s"bucketBatches must be in [1, 4096], got $bucketBatches")
     val r = numHashes / bands
     // ONE corpus pass: sigAll — (id, signature, gram set) — persists to
-    // DISK, so every downstream branch (banding, prefilter, survivor
-    // verify) reads the store instead of re-running the ophSignatures UDF
-    // (re-tokenize + re-hash the whole corpus; the stored rows are ~5×
-    // smaller than the text). DISK not memory because the gram sets
-    // (~50+ longs/doc, the dominant payload) are touched exactly once, by
-    // the survivor verify join — pinning an O(corpus) array store in
-    // executor memory for the session would be the one scale-killer here
-    // (same staging as [[embeddingPairs]], which caches 16 B/row and
-    // re-derives vectors for survivors). The hot (id, signature)
-    // projection ADDITIONALLY caches in memory: its plan contains the
-    // persisted sigAll subtree (so building it costs a disk read, not a
-    // corpus pass — r8 persisted two independent projections of an
-    // UNpersisted sigAll, and materializing the second re-ran the whole
-    // UDF pass; ADVICE r8), and the banding pass plus both prefilter
-    // sides re-read it.
+    // DISK, so every downstream branch (banding, verify) reads the store
+    // instead of re-running the ophSignatures UDF (re-tokenize + re-hash
+    // the whole corpus; the stored rows are ~5× smaller than the text).
+    // DISK not memory: pinning an O(corpus) array store in executor
+    // memory for the session would be the one scale-killer here (same
+    // staging as [[embeddingPairs]]). Cached batches are COLUMNAR, so the
+    // banding scan below deserializes only the __sig bytes even though
+    // the store holds the gram sets too.
     val sigAll = ophSignatures(df, textCol, idCol, numHashes, k)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // resolving the auto guard counts sigAll — which just materializes
     // the DISK_ONLY store every downstream branch reads anyway
     val mb = if (maxBucket > 0) maxBucket
              else autoResolvedBucket(sigAll.count())
-    val sigDf = sigAll.select("__id", "__sig").cache()
     def bucketsFor(bandIdxs: Seq[Int]): DataFrame =
-      sigDf.select(col("__id"),
+      sigAll.select(col("__id"),
         explode(array(bandIdxs.map(b =>
           struct(lit(b).as("band"), slice(col("__sig"), b * r + 1, r).as("bits"))): _*))
           .as("__bucket"))
@@ -320,32 +312,34 @@ object NearDup {
         bucketCandidates(buckets, Seq("__bucket"), Nil, mb)(identity)
       val pairs = minus.foldLeft(pairFilter(pairsAll))((p, m) =>
         p.join(m.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti"))
-      // Signature-agreement prefilter (64 long compares, estimator std at 64
-      // samples ≈ 0.06, 0.15 margin keeps true borderline pairs) prunes the
-      // candidate mass using only the memory-cached signatures; only the
-      // survivors pay the disk read for their gram sets.
-      val survivors = pairs
-        .join(sigDf.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-        .join(sigDf.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      // r22: ONE join per pair side brings the signature AND the gram set
+      // together (until r21 this was FOUR joins — sig-only joins for the
+      // prefilter, then a second pair of joins back for the survivors'
+      // gram sets — plus a dedicated in-memory (id, sig) cache). The
+      // two-phase shape saved no gram-set I/O: the verify join scans the
+      // WHOLE columnar store on both sides regardless of survivor count,
+      // so splitting the join only added two joins, two broadcast builds,
+      // one more cache to pin, and ~20 codegen units (the dedup family's
+      // cold floors were compile-and-scheduling-bound — r22 StageProbe:
+      // 45 codegen units / 1.8 s compile, 22 jobs, stages ≤ 0.5 s).
+      // Evaluation ORDER is unchanged: the signature-agreement prefilter
+      // (64 long compares, estimator std at 64 samples ≈ 0.06, 0.15
+      // margin keeps true borderline pairs) runs as a Filter BELOW the
+      // jaccard projection, so a pruned pair still pays 64 compares and
+      // never the gram-set merge.
+      val out = pairs
+        .join(sigAll.select(col("__id").as("id_a"), col("__sig").as("sig_a"),
+          col("__sh").as("sh_a")), "id_a")
+        .join(sigAll.select(col("__id").as("id_b"), col("__sig").as("sig_b"),
+          col("__sh").as("sh_b")), "id_b")
         // graft_sig_agree (functions/SignatureAgreement, r14): codegen twin
         // of prefilterUdf — no per-pair Seq boxing on the candidate mass
         .where(call_function("graft_sig_agree", col("sig_a"), col("sig_b"),
           lit(numHashes), lit(threshold - 0.15)))
-        .select("id_a", "id_b")
-      // Exact verification: a merge over the two SORTED gram-hash arrays
-      // (ophSignatures emits TreeSet order), O(|A|+|B|) with no allocation.
-      // A zip_with/aggregate formulation of the prefilter ran INTERPRETED
-      // (per-element InternalRow wrapping) and array_intersect/array_union
-      // materialize hash sets per pair — measured ~2× slower on the sf0.1
-      // candidate mass than these primitive-loop UDFs. The gram-set sides
-      // project straight off the persisted sigAll (disk read, survivors
-      // only after the join pruning).
-      val out = survivors
-        .join(sigAll.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-        .join(sigAll.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
         .select(col("id_a"), col("id_b"),
-          // graft_sorted_jaccard (functions/SortedJaccard, r14): the same
-          // merge-intersection, reading the gram arrays in place
+          // graft_sorted_jaccard (functions/SortedJaccard, r14): a merge
+          // over the two SORTED gram-hash arrays (ophSignatures emits
+          // TreeSet order), O(|A|+|B|) with no allocation, in place
           call_function("graft_sorted_jaccard", col("sh_a"), col("sh_b"),
             lit(threshold)).as("jaccard"))
         .where(col("jaccard").isNotNull)
@@ -360,10 +354,10 @@ object NearDup {
       // hygiene"). The RETURNED frame stays cached — the caller unpersists
       // it once consumed (Bench/Verify sweep new persists per query via
       // [[graft.util.CacheHygiene]]).
-      materializeAndRelease(out, Seq(sigDf, sigAll) ++ staged)
+      materializeAndRelease(out, Seq(sigAll) ++ staged)
     } else {
       runBatchedPairs(bucketsFor(0 until bands), xxhash64(col("__bucket")),
-        bucketBatches, verifiedPairs, Seq(sigDf, sigAll))
+        bucketBatches, verifiedPairs, Seq(sigAll))
     }
   }
 

@@ -414,14 +414,157 @@ case class ExactPercentile(
     } else evalExact(buffer.exact)
 
   private def evalExact(hist: DoubleCounts): Any = {
+    if (hist.size == 0) return null
+    val out = ExactPercentile.exactAt(hist, percentages)
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  private def evalApprox(d: BinnedDigest): Any = {
+    if (d.totalCount == 0) return null
+    val out = ExactPercentile.approxAt(d, percentages)
+    if (returnArray) new GenericArrayData(out) else out(0)
+  }
+
+  override def serialize(buffer: PctBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): PctBuffer =
+    PctBuffer.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentile =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ExactPercentile =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ExactPercentile =
+    copy(child = newChildren(0), percentageExpression = newChildren(1))
+}
+
+/** One-pass median + deviation percentile (r22, guide §1.2 "fewer
+  * passes"): the two-pass MAD shape — job 1 `median(x)`, job 2
+  * `percentile(|x − median|, p)` — re-scans the input only to fold it
+  * around a scalar the first pass already fully determines. In EXACT
+  * mode the value→count histogram determines the |x − med| multiset
+  * precisely (fold each distinct value through the identical IEEE
+  * `|v − med|`, merging counts of values that collide), so the deviation
+  * percentile comes out of the SAME buffer bit-for-bit equal to what the
+  * second scan would compute — one corpus scan instead of two.
+  *
+  * Returns struct<median double, dev double>. When the buffer has
+  * SPILLED to the digest, `dev` is null (a digest cannot reproduce the
+  * second pass's row-exact fold) and `median` is the digest median —
+  * exactly pass 1's value today — so callers run the old second job only
+  * in that case and results are identical on both paths. Null on zero
+  * non-null rows, like graft_percentile.
+  */
+case class MedianAbsDev(
+    child: Expression,
+    devPercentageExpression: Expression,
+    maxDistinct: Int = ExactPercentile.DefaultMaxDistinct,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PctBuffer] {
+
+  private lazy val devP: Double = devPercentageExpression.eval() match {
+    case d: Double => d
+    case other => throw new IllegalArgumentException(
+      s"dev percentage must be a foldable double, got $other")
+  }
+
+  override def children: Seq[Expression] =
+    child :: devPercentageExpression :: Nil
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure("graft_median_absdev expects a DOUBLE child")
+    else if (!devPercentageExpression.foldable)
+      TypeCheckResult.TypeCheckFailure("dev percentage must be foldable")
+    else if (devP < 0.0 || devP > 1.0)
+      TypeCheckResult.TypeCheckFailure("dev percentage must be in [0, 1]")
+    else if (maxDistinct < 1)
+      TypeCheckResult.TypeCheckFailure("maxDistinct must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("median", DoubleType, nullable = true),
+    StructField("dev", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_median_absdev"
+
+  override def createAggregationBuffer(): PctBuffer = new PctBuffer(maxDistinct)
+
+  override def update(buffer: PctBuffer, input: InternalRow): PctBuffer = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.add(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 1L)
+    buffer
+  }
+
+  override def merge(buffer: PctBuffer, other: PctBuffer): PctBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: PctBuffer): Any =
+    if (buffer.isApprox) {
+      ExactPercentile.log.warn(
+        s"graft_median_absdev(${child.sql}) exceeded maxDistinct=" +
+          s"$maxDistinct distinct values: returning the digest median " +
+          "and a NULL deviation — the caller falls back to the two-pass " +
+          "deviation scan (identical result, one extra job)")
+      if (buffer.digest.totalCount == 0) null
+      else {
+        val m = ExactPercentile.approxAt(buffer.digest, Array(0.5))(0)
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](m, null))
+      }
+    } else {
+      val hist = buffer.exact
+      if (hist.size == 0) return null
+      val med = ExactPercentile.exactAt(hist, Array(0.5))(0)
+      // fold the histogram around the median with the IDENTICAL IEEE op a
+      // second scan would apply per row; equal |v − med| results merge
+      // their counts, so the folded histogram IS the second pass's buffer
+      val folded = new DoubleCounts(math.min(hist.size * 2, 1 << 16))
+      hist.foreach { (bits, n) =>
+        val d = math.abs(java.lang.Double.longBitsToDouble(bits) - med)
+        folded.add(java.lang.Double.doubleToLongBits(d), n)
+      }
+      val dev = ExactPercentile.exactAt(folded, Array(devP))(0)
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](med, dev))
+    }
+
+  override def serialize(buffer: PctBuffer): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): PctBuffer =
+    PctBuffer.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MedianAbsDev =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MedianAbsDev =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MedianAbsDev =
+    copy(child = newChildren(0), devPercentageExpression = newChildren(1))
+}
+
+object ExactPercentile {
+  private[functions] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[ExactPercentile])
+
+  /** Exact-mode distinct budget per column-partial (~32 MiB peak). */
+  val DefaultMaxDistinct: Int = 1 << 20
+
+  /** Exact interpolated percentiles over a non-empty value→count
+    * histogram (shared by [[ExactPercentile]] and [[MedianAbsDev]]).
+    * Sort distinct values ascending (total order: -0.0 < 0.0, NaN last —
+    * same result positions as the built-in's physical double ordering).
+    * The raw-bits keys are made SIGNED-sortable (negatives: flip the 63
+    * value bits) so a primitive Arrays.sort replaces a boxed sortBy —
+    * on a ~600 k-distinct column that removes ~1.2 M boxed allocations
+    * per eval; counts are re-read from the open hash map afterwards. */
+  private[functions] def exactAt(hist: DoubleCounts,
+      percentages: Array[Double]): Array[Double] = {
     val m = hist.size
-    if (m == 0) return null
-    // Sort distinct values ascending (total order: -0.0 < 0.0, NaN last —
-    // same result positions as the built-in's physical double ordering).
-    // The raw-bits keys are made SIGNED-sortable (negatives: flip the 63
-    // value bits) so a primitive Arrays.sort replaces a boxed sortBy —
-    // on a ~600 k-distinct column that removes ~1.2 M boxed allocations
-    // per eval; counts are re-read from the open hash map afterwards.
     val sortKeys = new Array[Long](m)
     var i = 0
     hist.foreach { (k, _) =>
@@ -460,13 +603,13 @@ case class ExactPercentile(
     }
 
     val maxPosition = total - 1
-    val out = percentages.map(p => at(p * maxPosition))
-    if (returnArray) new GenericArrayData(out) else out(0)
+    percentages.map(p => at(p * maxPosition))
   }
 
-  private def evalApprox(d: BinnedDigest): Any = {
+  /** Digest-mode interpolated percentiles (shared, non-empty digest). */
+  private[functions] def approxAt(d: BinnedDigest,
+      percentages: Array[Double]): Array[Double] = {
     val total = d.totalCount
-    if (total == 0) return null
     def at(position: Double): Double = {
       val lower = math.floor(position).toLong
       val higher = math.ceil(position).toLong
@@ -477,29 +620,8 @@ case class ExactPercentile(
       else (higher - position) * lowerVal + (position - lower) * higherVal
     }
     val maxPosition = total - 1
-    val out = percentages.map(p => at(p * maxPosition))
-    if (returnArray) new GenericArrayData(out) else out(0)
+    percentages.map(p => at(p * maxPosition))
   }
-
-  override def serialize(buffer: PctBuffer): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): PctBuffer =
-    PctBuffer.deserialize(bytes)
-
-  override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentile =
-    copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): ExactPercentile =
-    copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): ExactPercentile =
-    copy(child = newChildren(0), percentageExpression = newChildren(1))
-}
-
-object ExactPercentile {
-  private[functions] val log =
-    org.slf4j.LoggerFactory.getLogger(classOf[ExactPercentile])
-
-  /** Exact-mode distinct budget per column-partial (~32 MiB peak). */
-  val DefaultMaxDistinct: Int = 1 << 20
 
   /** Conf key for two-argument `graft_percentile` calls. */
   val MaxDistinctKey = "spark.graft.percentile.maxDistinct"
@@ -529,6 +651,27 @@ object ExactPercentile {
           }
         } else confMaxDistinct
         ExactPercentile(args.head, args(1), bound)
+      },
+      "scala_udf")
+
+  /** Idempotently register
+    * `graft_median_absdev(col, devP [, maxDistinct])` — the one-pass
+    * median + deviation-percentile aggregate ([[MedianAbsDev]]). */
+  def registerMedianAbsDev(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_median_absdev",
+      (args: Seq[Expression]) => {
+        val bound = if (args.length >= 3) {
+          args(2).eval() match {
+            case i: Int => i
+            case l: Long => math.min(l, Int.MaxValue.toLong).toInt
+            case s: Short => s.toInt
+            case b: Byte => b.toInt
+            case other => throw new IllegalArgumentException(
+              s"maxDistinct must be a foldable integer, got $other")
+          }
+        } else confMaxDistinct
+        MedianAbsDev(args.head, args(1), bound)
       },
       "scala_udf")
 }

@@ -35,9 +35,12 @@ object Discretize {
     equalWidth(df, df, cols, nBins, suffix)
 
   /** Learn the edges on `fitDf`, bin `df` — the frames must hold
-    * identical rows (r21: pre-sorted bin inputs would otherwise pay the
-    * range exchange inside the edge job; EliminateSorts can't remove a
-    * Sort under double-typed min/max). */
+    * identical rows. r22 correction (r21 ADVICE): min/max ARE
+    * order-irrelevant to EliminateSorts (only Sum/Average carry the
+    * float restriction), so a Sort under THIS edge job would be removed
+    * anyway; the fitDf split here costs nothing and is kept for
+    * uniformity with [[quantile]], whose percentile UDAF genuinely pins
+    * a Sort below it. */
   def equalWidth(fitDf: DataFrame, df: DataFrame, cols: Seq[String],
       nBins: Int, suffix: String): DataFrame = {
     require(nBins >= 1, s"nBins must be >= 1, got $nBins")

@@ -125,10 +125,19 @@ final case class Outliers(
           for (m <- s.mean; sd <- s.stdSamp if sd != 0.0)
             yield c -> (m - threshold * sd, m + threshold * sd)
         }
+      // r22 (guide §1.2): median and MAD come from ONE scan via
+      // graft_median_absdev — the old job 2 (percentile of |x − median|
+      // over a fresh scan) is derivable bit-for-bit from job 1's exact
+      // value→count histogram. The second scan now runs ONLY for columns
+      // whose histogram spilled to the bounded digest (cardinality >
+      // spark.graft.percentile.maxDistinct), where the fold cannot
+      // reproduce the row-exact pass — identical results on both paths.
       case "modified_zscore" =>
-        val medians = stats(Stats.Need(median = true))
-          .collect { case (c, s) if s.median.isDefined => c -> s.median.get }
-        val mads = Stats.mad(df, medians)
+        val md = Stats.medianDev(df, cols, 0.5)
+        val medians = md.collect { case (c, (Some(m), _)) => c -> m }
+        val spilled = md.collect { case (c, (Some(m), None)) => c -> m }
+        val mads = md.collect { case (c, (Some(_), Some(d))) => c -> d } ++
+          Stats.mad(df, spilled)
         medians.flatMap { case (c, med) =>
           mads.get(c).filter(_ != 0.0).map { mad =>
             val half = threshold * mad / 0.6745
@@ -136,17 +145,25 @@ final case class Outliers(
           }
         }
       case "isolation_forest" =>
-        val medians = stats(Stats.Need(median = true))
-          .collect { case (c, s) if s.median.isDefined => c -> s.median.get }
+        val md = Stats.medianDev(df, cols, 1.0 - contamination)
+        val medians = md.collect { case (c, (Some(m), _)) => c -> m }
         if (medians.isEmpty) Map.empty
         else {
-          val aggs = medians.keys.toSeq.map(c =>
-            pctl(abs(col(c).cast(DoubleType) - lit(medians(c))), 1.0 - contamination).as(c))
-          val row = df.agg(aggs.head, aggs.tail: _*).head()
+          val spilled = md.collect { case (c, (Some(m), None)) => c -> m }
+          val devs = md.collect { case (c, (Some(_), Some(d))) => c -> d } ++
+            (if (spilled.isEmpty) Map.empty[String, Double]
+             else {
+               val aggs = spilled.keys.toSeq.map(c =>
+                 pctl(abs(col(c).cast(DoubleType) - lit(spilled(c))),
+                   1.0 - contamination).as(c))
+               val row = df.agg(aggs.head, aggs.tail: _*).head()
+               spilled.keys.flatMap { c =>
+                 val i = row.fieldIndex(c)
+                 if (row.isNullAt(i)) None else Some(c -> row.getDouble(i))
+               }.toMap
+             })
           medians.flatMap { case (c, med) =>
-            val i = row.fieldIndex(c)
-            if (row.isNullAt(i) || row.getDouble(i) == 0.0) None
-            else Some(c -> (med - row.getDouble(i), med + row.getDouble(i)))
+            devs.get(c).filter(_ != 0.0).map(d => c -> (med - d, med + d))
           }
         }
       case other => throw new IllegalArgumentException(s"unknown outlier method: $other")

@@ -137,8 +137,39 @@ object Stats {
     }.toMap
   }
 
+  /** One-pass median + deviation percentile per column (r22, guide §1.2
+    * "fewer passes"): `graft_median_absdev` computes the median AND the
+    * `devP` percentile of `|x − median|` from ONE scan's value→count
+    * histogram — the fold around the median is done at eval time, bit-
+    * identical to the second scan it replaces (see
+    * [[graft.functions.MedianAbsDev]]). Returns
+    * col → (median, dev); dev is None when the histogram spilled to the
+    * bounded digest (then the median is the digest median, exactly what
+    * the old pass 1 returned, and the caller runs the old second-pass
+    * [[mad]]/percentile job for those columns only — identical results
+    * on both paths, the extra job only where exactness demands it). */
+  def medianDev(df: DataFrame, cols: Seq[String], devP: Double)
+      : Map[String, (Option[Double], Option[Double])] = {
+    if (cols.isEmpty) return Map.empty
+    graft.functions.ExactPercentile.registerMedianAbsDev(df.sparkSession)
+    val aggs = cols.map(c => call_function("graft_median_absdev",
+      col(c).cast(DoubleType), lit(devP)).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.map { c =>
+      val i = row.fieldIndex(c)
+      if (row.isNullAt(i)) c -> ((None, None))
+      else {
+        val r = row.getStruct(i)
+        c -> ((if (r.isNullAt(0)) None else Some(r.getDouble(0)),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      }
+    }.toMap
+  }
+
   /** Median absolute deviation; needs the medians first (two-pass, SURVEY
-    * §2.4 A11). One extra agg job for all columns. */
+    * §2.4 A11). One extra agg job for all columns. Since r22 this is the
+    * FALLBACK path for columns whose [[medianDev]] histogram spilled;
+    * exact-mode columns get the MAD from the single scan. */
   def mad(df: DataFrame, medians: Map[String, Double]): Map[String, Double] = {
     val cols = medians.keys.toSeq
     if (cols.isEmpty) return Map.empty

@@ -49,6 +49,26 @@ object StreamRuns {
     }
   }
 
+  /** Checkpoint scratch for the bounded drain-and-stop runs, on the
+    * fastest local volume available (r22, r21 verdict #2: the streaming
+    * family's remaining fixed cost is per-micro-batch state-store commits
+    * plus offset/commit-log writes — dozens of tiny fsync'd files per
+    * run). These runs end in a MEMORY sink and the checkpoint is
+    * discarded with the query, so durability buys nothing: /dev/shm when
+    * present, else the JVM temp dir. A production always-on stream keeps
+    * its checkpoint on durable storage — that trade-off simply does not
+    * apply to a checkpoint whose lifetime is one bounded run. */
+  private def checkpointScratch(kind: String, dir: String): Path = {
+    val base =
+      if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm"
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    val sf = new java.io.File(dir).getName
+    val p = Paths.get(s"$base/graft_ckpt_${kind}_${sf}_" +
+      s"${ProcessHandle.current().pid()}_${calls.incrementAndGet()}")
+    deleteRec(p)
+    p
+  }
+
   /** Move the single data part-file of a one-partition parquet write into
     * `destDir` under `name`, with an explicit mtime so the file source's
     * modification-time ordering is deterministic. */
@@ -71,6 +91,7 @@ object StreamRuns {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     val name = s"graft_stream_sink_${calls.incrementAndGet()}"
+    val ckpt = checkpointScratch("mem", srcDir.toString)
     // A stateful streaming query spins up one state-store instance per
     // shuffle partition PER MICRO-BATCH (load, commit, checkpoint file) —
     // at the session's 32 partitions over ~4 batches that fixed cost
@@ -80,14 +101,17 @@ object StreamRuns {
     // and restored before the batch-side result query runs.
     val confKey = "spark.sql.shuffle.partitions"
     val prevParts = spark.conf.get(confKey)
-    val q =
-      try {
-        spark.conf.set(confKey, "8")
-        build(stream).writeStream.format("memory").queryName(name)
-          .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
-      } finally spark.conf.set(confKey, prevParts)
-    try q.awaitTermination() finally q.stop()
-    materializeAndDrop(spark, name)
+    try {
+      val q =
+        try {
+          spark.conf.set(confKey, "8")
+          build(stream).writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", ckpt.toString)
+            .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+        } finally spark.conf.set(confKey, prevParts)
+      try q.awaitTermination() finally q.stop()
+      materializeAndDrop(spark, name)
+    } finally deleteRec(ckpt) // memory sink holds the rows; state is dead
   }
 
   /** Resolve the memory-sink table, then DROP its temp-view
@@ -214,40 +238,78 @@ object StreamRuns {
     {
       Files.createDirectories(in) // move target for the staged part-files
       val base = Events.load(spark, dir).select("user_id", "ts", "event_id")
-      val (minMs, maxMs) = {
-        val r = base.agg(min(col("ts")), max(col("ts"))).head()
-        (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
-      }
-      // the longest session, by the batch-side sessionizer (one small
-      // staging job); deterministic tie-break
-      val longest = Events.sessionize(base, gapSeconds)
-        .orderBy(desc("duration_sec"), col("user_id"), col("start_sec"))
-        .select("start_sec", "duration_sec").head()
+      // r22 (guide §1.2, fewer staging jobs): ONE sessionizer pass yields
+      // everything the old TWO jobs did — min event time = min(start_sec),
+      // max event time = max(start_sec + duration_sec) (both 6-dp-rounded,
+      // i.e. exact to the microsecond; they only PLACE the far-future
+      // sentinels and the degenerate-corpus fallback midpoint, where a
+      // sub-millisecond shift is immaterial), and the longest session via
+      // max(struct(duration, -user, -start)) — the same
+      // (duration DESC, user ASC, start ASC) tie-break the orderBy.head
+      // used. The CUT formula is unchanged: it reads the identical
+      // rounded (start_sec, duration_sec) pair the old head() returned,
+      // so midMs — the one value that decides batch membership — is
+      // bit-identical and the staged batches are too.
+      val r = Events.sessionize(base, gapSeconds).agg(
+        min(col("start_sec")).as("mn"),
+        max(col("start_sec") + col("duration_sec")).as("mx"),
+        max(struct(col("duration_sec").as("d"), (-col("user_id")).as("nu"),
+          (-col("start_sec")).as("ns"))).as("lg")).head()
+      val minMs = (r.getDouble(0) * 1000).toLong
+      val maxMs = (r.getDouble(1) * 1000).toLong
+      val lg = r.getStruct(2)
+      val (lgDur, lgStart) = (lg.getDouble(0), -lg.getDouble(2))
       val midMs =
-        if (longest.getDouble(1) > 0)
-          ((longest.getDouble(0) + longest.getDouble(1) / 2) * 1000).toLong
+        if (lgDur > 0) ((lgStart + lgDur / 2) * 1000).toLong
         else minMs + (maxMs - minMs) / 2
       val t0 = System.currentTimeMillis()
 
-      def data(cond: Column, name: String, mtimeMs: Long): Unit = {
-        val d = in.resolve(s"__$name")
-        base.where(cond).coalesce(1).write.parquet(d.toString)
-        moveOnlyPart(d, in, s"$name.parquet", mtimeMs)
-      }
+      // both data batches in ONE partitioned write (was: two full
+      // filter+coalesce(1) scans). Row order inside a data file is
+      // irrelevant here — the sessionizer sorts each user's rows per
+      // micro-batch — only the FILE split (ts vs midMs) and the mtime
+      // order carry semantics, and both are unchanged.
       val mid = new java.sql.Timestamp(midMs)
-      data(col("ts") <= mid, "data1", t0)
-      data(col("ts") > mid, "data2", t0 + 10000L)
+      stagePartitioned(
+        base.withColumn("__b", when(col("ts") <= mid, 1).otherwise(2)),
+        base.limit(0), in, "__data",
+        Seq(1 -> ("data1.parquet", t0), 2 -> ("data2.parquet", t0 + 10000L)))
 
-      def sentinel(userId: Long, atMs: Long, idx: Int): Unit = {
-        val d = in.resolve(s"__s$idx")
-        Seq((userId, new java.sql.Timestamp(atMs), 10000000L + idx))
-          .toDF("user_id", "ts", "event_id")
-          .coalesce(1).write.parquet(d.toString)
-        moveOnlyPart(d, in, s"sentinel$idx.parquet", t0 + (idx + 1) * 10000L)
-      }
-      sentinel(-1L, maxMs + gapSeconds * 1000L * 10, 1)
-      sentinel(-2L, maxMs + gapSeconds * 1000L * 20, 2)
+      // both sentinels in one write too; same ids/timestamps/mtimes
+      val sentinels = Seq(
+        (-1L, new java.sql.Timestamp(maxMs + gapSeconds * 1000L * 10),
+          10000001L, 1),
+        (-2L, new java.sql.Timestamp(maxMs + gapSeconds * 1000L * 20),
+          10000002L, 2))
+        .toDF("user_id", "ts", "event_id", "__b")
+      stagePartitioned(sentinels, base.limit(0), in, "__s",
+        Seq(1 -> ("sentinel1.parquet", t0 + 20000L),
+          2 -> ("sentinel2.parquet", t0 + 30000L)))
     }
+  }
+
+  /** Write `df` (carrying an int `__b` batch column) as ONE job
+    * partitioned by `__b`, then move each batch's single part-file into
+    * `destDir` under its target name/mtime. A batch value with no rows
+    * (possible only on degenerate corpora via the fallback midpoint)
+    * still stages an EMPTY file from `emptyLike`'s schema — the old
+    * two-write staging produced one, and the micro-batch decomposition
+    * must not silently lose a planned batch. */
+  private def stagePartitioned(df: DataFrame, emptyLike: DataFrame,
+      destDir: Path, scratchName: String,
+      batches: Seq[(Int, (String, Long))]): Unit = {
+    val d = destDir.resolve(scratchName)
+    df.repartition(1).write.partitionBy("__b").parquet(d.toString)
+    batches.foreach { case (b, (name, mtimeMs)) =>
+      val pDir = d.resolve(s"__b=$b")
+      if (Files.isDirectory(pDir)) moveOnlyPart(pDir, destDir, name, mtimeMs)
+      else {
+        val e = destDir.resolve(s"${scratchName}_empty$b")
+        emptyLike.coalesce(1).write.parquet(e.toString)
+        moveOnlyPart(e, destDir, name, mtimeMs)
+      }
+    }
+    deleteRec(d)
   }
 
   /** Sentinel filter + canonical projection/ordering for the sessionize
@@ -280,34 +342,38 @@ object StreamRuns {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
     val name = s"graft_stream_sink_${calls.incrementAndGet()}"
+    val ckpt = checkpointScratch("pt", srcDir.toString)
     val latched = Seq(
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.noDataProgressEventInterval" -> intervalMs.toString)
     val prev = latched.map { case (k, _) => k -> spark.conf.getOption(k) }
-    val q =
-      try {
-        latched.foreach { case (k, v) => spark.conf.set(k, v) }
-        build(stream).writeStream
-          .format("memory").queryName(name).outputMode(outputMode)
-          .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
-          .start()
-      } finally prev.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
     try {
-      val deadline = System.currentTimeMillis() + maxWaitMs
-      var done = false
-      while (!done && System.currentTimeMillis() < deadline) {
-        Thread.sleep(intervalMs)
-        val ps = q.recentProgress
-        done = ps.map(_.numInputRows).sum >= staged &&
-          ps.lastOption.exists(_.numInputRows == 0L)
-      }
-      if (!done) throw new IllegalStateException(
-        s"processing-time run did not drain $staged rows in ${maxWaitMs}ms")
-    } finally q.stop()
-    materializeAndDrop(spark, name)
+      val q =
+        try {
+          latched.foreach { case (k, v) => spark.conf.set(k, v) }
+          build(stream).writeStream
+            .format("memory").queryName(name).outputMode(outputMode)
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.ProcessingTime(s"$intervalMs milliseconds"))
+            .start()
+        } finally prev.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None)    => spark.conf.unset(k)
+        }
+      try {
+        val deadline = System.currentTimeMillis() + maxWaitMs
+        var done = false
+        while (!done && System.currentTimeMillis() < deadline) {
+          Thread.sleep(intervalMs)
+          val ps = q.recentProgress
+          done = ps.map(_.numInputRows).sum >= staged &&
+            ps.lastOption.exists(_.numInputRows == 0L)
+        }
+        if (!done) throw new IllegalStateException(
+          s"processing-time run did not drain $staged rows in ${maxWaitMs}ms")
+      } finally q.stop()
+      materializeAndDrop(spark, name)
+    } finally deleteRec(ckpt)
   }
 
   /** [[Events.streamingTumbling]] under `Trigger.ProcessingTime`

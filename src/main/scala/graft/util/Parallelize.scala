@@ -2,7 +2,6 @@ package graft.util
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.internal.SQLConf
 
 /** Scale-adaptive parallelism for CPU-heavy per-row kernels (r21,
   * guide §2: derive partitioning from input size, don't hard-code either
@@ -36,7 +35,10 @@ object Parallelize {
     * with no id column (e.g. word-count passes hash on the text itself). */
   def bySize(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    val splitBytes = SQLConf.get.filesMaxPartitionBytes
+    // r22 (r21 ADVICE): read the conf of the DataFrame's OWN session —
+    // SQLConf.get is the thread-local active session, which can differ
+    // when ops run from another thread or a cloned session.
+    val splitBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (estBytes < BigInt(target.toLong) * splitBytes)
       df.repartition(target, key)

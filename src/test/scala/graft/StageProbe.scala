@@ -38,10 +38,17 @@ object StageProbe {
       .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides for A/B probes: SPARK_GRAFT_PROBE_CONF=k=v;k=v
+    sys.env.get("SPARK_GRAFT_PROBE_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+      println(s"[probe] conf override: $k=$v")
+    })
     // same warmup as Bench: parquet reader + codegen agg + exchange paths
     Tables.load(spark, dir, "nation").groupBy("n_regionkey").count().collect()
 
     val stages = new ConcurrentHashMap[Int, St]()
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
     @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
@@ -62,12 +69,34 @@ object StageProbe {
               i.details.linesIterator.take(8).map("    " + _).mkString("\n"))
           stages.put(i.stageId, st)
         }
-      override def onJobStart(e: SparkListenerJobStart): Unit = ()
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobCount.incrementAndGet()
     })
+
+    // r22 attribution: cumulative whole-stage-codegen compile cost
+    // (count × mean over the metrics histogram — close enough for deltas)
+    // so "cold run is slow but its stages are fast" separates into janino
+    // compile vs driver planning vs task work.
+    def codegenMs(): Long = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      (h.getCount * h.getSnapshot.getMean).toLong
+    }
+    def codegenN(): Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"plans/$tag"))
     for (name <- names) {
+      // the construction phase is TIMED (r22): self-materializing queries
+      // (pair operators, streaming runs) execute their pipeline here, so
+      // for them this is the true first-run cost in this JVM
+      val c0n = codegenN(); val c0 = codegenMs(); val j0 = jobCount.get()
+      val tC = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
+      val constructS = (System.nanoTime() - tC) / 1e9
+      println(f"[probe] $name%-28s construct ${constructS}%8.3f s " +
+        f"(codegen +${codegenMs() - c0}%d ms/${codegenN() - c0n}%d units, " +
+        f"jobs +${jobCount.get() - j0}%d)")
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"plans/$tag/${name}_$suffix.txt"), plan)
@@ -76,13 +105,16 @@ object StageProbe {
         val before = graft.util.CacheHygiene.snapshot(spark)
         collecting = i == iters
         if (collecting) stages.clear()
+        val cgN0 = codegenN(); val cg0 = codegenMs(); val jb0 = jobCount.get()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         last = (System.nanoTime() - t0) / 1e9
         collecting = false
         graft.util.CacheHygiene.releaseNew(spark, before)
-        println(f"[probe] $name%-28s iter$i ${last}%8.3f s")
+        println(f"[probe] $name%-28s iter$i ${last}%8.3f s " +
+          f"(codegen +${codegenMs() - cg0}%d ms/${codegenN() - cgN0}%d units, " +
+          f"jobs +${jobCount.get() - jb0}%d)")
       }
       import scala.jdk.CollectionConverters._
       val rows = stages.asScala.toSeq.sortBy(-_._2.durMs).take(14)

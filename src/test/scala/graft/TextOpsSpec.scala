@@ -91,6 +91,38 @@ class TextOpsSpec extends SparkSpec {
     assert(out.where($"num".isNull).count() == 1) // "bad" coerced to null
   }
 
+  test("fused datetime detection count equals the two-job path on " +
+      "adversarial shapes (r21 ADVICE parity)") {
+    // The default-format path fuses the parse-ratio count into job 1,
+    // gated on the bit-3 shape probe. Parity argument: every default
+    // format is gated by an EXACT shape regex (patternShapeRegex: yyyy →
+    // \d{4}), so SMART-mode over-acceptance (5-digit years, 1-digit
+    // month/day) cannot occur, and every format regex implies the bit-3
+    // probe. This test executes both paths — the fused default chain vs
+    // the same chain with the last format DUPLICATED (coalesce-identical
+    // parse results, but != DefaultFormats so the old job-1b path runs) —
+    // over exactly the adversarial values the advice named.
+    val rows = Seq(
+      "12345-01-01", // 5-digit year: both probe and chain must reject
+      "2021-1-1",    // 1-digit month/day: bit-3 yes, every format regex no
+      "2021-02-30",  // shape ok, semantically invalid: parse must null it
+      "99999/9/9", " 2024-05-06 ", "2024-05-06", "2024-06-07",
+      "2024-07-08 10:11:12", "05/06/2024", "06-07-2024",
+      "2024/08/09", "not a date", "2024-09-10", "2024-10-11",
+      "2024-11-12", "2024-12-13")
+    val df = rows.toDF("d")
+    val fused = TypeConvert(auto = true)(df)
+    val twoJob = TypeConvert(auto = true,
+      datetimeFormats =
+        TypeConvert.DefaultFormats :+ TypeConvert.DefaultFormats.last)(df)
+    assert(fused.df.schema("d").dataType == twoJob.df.schema("d").dataType,
+      "fused and two-job detection must reach the same type decision")
+    val a = fused.df.collect().map(_.toString).sorted
+    val b = twoJob.df.collect().map(_.toString).sorted
+    assert(a.sameElements(b),
+      "fused and two-job conversion outputs must be identical")
+  }
+
   test("numeric probe matches pandas token acceptance, not Java's parser") {
     // Pins the regex gates in Exprs.tryDouble: Java's parser takes "1.5f",
     // "NaN", hex floats, which pandas.to_numeric rejects — drifting here
