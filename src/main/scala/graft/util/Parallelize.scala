@@ -40,8 +40,16 @@ object Parallelize {
     // when ops run from another thread or a cloned session.
     val splitBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes < BigInt(target.toLong) * splitBytes)
-      df.repartition(target, key)
+    val fire = estBytes < BigInt(target.toLong) * splitBytes
+    // r22 (r21 ADVICE): say when the gate fires/skips so a plan without
+    // reliable stats (post-join/UDF sizeInBytes can be huge) that
+    // silently never repartitions is attributable from the logs.
+    log.info(s"bySize gate ${if (fire) "FIRES" else "skips"}: est=$estBytes" +
+      s" vs $target x $splitBytes")
+    if (fire) df.repartition(target, key)
     else df
   }
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(Parallelize.getClass)
 }
