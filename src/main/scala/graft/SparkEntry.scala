@@ -49,30 +49,40 @@ object SparkEntry {
     * at startup, never inside a timed row. */
   private[graft] def sweepDeadScratch(dir: String): Unit = {
     val sf = new java.io.File(dir).getName
+    def sweep(base: String, pat: scala.util.matching.Regex): Unit =
+      Option(new java.io.File(base).listFiles()).foreach(_.foreach { f =>
+        f.getName match {
+          case pat(pid) =>
+            // Try guards a stray name whose digits overflow Long
+            // (NumberFormatException) or fall outside the OS pid range
+            // (ProcessHandle.of throws) — such a name is not ours to
+            // judge, so SKIP it rather than crash startup or delete it
+            scala.util.Try(ProcessHandle.of(pid.toLong)).foreach { h =>
+              if (!(h.isPresent && h.get().isAlive)) {
+                def rec(g: java.io.File): Unit = {
+                  Option(g.listFiles()).foreach(_.foreach(rec)); g.delete(); ()
+                }
+                rec(f)
+              }
+            }
+          case _ => ()
+        }
+      })
     // optional `_suffix` after the pid: q_bucketed_join appends
     // `_orders`/`_lineitem` to its base path (r17 ADVICE — the
     // un-suffixed pattern silently skipped the ~1 GB bucketed scratch,
     // the very dirs the sweep exists for)
-    val pat = ("^graft_[a-z0-9]+_roundtrip_" +
-      java.util.regex.Pattern.quote(sf) + "_([0-9]+)(?:_[a-z]+)?$").r
-    Option(new java.io.File("/tmp").listFiles()).foreach(_.foreach { f =>
-      f.getName match {
-        case pat(pid) =>
-          // Try guards a stray /tmp name whose digits overflow Long
-          // (NumberFormatException) or fall outside the OS pid range
-          // (ProcessHandle.of throws) — such a name is not ours to
-          // judge, so SKIP it rather than crash startup or delete it
-          scala.util.Try(ProcessHandle.of(pid.toLong)).foreach { h =>
-            if (!(h.isPresent && h.get().isAlive)) {
-              def rec(g: java.io.File): Unit = {
-                Option(g.listFiles()).foreach(_.foreach(rec)); g.delete(); ()
-              }
-              rec(f)
-            }
-          }
-        case _ => ()
-      }
-    })
+    sweep("/tmp", ("^graft_[a-z0-9]+_roundtrip_" +
+      java.util.regex.Pattern.quote(sf) + "_([0-9]+)(?:_[a-z]+)?$").r)
+    // r22: streaming checkpoints live on tmpfs (StreamRuns
+    // checkpointScratch — RAM-backed!) and are deleted in-line by the
+    // runs; a CRASHED invocation would leak them into memory until
+    // reboot, so the dead-pid sweep covers them too (both possible
+    // bases: /dev/shm and the JVM temp dir).
+    val ckpt = ("^graft_ckpt_[a-z]+_" + java.util.regex.Pattern.quote(sf) +
+      "_([0-9]+)_[0-9]+$").r
+    sweep("/dev/shm", ckpt)
+    sweep(System.getProperty("java.io.tmpdir", "/tmp"), ckpt)
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: a
